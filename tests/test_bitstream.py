@@ -1,0 +1,138 @@
+"""Bitstream front-end tests: bit reader, container, headers, TOC.
+
+Conformance strategy (SURVEY.md §4): no reference decoder exists in this
+image, so structural conformance is checked against the 13 real-world .jxl
+corpus files shipped with the reference app, with the byte-exact invariant
+that TOC section sizes sum to the codestream length.
+"""
+
+import pytest
+
+from conftest import asset, all_assets
+
+from jxl_coder_tpu.bitstream.reader import BitReader, unpack_signed, pack_signed
+from jxl_coder_tpu.bitstream.container import extract_codestream, is_jxl
+from jxl_coder_tpu.bitstream.headers import read_image_header
+from jxl_coder_tpu.bitstream.frame_header import read_frame_header, read_toc
+from jxl_coder_tpu import api
+
+
+# ---- primitives ----------------------------------------------------------
+
+def test_bitreader_lsb_first():
+    br = BitReader(bytes([0b10110010, 0xFF]))
+    assert br.u(1) == 0
+    assert br.u(2) == 0b01
+    assert br.u(5) == 0b10110
+    assert br.u(4) == 0xF
+
+
+def test_u64_selectors():
+    # selector 0 -> 0
+    br = BitReader(bytes([0b00]))
+    assert br.u64() == 0
+    # selector 1 -> u(4)+1 ; bits: sel=01 then 4 bits value 5 -> 6
+    br = BitReader(bytes([0b0101_01, 0]))
+    assert br.u64() == 6
+
+
+def test_unpack_signed_roundtrip():
+    for v in range(-300, 300):
+        assert unpack_signed(pack_signed(v)) == v
+    assert unpack_signed(0) == 0
+    assert unpack_signed(1) == -1
+    assert unpack_signed(2) == 1
+    assert unpack_signed(3) == -2
+
+
+def test_f16():
+    br = BitReader(bytes([0x00, 0x3C]))  # 0x3C00 = 1.0
+    assert br.f16() == 1.0
+    br = BitReader(bytes([0x00, 0xC0]))  # 0xC000 = -2.0
+    assert br.f16() == -2.0
+
+
+# ---- container -----------------------------------------------------------
+
+def test_is_jxl_magics():
+    assert is_jxl(b"\xff\x0a" + b"\x00" * 10)
+    assert is_jxl(b"\x00\x00\x00\x0cJXL \r\n\x87\n" + b"rest")
+    assert not is_jxl(b"\x89PNG\r\n\x1a\n")
+    assert not is_jxl(b"")
+
+
+@pytest.mark.parametrize("name", all_assets())
+def test_corpus_is_jxl(name):
+    assert api.is_jxl(asset(name))
+
+
+# ---- headers against the real corpus -------------------------------------
+
+EXPECTED_SIZES = {
+    "alpha_jxl.jxl": (1000, 1000),
+    "alpha_png_freepik.jxl": (1920, 1080),
+    "animated_jxl.jxl": (128, 128),
+    "dark_street.jxl": (2205, 3920),
+    "first_jxl.jxl": (768, 768),
+    "hdr_cosmos.jxl": (2048, 858),
+    "jxl_icc_12.bit.jxl": (2048, 858),
+    "large_jxl.jxl": (3910, 5865),
+    "pexels-thibaut-tattevin-18273081.jxl": (2832, 4240),
+    "second_jxl.jxl": (768, 992),
+    "summer_nature.jxl": (3840, 2160),
+    "wide_gamut.jxl": (2048, 858),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_SIZES))
+def test_get_size_corpus(name):
+    assert api.get_size(asset(name)) == EXPECTED_SIZES[name]
+
+
+def test_basic_info_flags():
+    info = api.basic_info(asset("animated_jxl.jxl"))
+    assert info.have_animation
+    info = api.basic_info(asset("alpha_jxl.jxl"))
+    assert info.alpha
+    info = api.basic_info(asset("dark_street.jxl"))
+    assert info.bits_per_sample == 16 and not info.alpha
+
+
+def frame_walk(data):
+    """Walk all frames; return (#frames, end_offset, codestream_len)."""
+    c = extract_codestream(data)
+    cs = c.codestream
+    br = BitReader(cs)
+    hdr = read_image_header(br)
+    nframes = 0
+    while True:
+        fh = read_frame_header(br, hdr)
+        ng, ndc = fh.counts(hdr)
+        n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+            2 + ndc + ng * fh.passes.num_passes)
+        toc = read_toc(br, n)
+        nframes += 1
+        br = BitReader(cs, start_bit=toc.end_offset * 8)
+        if fh.is_last or nframes > 1000:
+            break
+    return nframes, toc.end_offset, len(cs)
+
+
+TOC_EXACT = [n for n in sorted(EXPECTED_SIZES)]
+
+
+@pytest.mark.parametrize("name", TOC_EXACT)
+def test_toc_sections_cover_codestream(name):
+    """Byte-exact invariant: all TOC section sizes sum to codestream end."""
+    nframes, end, total = frame_walk(asset(name))
+    assert end == total
+
+
+def test_animated_frame_count():
+    nframes, _, _ = frame_walk(asset("animated_jxl.jxl"))
+    assert nframes == 48
+
+
+def test_bad_data_raises():
+    with pytest.raises(api.InvalidJXLError):
+        api.get_size(b"\x89PNG\r\n\x1a\nnotjxl")
