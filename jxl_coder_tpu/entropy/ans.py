@@ -1,0 +1,255 @@
+"""rANS entropy coding (ISO/IEC 18181-1 §C.2.3-C.2.6).
+
+State machine: 32-bit state, 12-bit table (ANS_TAB_SIZE=4096), 16-bit
+renormalization, alias-table symbol lookup.  Streams verify by final state
+== ANS_SIGNATURE << 16.
+
+The per-group streams are independent — group-grid parallelism on TPU
+(SURVEY.md §2.6); the host reference implementation here is the bit-exact
+oracle for the vectorized/Pallas lanes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..bitstream.reader import BitReader, BitstreamError
+from ..bitstream.writer import BitWriter
+from .prefix import ceil_log2
+
+ANS_LOG_TAB_SIZE = 12
+ANS_TAB_SIZE = 1 << ANS_LOG_TAB_SIZE
+ANS_SIGNATURE = 0x13
+
+
+def read_u8(br: BitReader) -> int:
+    """varint U8 per §C.2.3: 0 -> 0 else (1<<n) + u(n)."""
+    if br.u(1) == 0:
+        return 0
+    n = br.u(3)
+    return (1 << n) + br.u(n)
+
+
+def write_u8(bw: BitWriter, value: int) -> None:
+    if value == 0:
+        bw.u(0, 1)
+        return
+    bw.u(1, 1)
+    n = value.bit_length() - 1
+    bw.u(n, 3)
+    bw.u(value - (1 << n), n)
+
+
+def flat_counts(alphabet_size: int) -> List[int]:
+    """Deterministic flat distribution summing to ANS_TAB_SIZE (staircase)."""
+    return [ANS_TAB_SIZE * (i + 1) // alphabet_size
+            - ANS_TAB_SIZE * i // alphabet_size
+            for i in range(alphabet_size)]
+
+
+# Static prefix code for log-counts in the "complex" distribution encoding.
+# NOTE: provisional lengths — to be pinned empirically against real
+# bitstreams (our encoder only emits simple/flat forms).
+_LOGCOUNT_LENGTHS = [5, 4, 4, 4, 4, 4, 4, 3, 3, 3, 3, 3, 3, 5]
+
+
+def read_ans_distribution(br: BitReader, log_alphabet_size: int) -> List[int]:
+    """Decode a histogram (counts summing to ANS_TAB_SIZE)."""
+    max_alpha = 1 << log_alphabet_size
+    if br.u(1):  # simple
+        if br.u(1):  # two symbols
+            v1 = read_u8(br)
+            v2 = read_u8(br)
+            if v1 == v2:
+                raise BitstreamError("simple dist: equal symbols")
+            c1 = br.u(12)
+            size = max(v1, v2) + 1
+            counts = [0] * size
+            counts[v1] = c1
+            counts[v2] = ANS_TAB_SIZE - c1
+            return counts
+        v = read_u8(br)
+        counts = [0] * (v + 1)
+        counts[v] = ANS_TAB_SIZE
+        return counts
+    if br.u(1):  # flat
+        alphabet_size = read_u8(br) + 1
+        if alphabet_size > max_alpha:
+            raise BitstreamError("flat dist alphabet too large")
+        return flat_counts(alphabet_size)
+    # complex (RLE log-count coding) — provisional implementation
+    length = 0
+    while length < 3 and br.u(1):
+        length += 1
+    shift = (br.u(length) | (1 << length)) - 1
+    if shift > 13:
+        raise BitstreamError("ANS dist shift too large")
+    alphabet_size = read_u8(br) + 3
+    if alphabet_size > max_alpha:
+        raise BitstreamError("complex dist alphabet too large")
+    raise BitstreamError(
+        "complex ANS distributions not yet supported (static log-count code "
+        "pending empirical pinning)")
+
+
+def write_ans_distribution(bw: BitWriter, counts: List[int]) -> None:
+    """Write a histogram using simple/flat forms only."""
+    nz = [(s, c) for s, c in enumerate(counts) if c > 0]
+    if sum(c for _, c in counts_items(counts)) != ANS_TAB_SIZE:
+        raise ValueError("counts must sum to ANS_TAB_SIZE")
+    if len(nz) == 1:
+        bw.u(1, 1)
+        bw.u(0, 1)
+        write_u8(bw, nz[0][0])
+        return
+    if len(nz) == 2:
+        bw.u(1, 1)
+        bw.u(1, 1)
+        (v1, c1), (v2, _) = nz
+        write_u8(bw, v1)
+        write_u8(bw, v2)
+        bw.u(c1, 12)
+        return
+    if counts == flat_counts(len(counts)):
+        bw.u(0, 1)
+        bw.u(1, 1)
+        write_u8(bw, len(counts) - 1)
+        return
+    raise ValueError("only simple/flat ANS histograms supported for writing")
+
+
+def counts_items(counts):
+    return list(enumerate(counts))
+
+
+# --------------------------------------------------------------------------
+# Alias table
+
+class AliasTable:
+    """Deterministic alias mapping per §C.2.4."""
+
+    def __init__(self, counts: List[int], log_alphabet_size: int):
+        self.log_alpha = log_alphabet_size
+        self.log_entry = ANS_LOG_TAB_SIZE - log_alphabet_size
+        self.entry_size = 1 << self.log_entry
+        n_buckets = 1 << log_alphabet_size
+        counts = list(counts) + [0] * (n_buckets - len(counts))
+        self.freq = list(counts)
+
+        cutoffs = list(counts)
+        right = [0] * n_buckets
+        offsets = [0] * n_buckets
+
+        # single-symbol histogram: spread across all buckets
+        nz = [s for s, c in enumerate(counts) if c > 0]
+        if len(nz) == 1:
+            s = nz[0]
+            for i in range(n_buckets):
+                cutoffs[i] = 0
+                right[i] = s
+                offsets[i] = i * self.entry_size
+            self.cutoffs, self.right, self.offsets = cutoffs, right, offsets
+            return
+
+        underfull = [i for i in range(n_buckets)
+                     if cutoffs[i] < self.entry_size]
+        overfull = [i for i in range(n_buckets)
+                    if cutoffs[i] > self.entry_size]
+        # LIFO stacks, processed in index order initially (deterministic)
+        underfull.reverse()
+        overfull.reverse()
+        while overfull:
+            o = overfull.pop()
+            if not underfull:
+                raise BitstreamError("alias construction failed")
+            u = underfull.pop()
+            by = self.entry_size - cutoffs[u]
+            cutoffs[o] -= by
+            right[u] = o
+            offsets[u] = cutoffs[o]
+            if cutoffs[o] < self.entry_size:
+                underfull.append(o)
+            elif cutoffs[o] > self.entry_size:
+                overfull.append(o)
+        for i in range(n_buckets):
+            if cutoffs[i] == self.entry_size:
+                right[i] = i
+                offsets[i] = 0
+                cutoffs[i] = self.entry_size  # full self bucket
+        self.cutoffs, self.right, self.offsets = cutoffs, right, offsets
+
+    def lookup(self, idx: int) -> Tuple[int, int, int]:
+        """idx in [0, ANS_TAB_SIZE) -> (symbol, offset, freq)."""
+        bucket = idx >> self.log_entry
+        pos = idx & (self.entry_size - 1)
+        if pos >= self.cutoffs[bucket]:
+            sym = self.right[bucket]
+            off = self.offsets[bucket] + pos - self.cutoffs[bucket]
+        else:
+            sym = bucket
+            off = pos
+        return sym, off, self.freq[sym]
+
+    def reverse_map(self):
+        """symbol offset -> table idx, for the encoder."""
+        rmap = {}
+        for idx in range(ANS_TAB_SIZE):
+            sym, off, _ = self.lookup(idx)
+            rmap[(sym, off)] = idx
+        return rmap
+
+
+# --------------------------------------------------------------------------
+# Stream reader / writer
+
+class AnsState:
+    """Shared rANS state over one bitstream (all clusters share state)."""
+
+    def __init__(self, br: BitReader):
+        self.br = br
+        self.state = br.u(32)
+
+    def read_symbol(self, table: AliasTable) -> int:
+        idx = self.state & (ANS_TAB_SIZE - 1)
+        sym, off, freq = table.lookup(idx)
+        self.state = freq * (self.state >> ANS_LOG_TAB_SIZE) + off
+        if self.state < (1 << 16):
+            self.state = ((self.state << 16) | self.br.u(16)) & 0xFFFFFFFF
+        return sym
+
+    def check_final_state(self) -> bool:
+        return self.state == (ANS_SIGNATURE << 16)
+
+
+class AnsEncoder:
+    """Mirror-image encoder: push symbols, then emit in reverse."""
+
+    def __init__(self):
+        self.tokens: List[Tuple[AliasTable, int]] = []
+
+    def push(self, table: AliasTable, symbol: int) -> None:
+        self.tokens.append((table, symbol))
+
+    def encode(self) -> Tuple[int, List[Optional[int]]]:
+        """Returns (initial_state_for_decoder, words) where words[i] is the
+        16-bit word the decoder refills right after decoding token i (or
+        None)."""
+        state = ANS_SIGNATURE << 16
+        words: List[Optional[int]] = [None] * len(self.tokens)
+        rmaps = {}
+        for i in range(len(self.tokens) - 1, -1, -1):
+            table, sym = self.tokens[i]
+            key = id(table)
+            if key not in rmaps:
+                rmaps[key] = table.reverse_map()
+            freq = table.freq[sym]
+            if freq == 0:
+                raise ValueError(f"encoding symbol {sym} with zero freq")
+            # renorm (decoder will refill after decoding token i)
+            if state >= (freq << (32 - ANS_LOG_TAB_SIZE)):
+                words[i] = state & 0xFFFF
+                state >>= 16
+            off = state % freq
+            idx = rmaps[key][(sym, off)]
+            state = (state // freq) << ANS_LOG_TAB_SIZE | idx
+        return state, words

@@ -1,0 +1,363 @@
+"""Unified entropy stream layer (ISO/IEC 18181-1 §C): clustered histograms,
+hybrid-uint tokens, LZ77, over rANS or prefix-code backends.
+
+Mirrors what libjxl's dec_ans/enc_ans provide to every subsystem (modular
+trees, coefficients, context maps, TOC permutations...).  The reference
+exercises this through every decode call
+(/root/reference/jxlcoder/src/main/cpp/interop/JxlDecoding.cpp:74-175).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+from ..bitstream.reader import BitReader, BitstreamError
+from ..bitstream.writer import BitWriter
+from .prefix import PrefixCode, read_prefix_code, write_prefix_code, \
+    build_code_lengths, ceil_log2
+from . import ans as _ans
+from .ans import AliasTable, AnsState, AnsEncoder, ANS_TAB_SIZE
+
+
+# --------------------------------------------------------------------------
+# Hybrid uint config
+
+@dataclasses.dataclass(frozen=True)
+class HybridUintConfig:
+    split_exponent: int = 4
+    msb_in_token: int = 4
+    lsb_in_token: int = 0
+
+    @property
+    def split(self) -> int:
+        return 1 << self.split_exponent
+
+    @staticmethod
+    def read(br: BitReader, log_alphabet_size: int) -> "HybridUintConfig":
+        split_exponent = br.u(ceil_log2(log_alphabet_size + 1))
+        if split_exponent == log_alphabet_size:
+            return HybridUintConfig(split_exponent, 0, 0)
+        msb = br.u(ceil_log2(split_exponent + 1))
+        lsb = br.u(ceil_log2(split_exponent - msb + 1))
+        return HybridUintConfig(split_exponent, msb, lsb)
+
+    def write(self, bw: BitWriter, log_alphabet_size: int) -> None:
+        bw.u(self.split_exponent, ceil_log2(log_alphabet_size + 1))
+        if self.split_exponent == log_alphabet_size:
+            return
+        bw.u(self.msb_in_token, ceil_log2(self.split_exponent + 1))
+        bw.u(self.lsb_in_token,
+             ceil_log2(self.split_exponent - self.msb_in_token + 1))
+
+    def read_value(self, token: int, br: BitReader) -> int:
+        if token < self.split:
+            return token
+        msb, lsb = self.msb_in_token, self.lsb_in_token
+        n = self.split_exponent - (msb + lsb) + ((token - self.split)
+                                                 >> (msb + lsb))
+        if n >= 32:
+            raise BitstreamError("hybrid uint too large")
+        low = token & ((1 << lsb) - 1)
+        token >>= lsb
+        msbits = (token & ((1 << msb) - 1)) | (1 << msb)
+        return ((((msbits << n) | br.u(n)) << lsb) | low)
+
+    def tokenize(self, value: int):
+        """value -> (token, extra_bits_value, extra_bits_count)."""
+        if value < self.split:
+            return value, 0, 0
+        msb, lsb = self.msb_in_token, self.lsb_in_token
+        n = value.bit_length() - 1  # position of leading 1
+        # token layout: split + (((n - split_exponent + msb + lsb) << (msb+lsb))
+        #   | msb payload | lsb payload)
+        nbits = n - msb - lsb  # bits sent raw
+        token = (self.split
+                 + (((n - self.split_exponent) << (msb + lsb))
+                    | (((value >> (n - msb)) & ((1 << msb) - 1)) << lsb)
+                    | (value & ((1 << lsb) - 1))))
+        extra = (value >> lsb) & ((1 << nbits) - 1)
+        return token, extra, nbits
+
+
+# --------------------------------------------------------------------------
+# LZ77 params + special distances
+
+@dataclasses.dataclass
+class Lz77Params:
+    enabled: bool = False
+    min_symbol: int = 224
+    min_length: int = 3
+    length_config: HybridUintConfig = HybridUintConfig(4, 0, 0)
+
+    @staticmethod
+    def read(br: BitReader) -> "Lz77Params":
+        p = Lz77Params()
+        p.enabled = br.bool()
+        if p.enabled:
+            p.min_symbol = br.u32(224, 512, 4096, (15, 8))
+            p.min_length = br.u32(3, 4, (2, 5), (8, 9))
+            p.length_config = HybridUintConfig.read(br, 8)
+        return p
+
+    def write(self, bw: BitWriter) -> None:
+        bw.bool(self.enabled)
+        if self.enabled:
+            bw.u32(self.min_symbol, 224, 512, 4096, (15, 8))
+            bw.u32(self.min_length, 3, 4, (2, 5), (8, 9))
+            self.length_config.write(bw, 8)
+
+
+# --------------------------------------------------------------------------
+# Cluster map
+
+def read_cluster_map(br: BitReader, num_contexts: int) -> List[int]:
+    if num_contexts == 1:
+        return [0]
+    if br.bool():  # is_simple
+        nbits = br.u(2)
+        cmap = [br.u(nbits) for _ in range(num_contexts)]
+    else:
+        use_mtf = br.bool()
+        nested = EntropyDecoder(br, 1)
+        cmap = [nested.read(0) for _ in range(num_contexts)]
+        if not nested.check_final_state():
+            raise BitstreamError("cluster map ANS checksum failed")
+        if use_mtf:
+            mtf = list(range(256))
+            for i, v in enumerate(cmap):
+                if v >= 256:
+                    raise BitstreamError("mtf index too large")
+                val = mtf[v]
+                cmap[i] = val
+                mtf.pop(v)
+                mtf.insert(0, val)
+    num_clusters = max(cmap) + 1
+    if sorted(set(cmap)) != list(range(num_clusters)):
+        raise BitstreamError("cluster map not dense")
+    return cmap
+
+
+def write_cluster_map(bw: BitWriter, cmap: List[int]) -> None:
+    if len(cmap) == 1:
+        return
+    nbits = max(v.bit_length() for v in cmap)
+    if nbits > 3:
+        raise ValueError("simple cluster map supports <= 8 clusters")
+    bw.bool(True)
+    bw.u(nbits, 2)
+    for v in cmap:
+        bw.u(v, nbits)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+
+class EntropyDecoder:
+    """Reads hybrid-uint values with contexts from a JXL entropy stream."""
+
+    def __init__(self, br: BitReader, num_contexts: int,
+                 dist_multiplier: int = 0):
+        self.br = br
+        self.dist_multiplier = dist_multiplier
+        self.lz77 = Lz77Params.read(br)
+        num_dists = num_contexts
+        if self.lz77.enabled:
+            num_dists += 1
+            self.dist_ctx = num_contexts
+            self.window: List[int] = []
+        self.cluster_map = read_cluster_map(br, num_dists)
+        num_clusters = max(self.cluster_map) + 1
+        self.use_prefix = br.bool()
+        if self.use_prefix:
+            log_alpha = 15
+        else:
+            log_alpha = br.u(2) + 5
+        self.log_alpha = log_alpha
+        self.configs = [HybridUintConfig.read(br, log_alpha)
+                        for _ in range(num_clusters)]
+        self.prefix_codes: List[Optional[PrefixCode]] = []
+        self.alias_tables: List[Optional[AliasTable]] = []
+        if self.use_prefix:
+            sizes = []
+            for _ in range(num_clusters):
+                if br.bool():
+                    n = br.u(4)
+                    sizes.append(1 + (1 << n) + br.u(n))
+                else:
+                    sizes.append(1)
+            self.prefix_codes = [read_prefix_code(br, s) for s in sizes]
+            self.ans = None
+        else:
+            dists = [_ans.read_ans_distribution(br, log_alpha)
+                     for _ in range(num_clusters)]
+            self.alias_tables = [AliasTable(d, log_alpha) for d in dists]
+            self.ans = AnsState(br)
+        # lz77 run state
+        self._copy_pos = 0
+        self._copy_len = 0
+        self.num_decoded = 0
+
+    def _read_token(self, cluster: int) -> int:
+        if self.use_prefix:
+            return self.prefix_codes[cluster].read(self.br)
+        return self.ans.read_symbol(self.alias_tables[cluster])
+
+    def read(self, ctx: int) -> int:
+        """Read one hybrid-uint value (LZ77-aware)."""
+        if self.lz77.enabled:
+            return self._read_lz77(ctx)
+        cluster = self.cluster_map[ctx]
+        token = self._read_token(cluster)
+        return self.configs[cluster].read_value(token, self.br)
+
+    def _record(self, v: int) -> int:
+        if self.lz77.enabled:
+            self.window.append(v)
+        self.num_decoded += 1
+        return v
+
+    def _read_lz77(self, ctx: int) -> int:
+        if self._copy_len > 0:
+            self._copy_len -= 1
+            v = self.window[self._copy_pos]
+            self._copy_pos += 1
+            return self._record(v)
+        cluster = self.cluster_map[ctx]
+        token = self._read_token(cluster)
+        if token >= self.lz77.min_symbol:
+            length = self.lz77.min_length + \
+                self.lz77.length_config.read_value(
+                    token - self.lz77.min_symbol, self.br)
+            dcl = self.cluster_map[self.dist_ctx]
+            dtok = self._read_token(dcl)
+            dval = self.configs[dcl].read_value(dtok, self.br)
+            distance = self._decode_distance(dval)
+            distance = min(distance, self.num_decoded, 1 << 20)
+            if distance == 0:
+                raise BitstreamError("lz77 copy before any symbol")
+            self._copy_pos = self.num_decoded - distance
+            self._copy_len = length - 1
+            v = self.window[self._copy_pos]
+            self._copy_pos += 1
+            return self._record(v)
+        v = self.configs[cluster].read_value(token, self.br)
+        return self._record(v)
+
+    def _decode_distance(self, dval: int) -> int:
+        if self.dist_multiplier == 0:
+            return dval + 1
+        if dval < 120:
+            x, y = SPECIAL_DISTANCES[dval]
+            return max(1, x + self.dist_multiplier * y)
+        return dval - 119
+
+    def check_final_state(self) -> bool:
+        if self.ans is None:
+            return True
+        return self.ans.check_final_state()
+
+
+# Special LZ77 distances (§C.3, kSpecialDistances): 120 small (x, y) motion
+# pairs; distance = x + y * dist_multiplier.
+# NOTE: provisional ordering — to be pinned against real bitstreams before
+# the decoder accepts special distances from foreign files.
+def _gen_special_distances():
+    pairs = []
+    for y in range(0, 9):
+        for x in range(-7, 8):
+            if y == 0 and x <= 0:
+                continue
+            pairs.append((x, y))
+    pairs.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], p[1], abs(p[0]),
+                              -p[0]))
+    return pairs[:120]
+
+
+SPECIAL_DISTANCES = _gen_special_distances()
+
+
+# --------------------------------------------------------------------------
+# Encoder
+
+class TokenStream:
+    """Collects (ctx, value) tokens, then serializes histograms + stream.
+
+    Writes the prefix-code backend with per-context clustering (identity or
+    greedy merge into <=8 clusters so the simple cluster-map form applies).
+    """
+
+    def __init__(self, num_contexts: int):
+        self.num_contexts = num_contexts
+        self.tokens: List[tuple] = []
+
+    def add(self, ctx: int, value: int) -> None:
+        if value < 0:
+            raise ValueError("tokens are unsigned")
+        self.tokens.append((ctx, value))
+
+    def write(self, bw: BitWriter,
+              config: HybridUintConfig = HybridUintConfig(4, 4, 0)) -> None:
+        # lz77 disabled
+        bw.bool(False)
+        # cluster contexts: group by histogram similarity — round 1: map all
+        # contexts with data to shared clusters by identity capped at 8.
+        used = sorted({c for c, _ in self.tokens})
+        cmap = [0] * self.num_contexts
+        if self.num_contexts > 1:
+            next_id = 0
+            assign = {}
+            for c in used:
+                if next_id < 8:
+                    assign[c] = next_id
+                    next_id += 1
+                else:
+                    assign[c] = 7
+            for c in range(self.num_contexts):
+                cmap[c] = assign.get(c, assign[used[0]] if used else 0)
+            # ensure dense ids
+            dense = sorted(set(cmap))
+            remap = {v: i for i, v in enumerate(dense)}
+            cmap = [remap[v] for v in cmap]
+        num_clusters = (max(cmap) + 1) if cmap else 1
+        write_cluster_map(bw, cmap if self.num_contexts > 1 else [0])
+        bw.bool(True)  # use_prefix_code
+        log_alpha = 15
+        for _ in range(num_clusters):
+            config.write(bw, log_alpha)
+        # tokenize
+        per_cluster_hist = [dict() for _ in range(num_clusters)]
+        tokenized = []
+        for ctx, value in self.tokens:
+            cl = cmap[ctx] if self.num_contexts > 1 else 0
+            token, extra, nbits = config.tokenize(value)
+            tokenized.append((cl, token, extra, nbits))
+            h = per_cluster_hist[cl]
+            h[token] = h.get(token, 0) + 1
+        # alphabet sizes + codes
+        codes = []
+        for cl in range(num_clusters):
+            h = per_cluster_hist[cl]
+            max_sym = max(h) if h else 0
+            alpha = max_sym + 1
+            if alpha == 1:
+                bw.bool(False)  # alphabet_size = 1
+            else:
+                bw.bool(True)
+                # alphabet = 1 + (1<<n) + u(n): choose n so that
+                # alpha-1-(1<<n) in [0, 2^n)
+                n = (alpha - 1).bit_length() - 1
+                bw.u(n, 4)
+                bw.u(alpha - 1 - (1 << n), n)
+            hist_list = [h.get(s, 0) for s in range(alpha)]
+            lengths = build_code_lengths(hist_list, alpha)
+            if alpha > 1:
+                write_prefix_code(bw, lengths, alpha)
+                codes.append(PrefixCode(lengths))
+            else:
+                codes.append(PrefixCode([1]))
+        # emit tokens
+        for cl, token, extra, nbits in tokenized:
+            codes[cl].write(bw, token)
+            if nbits:
+                bw.u(extra, nbits)
