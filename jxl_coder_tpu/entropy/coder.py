@@ -334,14 +334,15 @@ class TokenStream:
             tokenized.append((cl, token, extra, nbits))
             h = per_cluster_hist[cl]
             h[token] = h.get(token, 0) + 1
-        # alphabet sizes + codes
-        codes = []
+        # all alphabet sizes first, then all codes (two separate loops, as
+        # the decoder reads them)
+        alphas = []
         for cl in range(num_clusters):
             h = per_cluster_hist[cl]
-            max_sym = max(h) if h else 0
-            alpha = max_sym + 1
+            alpha = (max(h) + 1) if h else 1
+            alphas.append(alpha)
             if alpha == 1:
-                bw.bool(False)  # alphabet_size = 1
+                bw.bool(False)
             else:
                 bw.bool(True)
                 # alphabet = 1 + (1<<n) + u(n): choose n so that
@@ -349,6 +350,10 @@ class TokenStream:
                 n = (alpha - 1).bit_length() - 1
                 bw.u(n, 4)
                 bw.u(alpha - 1 - (1 << n), n)
+        codes = []
+        for cl in range(num_clusters):
+            alpha = alphas[cl]
+            h = per_cluster_hist[cl]
             hist_list = [h.get(s, 0) for s in range(alpha)]
             lengths = build_code_lengths(hist_list, alpha)
             if alpha > 1:
