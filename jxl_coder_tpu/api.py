@@ -173,3 +173,110 @@ def basic_info(data: bytes) -> BasicInfo:
         intensity_target=m.tone_mapping.intensity_target,
         uses_original_profile=not m.xyb_encoded,
     )
+
+
+# ---- Encode / decode (lossless Modular path) -----------------------------
+
+def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
+           effort: int = 7) -> bytes:
+    """Encode an image array to a bare JXL codestream.
+
+    pixels: uint8/uint16 array (H, W), (H, W, 1), (H, W, 3) or (H, W, 4).
+    Mirrors JxlCoder.encode (JxlCoder.kt:107-138): RGBA input splits into
+    color + alpha extra channel.
+    """
+    import numpy as np
+    from .bitstream.writer import BitWriter
+    from .bitstream.headers import (
+        ImageHeader, ImageMetadata, SizeHeader, BitDepth, ColourEncoding,
+        ExtraChannelInfo, ExtraChannelType, ColourSpace)
+    from .bitstream.frame_header import FrameHeader, Encoding
+    from . import codec
+
+    pixels = np.asarray(pixels)
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nch = pixels.shape
+    if bits_per_sample is None:
+        bits_per_sample = 16 if pixels.dtype == np.uint16 else 8
+    if not lossless:
+        raise NotImplementedError(
+            "lossy (VarDCT) encoding arrives with the VarDCT layer")
+
+    m = ImageMetadata()
+    m.xyb_encoded = False
+    m.bit_depth = BitDepth(False, bits_per_sample, 0)
+    ce = ColourEncoding()
+    if nch == 1:
+        ce.colour_space = ColourSpace.GREY
+    m.colour_encoding = ce
+    planes = [pixels[:, :, i].astype(np.int32) for i in range(nch)]
+    if nch == 4:
+        ec = ExtraChannelInfo(type=ExtraChannelType.ALPHA)
+        ec.bit_depth = BitDepth(False, bits_per_sample, 0)
+        m.extra_channels = [ec]
+    elif nch not in (1, 3):
+        raise InvalidImageSizeError(f"unsupported channel count {nch}")
+    hdr = ImageHeader(size=SizeHeader(xsize=w, ysize=h), metadata=m)
+
+    fh = FrameHeader()
+    fh.encoding = Encoding.MODULAR
+    fh.group_size_shift = 3  # 1024 group dim
+    fh.x_qm_scale = 2
+    fh.ec_upsampling = [1] * len(m.extra_channels)
+    fh.ec_blending_info = [
+        __import__("jxl_coder_tpu.bitstream.frame_header",
+                   fromlist=["BlendingInfo"]).BlendingInfo()
+        for _ in m.extra_channels]
+    fh.restoration_filter.epf_iters = 0
+    fh.restoration_filter.gab = False
+
+    bw = BitWriter()
+    codec.write_image_header(bw, hdr)
+    codec.encode_modular_frame(bw, hdr, fh, planes,
+                               use_ycocg=(nch >= 3))
+    bw.zero_pad_to_byte()
+    return bw.to_bytes()
+
+
+def decode(data: bytes):
+    """Decode a JXL file to (pixels, BasicInfo).
+
+    pixels: uint8/uint16 (H, W, C) with C in 1/3/4.
+    Currently supports the Modular (lossless) path; VarDCT lands with the
+    device pipeline.
+    """
+    import numpy as np
+    from .bitstream.reader import BitReader
+    from .bitstream.headers import read_image_header, ColourSpace
+    from .bitstream.frame_header import (
+        read_frame_header, read_toc, Encoding)
+    from . import codec
+
+    try:
+        c = _container.extract_codestream(data)
+        cs = c.codestream
+        br = BitReader(cs)
+        hdr = read_image_header(br)
+        m = hdr.metadata
+        if m.colour_encoding.want_icc:
+            raise InvalidJXLError("ICC streams not yet supported in decode")
+        fh = read_frame_header(br, hdr)
+        ng, ndc = fh.counts(hdr)
+        n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+            2 + ndc + ng * fh.passes.num_passes)
+        toc = read_toc(br, n)
+        if fh.encoding != Encoding.MODULAR:
+            raise InvalidJXLError(
+                "VarDCT decode arrives with the device pipeline")
+        planes = codec.decode_modular_frame(cs, hdr, fh, toc)
+    except BitstreamError as e:
+        raise InvalidJXLError(str(e)) from e
+
+    bits = m.bit_depth.bits_per_sample
+    maxval = (1 << bits) - 1
+    arrs = [np.clip(p, 0, maxval) for p in planes]
+    dtype = np.uint8 if bits <= 8 else np.uint16
+    out = np.stack(arrs, axis=-1).astype(dtype)
+    info = basic_info(data)
+    return out, info

@@ -318,3 +318,129 @@ def read_toc(br: BitReader, num_entries: int,
         entries.append(TocEntry(offset=offset, size=s))
         offset += s
     return Toc(entries=entries, permutation=permutation, end_offset=offset)
+
+
+# --------------------------------------------------------------------------
+# Writing (encoder side)
+
+def write_frame_header(bw, f: FrameHeader, hdr: ImageHeader) -> None:
+    """Mirror of read_frame_header."""
+    m = hdr.metadata
+    bw.zero_pad_to_byte()
+    bw.bool(False)  # not all_default
+    bw.u(f.frame_type, 2)
+    bw.u(f.encoding, 1)
+    bw.u64(f.flags)
+    if not m.xyb_encoded:
+        bw.bool(f.do_ycbcr)
+    if f.do_ycbcr and not (f.flags & FrameFlags.USE_DC_FRAME):
+        for v in f.jpeg_upsampling:
+            bw.u(v, 2)
+    if not (f.flags & FrameFlags.USE_DC_FRAME):
+        bw.u32(f.upsampling, 1, 2, 4, 8)
+        for v in f.ec_upsampling:
+            bw.u32(v, 1, 2, 4, 8)
+    if f.encoding == Encoding.MODULAR:
+        bw.u(f.group_size_shift, 2)
+    if f.encoding == Encoding.VARDCT and m.xyb_encoded:
+        bw.u(f.x_qm_scale, 3)
+        bw.u(f.b_qm_scale, 3)
+    if f.frame_type != FrameType.REFERENCE_ONLY:
+        p = f.passes
+        bw.u32(p.num_passes, 1, 2, 3, (3, 4))
+        if p.num_passes != 1:
+            bw.u32(p.num_downsample, 0, 1, 2, (1, 3))
+            for s in p.shift:
+                bw.u(s, 2)
+            for d in p.downsample:
+                bw.u32(d, 1, 2, 4, 8)
+            for lp in p.last_pass:
+                bw.u32(lp, 0, 1, 2, (3, 0))
+    if f.frame_type == FrameType.LF_FRAME:
+        bw.u(f.lf_level - 1, 2)
+    else:
+        bw.bool(f.have_crop)
+        if f.have_crop:
+            crop_enc = ((8, 0), (11, 256), (14, 2304), (30, 18688))
+            from .reader import pack_signed
+            if f.frame_type != FrameType.REFERENCE_ONLY:
+                bw.u32(pack_signed(f.x0), *crop_enc)
+                bw.u32(pack_signed(f.y0), *crop_enc)
+            bw.u32(f.frame_width, *crop_enc)
+            bw.u32(f.frame_height, *crop_enc)
+    normal = f.frame_type in (FrameType.REGULAR, FrameType.SKIP_PROGRESSIVE)
+    if normal:
+        full = (not f.have_crop or (
+            f.x0 <= 0 and f.y0 <= 0
+            and f.frame_width + f.x0 >= hdr.xsize
+            and f.frame_height + f.y0 >= hdr.ysize))
+        _write_blending(bw, f.blending_info, hdr.metadata.num_extra_channels,
+                        full)
+        for bi in f.ec_blending_info:
+            _write_blending(bw, bi, hdr.metadata.num_extra_channels, full)
+        if m.animation is not None:
+            bw.u32(f.duration, 0, 1, (8, 0), (32, 0))
+            if m.animation.have_timecodes:
+                bw.u(f.timecode, 32)
+        bw.bool(f.is_last)
+    if f.frame_type != FrameType.LF_FRAME and not f.is_last:
+        bw.u(f.save_as_reference, 2)
+    full = f.is_full_frame
+    if (f.frame_type == FrameType.REFERENCE_ONLY or
+            (full and f.frame_type == FrameType.REGULAR
+             and f.blending_info.mode == BlendMode.REPLACE
+             and f.duration == 0
+             and (f.save_as_reference != 0 or not f.is_last))):
+        bw.bool(f.save_before_color_transform)
+    name_bytes = f.name.encode("utf-8")
+    bw.u32(len(name_bytes), 0, (4, 0), (5, 16), (10, 48))
+    for b in name_bytes:
+        bw.u(b, 8)
+    _write_restoration_filter(bw, f.restoration_filter, f.encoding)
+    bw.u64(0)  # extensions
+
+
+def _write_blending(bw, b: BlendingInfo, num_extra: int, full: bool) -> None:
+    bw.u32(b.mode, 0, 1, 2, (2, 3))
+    if num_extra > 0 and b.mode in (BlendMode.BLEND,
+                                    BlendMode.ALPHA_WEIGHTED_ADD):
+        bw.u32(b.alpha_channel, 0, 1, 2, (3, 3))
+    if b.mode in (BlendMode.BLEND, BlendMode.ALPHA_WEIGHTED_ADD,
+                  BlendMode.MUL):
+        bw.bool(b.clamp)
+    if b.mode != BlendMode.REPLACE or not full:
+        bw.u(b.source, 2)
+
+
+def _write_restoration_filter(bw, rf: RestorationFilter, encoding: int) -> None:
+    default = (rf.gab and not rf.gab_custom and rf.epf_iters == 2
+               and not rf.epf_sharp_custom and not rf.epf_weight_custom
+               and rf.epf_quant_mul == 0.46
+               and rf.epf_sigma_for_modular == 1.0)
+    if default:
+        bw.bool(True)
+        return
+    bw.bool(False)
+    bw.bool(rf.gab)
+    if rf.gab:
+        bw.bool(rf.gab_custom)
+        if rf.gab_custom:
+            for wv in rf.gab_weights:
+                bw.f16(wv)
+    bw.u(rf.epf_iters, 2)
+    if rf.epf_iters > 0:
+        if encoding == Encoding.VARDCT:
+            bw.bool(False)  # sharp custom
+        bw.bool(False)  # weight custom
+        bw.bool(False)  # sigma custom
+        if encoding == Encoding.MODULAR:
+            bw.f16(rf.epf_sigma_for_modular)
+    bw.u64(0)  # rf extensions
+
+
+def write_toc(bw, sizes) -> None:
+    bw.bool(False)  # not permuted
+    bw.zero_pad_to_byte()
+    for s in sizes:
+        bw.u32(s, (10, 0), (14, 1024), (22, 17408), (30, 4211712))
+    bw.zero_pad_to_byte()

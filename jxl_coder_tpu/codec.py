@@ -1,0 +1,348 @@
+"""Frame-level codec orchestration: lossless Modular encode/decode.
+
+End-to-end still-image path mirroring the reference's
+JxlCoder.encode(lossless)/decode surface (JxlCoder.kt:50-138), built on our
+own TPU-native codestream (SURVEY.md §7 steps 1-3).
+
+Convention notes (self-consistent; conformance pinning tracked in
+docs/CONFORMANCE.md): multi-group modular frames place all channel planes
+in PassGroup sections with local trees; DcGroup/HfGlobal sections are empty
+for modular frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .bitstream.reader import BitReader, BitstreamError
+from .bitstream.writer import BitWriter
+from .bitstream import container as container_mod
+from .bitstream.headers import (
+    ImageHeader, ImageMetadata, SizeHeader, BitDepth, ColourEncoding,
+    ExtraChannelInfo, ExtraChannelType, read_image_header)
+from .bitstream.frame_header import (
+    FrameHeader, FrameType, Encoding, read_frame_header, read_toc,
+    write_frame_header, write_toc)
+from .modular.image import Channel, ModularImage
+from .modular.stream import (
+    GroupHeader, decode_modular_stream, encode_modular_stream,
+    apply_meta_transforms, undo_transforms)
+from .modular.tree import Tree
+from .modular import transform as T
+
+
+# --------------------------------------------------------------------------
+# Header writing
+
+def write_size_header(bw: BitWriter, xsize: int, ysize: int) -> None:
+    if xsize % 8 == 0 and ysize % 8 == 0 and xsize <= 256 and ysize <= 256:
+        bw.bool(True)
+        bw.u(ysize // 8 - 1, 5)
+        bw.u(0, 3)  # ratio 0: explicit xsize
+        bw.u(xsize // 8 - 1, 5)
+    else:
+        bw.bool(False)
+        bw.u32(ysize, (9, 1), (13, 1), (18, 1), (30, 1))
+        bw.u(0, 3)
+        bw.u32(xsize, (9, 1), (13, 1), (18, 1), (30, 1))
+
+
+def _write_ec_info(bw: BitWriter, ec: ExtraChannelInfo) -> None:
+    default = (ec.type == ExtraChannelType.ALPHA
+               and not ec.bit_depth.float_sample
+               and ec.bit_depth.bits_per_sample == 8 and ec.dim_shift == 0
+               and not ec.name and not ec.alpha_associated)
+    bw.bool(default)
+    if default:
+        return
+    bw.u32(ec.type, 0, 1, (4, 2), (6, 18))
+    bw.bool(ec.bit_depth.float_sample)
+    if ec.bit_depth.float_sample:
+        bw.u32(ec.bit_depth.bits_per_sample, 32, 16, 24, (6, 1))
+        bw.u(ec.bit_depth.exp_bits - 1, 4)
+    else:
+        bw.u32(ec.bit_depth.bits_per_sample, 8, 10, 12, (6, 1))
+    bw.u32(ec.dim_shift, 0, 3, 4, (3, 1))
+    name_bytes = ec.name.encode("utf-8")
+    bw.u32(len(name_bytes), 0, (4, 0), (5, 16), (10, 48))
+    for b in name_bytes:
+        bw.u(b, 8)
+    if ec.type == ExtraChannelType.ALPHA:
+        bw.bool(ec.alpha_associated)
+    elif ec.type == ExtraChannelType.SPOT_COLOR:
+        for v in ec.spot_color:
+            bw.f16(v)
+    elif ec.type == ExtraChannelType.CFA:
+        bw.u32(ec.cfa_channel, 1, (2, 0), (4, 3), (8, 19))
+
+
+def _write_colour_encoding(bw: BitWriter, ce: ColourEncoding) -> None:
+    if ce.is_srgb and not ce.want_icc:
+        bw.bool(True)
+        return
+    bw.bool(False)
+    bw.bool(ce.want_icc)
+    _write_enum(bw, ce.colour_space)
+    from .bitstream.headers import ColourSpace, WhitePoint, Primaries
+    if not ce.want_icc and ce.colour_space != ColourSpace.XYB:
+        _write_enum(bw, ce.white_point)
+        if ce.white_point == WhitePoint.CUSTOM:
+            raise NotImplementedError("custom white point writing")
+        if ce.colour_space != ColourSpace.GREY:
+            _write_enum(bw, ce.primaries)
+            if ce.primaries == Primaries.CUSTOM:
+                raise NotImplementedError("custom primaries writing")
+    if not ce.want_icc:
+        bw.bool(ce.have_gamma)
+        if ce.have_gamma:
+            bw.u(ce.gamma, 24)
+        else:
+            _write_enum(bw, ce.transfer_function)
+        _write_enum(bw, ce.rendering_intent)
+
+
+def _write_enum(bw: BitWriter, v: int) -> None:
+    bw.u32(v, 0, 1, (4, 2), (6, 18))
+
+
+def write_image_header(bw: BitWriter, hdr: ImageHeader) -> None:
+    bw.u(0x0AFF, 16)
+    write_size_header(bw, hdr.size.xsize, hdr.size.ysize)
+    m = hdr.metadata
+    # metadata body (without the transform-data tail)
+    _write_metadata_body(bw, m)
+    # default_m tail: opsin matrix (only when xyb) + 2-bit weights mask
+    if m.xyb_encoded:
+        bw.bool(True)  # default opsin inverse matrix
+    bw.u(0, 2)  # custom_weights_mask
+    bw.zero_pad_to_byte()
+
+
+def _write_metadata_body(bw: BitWriter, m: ImageMetadata) -> None:
+    default = (m.orientation == 1 and m.intrinsic_size is None
+               and m.preview is None and m.animation is None
+               and not m.bit_depth.float_sample
+               and m.bit_depth.bits_per_sample == 8
+               and m.modular_16bit_buffers and not m.extra_channels
+               and m.xyb_encoded and m.colour_encoding.is_srgb
+               and not m.colour_encoding.want_icc)
+    bw.bool(default)
+    if default:
+        return
+    extra_fields = (m.orientation != 1 or m.animation is not None
+                    or m.preview is not None or m.intrinsic_size is not None)
+    bw.bool(extra_fields)
+    if extra_fields:
+        bw.u(m.orientation - 1, 3)
+        bw.bool(False)  # intrinsic
+        bw.bool(False)  # preview
+        bw.bool(m.animation is not None)
+        if m.animation is not None:
+            a = m.animation
+            bw.u32(a.tps_numerator, 100, 1000, (10, 1), (30, 1))
+            bw.u32(a.tps_denominator, 1, 1001, (8, 1), (10, 1))
+            bw.u32(a.num_loops, 0, (3, 0), (16, 0), (32, 0))
+            bw.bool(a.have_timecodes)
+    bw.bool(m.bit_depth.float_sample)
+    if m.bit_depth.float_sample:
+        bw.u32(m.bit_depth.bits_per_sample, 32, 16, 24, (6, 1))
+        bw.u(m.bit_depth.exp_bits - 1, 4)
+    else:
+        bw.u32(m.bit_depth.bits_per_sample, 8, 10, 12, (6, 1))
+    bw.bool(m.modular_16bit_buffers)
+    bw.u32(len(m.extra_channels), 0, 1, (4, 2), (12, 1))
+    for ec in m.extra_channels:
+        _write_ec_info(bw, ec)
+    bw.bool(m.xyb_encoded)
+    _write_colour_encoding(bw, m.colour_encoding)
+    if extra_fields:
+        tm = m.tone_mapping
+        tm_default = (tm.intensity_target == 255.0 and tm.min_nits == 0
+                      and not tm.relative_to_max_display
+                      and tm.linear_below == 0)
+        bw.bool(tm_default)
+        if not tm_default:
+            bw.f16(tm.intensity_target)
+            bw.f16(tm.min_nits)
+            bw.bool(tm.relative_to_max_display)
+            bw.f16(tm.linear_below)
+    bw.u64(0)
+
+
+# --------------------------------------------------------------------------
+# Modular frame channel layout
+
+def frame_channel_layout(hdr: ImageHeader, fh: FrameHeader) -> ModularImage:
+    w, h = fh.coded_size(hdr)
+    m = hdr.metadata
+    if m.colour_encoding.colour_space == 1 and not m.xyb_encoded:  # grey
+        ncolor = 1
+    else:
+        ncolor = 3
+    return ModularImage.for_frame(w, h, ncolor, m.extra_channels)
+
+
+# --------------------------------------------------------------------------
+# Decode
+
+@dataclasses.dataclass
+class DecodedFrame:
+    header: FrameHeader
+    channels: List[np.ndarray]  # full-size int32 planes (color + extra)
+    end_offset: int = 0
+
+
+def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
+                         toc) -> List[np.ndarray]:
+    image = frame_channel_layout(hdr, fh)
+    ng, ndc = fh.counts(hdr)
+    gd = fh.group_dim()
+    n_entries = len(toc.entries)
+    if n_entries == 1:
+        sec = toc.section(0)
+        br = BitReader(cs[sec.offset:sec.offset + sec.size])
+        header = decode_modular_stream(br, image, stream_id=0)
+        undo_transforms(image, header)
+        return [c.data for c in image.channels]
+    # multi-section layout: LfGlobal has header+tree-less global stream of
+    # small channels; PassGroups carry the big channel planes.
+    sec = toc.section(0)
+    br = BitReader(cs[sec.offset:sec.offset + sec.size])
+    header = GroupHeader.read(br)
+    apply_meta_transforms(image, header)
+    # global channels: meta channels + channels <= group_dim
+    globals_idx = [i for i, c in enumerate(image.channels)
+                   if i < image.nb_meta_channels
+                   or (c.width <= gd and c.height <= gd)]
+    group_idx = [i for i in range(len(image.channels))
+                 if i not in globals_idx]
+    # re-decode global stream properly (header + tree + global channels)
+    br = BitReader(cs[sec.offset:sec.offset + sec.size])
+    g_image = ModularImage([image.channels[i] for i in globals_idx],
+                           image.nb_meta_channels)
+    g_header = GroupHeader.read(br)
+    from .modular.tree import decode_tree
+    from .entropy.coder import EntropyDecoder
+    from .modular.stream import decode_channel
+    if g_header.use_global_tree:
+        raise BitstreamError("global stream global-tree not supported here")
+    tree = decode_tree(br, 1 << 22)
+    dec = EntropyDecoder(br, tree.num_leaves)
+    planes: List[np.ndarray] = []
+    for pos, ci in enumerate(globals_idx):
+        chan = image.channels[ci]
+        decode_channel(dec, tree, chan, pos, 0, planes, g_header.wp_params)
+        if chan.width and chan.height:
+            planes.insert(0, chan.data)
+    if not dec.check_final_state():
+        raise BitstreamError("global modular checksum failed")
+    # pass-group sections: entries [1..ndc] are DC groups (empty),
+    # [1+ndc] is HfGlobal (empty), groups follow
+    w, h = fh.coded_size(hdr)
+    gx = -(-w // gd)
+    gy = -(-h // gd)
+    for gi in range(ng):
+        sec = toc.section(2 + ndc + gi)
+        gbr = BitReader(cs[sec.offset:sec.offset + sec.size])
+        x0 = (gi % gx) * gd
+        y0 = (gi // gx) * gd
+        sub_channels = []
+        for ci in group_idx:
+            c = image.channels[ci]
+            cx0 = x0 >> c.hshift if c.hshift >= 0 else x0
+            cy0 = y0 >> c.vshift if c.vshift >= 0 else y0
+            cw = min(c.width - cx0, gd >> max(0, c.hshift))
+            ch = min(c.height - cy0, gd >> max(0, c.vshift))
+            sub_channels.append((ci, cx0, cy0, Channel(cw, ch)))
+        sub_image = ModularImage([s[3] for s in sub_channels], 0)
+        decode_modular_stream(gbr, sub_image, stream_id=1 + gi)
+        for (ci, cx0, cy0, sub) in sub_channels:
+            c = image.channels[ci].alloc()
+            c.data[cy0:cy0 + sub.height, cx0:cx0 + sub.width] = sub.data
+    undo_transforms(image, header)
+    return [c.data for c in image.channels]
+
+
+# --------------------------------------------------------------------------
+# Encode
+
+def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,
+                         planes: List[np.ndarray],
+                         use_ycocg: bool = True,
+                         tree: Optional[Tree] = None) -> None:
+    """Encode a full modular frame (header + TOC + sections) into bw."""
+    image = frame_channel_layout(hdr, fh)
+    for chan, plane in zip(image.channels, planes):
+        assert plane.shape == (chan.height, chan.width), \
+            (plane.shape, chan.height, chan.width)
+        chan.data = plane.astype(np.int32)
+    header = GroupHeader()
+    ncolor = 3 if len(planes) >= 3 else 1
+    if use_ycocg and ncolor == 3:
+        t = T.Transform(id=0, begin_c=0, rct_type=6)
+        header.transforms.append(t)
+        T.rct_forward(image, t)
+    if tree is None:
+        tree = Tree.single_leaf(predictor=5)
+
+    ng, ndc = fh.counts(hdr)
+    gd = fh.group_dim()
+    sections: List[bytes] = []
+    if ng == 1:
+        sw = BitWriter()
+        encode_modular_stream(sw, image, header, tree, stream_id=0)
+        sections.append(sw.to_bytes())
+    else:
+        # global section: header + tree + small channels
+        globals_idx = [i for i, c in enumerate(image.channels)
+                       if i < image.nb_meta_channels
+                       or (c.width <= gd and c.height <= gd)]
+        group_idx = [i for i in range(len(image.channels))
+                     if i not in globals_idx]
+        sw = BitWriter()
+        header.write(sw)
+        from .modular.tree import encode_tree
+        from .entropy.coder import TokenStream
+        from .modular.stream import encode_channel
+        encode_tree(sw, tree)
+        ts = TokenStream(tree.num_leaves)
+        planes_acc: List[np.ndarray] = []
+        for pos, ci in enumerate(globals_idx):
+            chan = image.channels[ci]
+            encode_channel(ts, tree, chan, pos, 0, planes_acc,
+                           header.wp_params)
+            if chan.width and chan.height:
+                planes_acc.insert(0, chan.data)
+        ts.write(sw)
+        sections.append(sw.to_bytes())
+        for _ in range(ndc):
+            sections.append(b"")  # DC groups (empty for modular)
+        sections.append(b"")  # HfGlobal
+        w, hgt = fh.coded_size(hdr)
+        gx = -(-w // gd)
+        for gi in range(ng):
+            x0 = (gi % gx) * gd
+            y0 = (gi // gx) * gd
+            subs = []
+            for ci in group_idx:
+                c = image.channels[ci]
+                cx0 = x0 >> max(0, c.hshift)
+                cy0 = y0 >> max(0, c.vshift)
+                cw = min(c.width - cx0, gd >> max(0, c.hshift))
+                chh = min(c.height - cy0, gd >> max(0, c.vshift))
+                subs.append(Channel(cw, chh, data=c.data[
+                    cy0:cy0 + chh, cx0:cx0 + cw].copy()))
+            gw = BitWriter()
+            sub_image = ModularImage(subs, 0)
+            encode_modular_stream(gw, sub_image, GroupHeader(), tree,
+                                  stream_id=1 + gi)
+            sections.append(gw.to_bytes())
+
+    write_frame_header(bw, fh, hdr)
+    write_toc(bw, [len(s) for s in sections])
+    for s in sections:
+        for byte in s:
+            bw.u(byte, 8)

@@ -1,0 +1,332 @@
+"""Modular sub-bitstream decode/encode (§H.2-H.3).
+
+A modular stream = GroupHeader (use_global_tree, wp params, transforms) +
+optional local MA tree + entropy-coded channel planes.  Streams are
+independent per group — the unit of TPU/host parallelism.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from ..bitstream.reader import BitReader, BitstreamError, unpack_signed, \
+    pack_signed
+from ..bitstream.writer import BitWriter
+from ..entropy.coder import EntropyDecoder, TokenStream
+from .image import Channel, ModularImage
+from .predict import WPParams, WPState, neighbors, predict, \
+    properties_for_pixel
+from .tree import Tree, decode_tree, encode_tree
+from . import transform as T
+
+
+@dataclasses.dataclass
+class GroupHeader:
+    use_global_tree: bool = False
+    wp_params: WPParams = dataclasses.field(default_factory=WPParams)
+    transforms: List[T.Transform] = dataclasses.field(default_factory=list)
+
+    @staticmethod
+    def read(br: BitReader) -> "GroupHeader":
+        g = GroupHeader()
+        g.use_global_tree = br.bool()
+        g.wp_params = WPParams.read(br)
+        n = br.u32(0, 1, (4, 2), (8, 18))
+        g.transforms = [T.Transform.read(br) for _ in range(n)]
+        return g
+
+    def write(self, bw: BitWriter) -> None:
+        bw.bool(self.use_global_tree)
+        self.wp_params.write(bw)
+        bw.u32(len(self.transforms), 0, 1, (4, 2), (8, 18))
+        for t in self.transforms:
+            t.write(bw)
+
+
+def apply_meta_transforms(image: ModularImage, header: GroupHeader) -> None:
+    """Restructure the channel list as the decoder will see it."""
+    for t in header.transforms:
+        if t.id == 0:
+            pass  # RCT keeps geometry
+        elif t.id == 1:
+            T.palette_meta_apply(image, t)
+        elif t.id == 2:
+            T.squeeze_meta_apply(image, t)
+
+
+def undo_transforms(image: ModularImage, header: GroupHeader) -> None:
+    for t in reversed(header.transforms):
+        if t.id == 0:
+            T.rct_inverse(image, t)
+        elif t.id == 1:
+            T.palette_inverse(image, t)
+        elif t.id == 2:
+            T.squeeze_inverse(image, t)
+
+
+# --------------------------------------------------------------------------
+# Channel plane decode
+
+def decode_channel(dec: EntropyDecoder, tree: Tree, chan: Channel,
+                   chan_index: int, stream_id: int,
+                   prev_channels: List[np.ndarray],
+                   wp_params: WPParams) -> None:
+    w, h = chan.width, chan.height
+    chan.alloc()
+    if w == 0 or h == 0:
+        return
+    data = chan.data
+
+    # fast path: single-leaf tree with simple predictor
+    if len(tree.nodes) == 1:
+        leaf = tree.nodes[0]
+        if leaf.predictor in (0, 1, 2, 3, 5):
+            _decode_single_leaf(dec, leaf, data, w, h)
+            return
+
+    need_wp = tree.uses_weighted()
+    wp = WPState(wp_params, w) if need_wp else None
+    max_prop = tree.max_property
+
+    for y in range(h):
+        if wp is not None and y > 0:
+            wp.new_row()
+        row_prev = data[y - 1] if y > 0 else None
+        for x in range(w):
+            W, N, NW, NE, NN, WW, NEE = neighbors(data, x, y, w)
+            wp_pred3 = None
+            max_err = 0
+            if wp is not None:
+                wp_pred3 = wp.predict(x, y, w, W, N, NW, NE, NN)
+                max_err = wp.max_error
+            if max_prop >= 0:
+                props = properties_for_pixel(
+                    chan_index, stream_id, x, y, W, N, NW, NE, NN, WW,
+                    max_err, prev_channels)
+                leaf = tree.lookup(props)
+            else:
+                leaf = tree.nodes[0]
+            pred = predict(leaf.predictor, W, N, NW, NE, NN, WW, NEE,
+                           wp_pred3)
+            val = pred + leaf.offset + leaf.multiplier * unpack_signed(
+                dec.read(leaf.ctx))
+            data[y, x] = val
+            if wp is not None:
+                wp.update(x, val)
+
+
+def _decode_single_leaf(dec: EntropyDecoder, leaf, data, w, h) -> None:
+    """Vectorizable path: context is constant so all residuals can be read
+    up-front, then reconstruction is a (partly) vectorized scan."""
+    n = w * h
+    res = np.empty(n, np.int64)
+    rd = dec.read
+    ctx = leaf.ctx
+    for i in range(n):
+        res[i] = rd(ctx)
+    res = _unpack_signed_np(res) * leaf.multiplier + leaf.offset
+    res = res.reshape(h, w)
+    p = leaf.predictor
+    if p == 0:
+        data[:, :] = res
+    elif p == 1:  # W: prefix-sum along rows; x=0 takes N (prev row value)
+        for y in range(h):
+            base = data[y - 1, 0] if y > 0 else 0
+            data[y] = np.cumsum(res[y]) + base
+    elif p == 2:  # N: prefix-sum down columns; y=0 row: W chain
+        row0 = np.cumsum(res[0])
+        data[0] = row0
+        data[1:] = res[1:]
+        np.cumsum(data[:, :], axis=0, out=data[:, :])
+    elif p == 3:  # (W+N)>>1 — sequential
+        _scan_avg(data, res, w, h)
+    elif p == 5:  # clamped gradient — sequential per pixel
+        _scan_gradient(data, res, w, h)
+    else:
+        raise BitstreamError("unexpected predictor in fast path")
+
+
+def _scan_avg(data, res, w, h):
+    for y in range(h):
+        for x in range(w):
+            if x > 0:
+                W = data[y, x - 1]
+            elif y > 0:
+                W = data[y - 1, x]
+            else:
+                W = 0
+            N = data[y - 1, x] if y > 0 else W
+            data[y, x] = ((int(W) + int(N)) >> 1) + res[y, x]
+
+
+def _scan_gradient(data, res, w, h):
+    from .predict import clamped_gradient
+    for y in range(h):
+        if y == 0:
+            data[0] = np.cumsum(res[0])
+            continue
+        for x in range(w):
+            W = int(data[y, x - 1]) if x > 0 else int(data[y - 1, x])
+            N = int(data[y - 1, x])
+            NW = int(data[y - 1, x - 1]) if x > 0 else W
+            data[y, x] = clamped_gradient(N, W, NW) + res[y, x]
+
+
+def _unpack_signed_np(u: np.ndarray) -> np.ndarray:
+    return np.where(u & 1, -((u + 1) >> 1), u >> 1)
+
+
+def _pack_signed_np(v: np.ndarray) -> np.ndarray:
+    return np.where(v < 0, (-v << 1) - 1, v << 1)
+
+
+# --------------------------------------------------------------------------
+# Channel plane encode (mirror)
+
+def encode_channel(ts: TokenStream, tree: Tree, chan: Channel,
+                   chan_index: int, stream_id: int,
+                   prev_channels: List[np.ndarray],
+                   wp_params: WPParams) -> None:
+    w, h = chan.width, chan.height
+    if w == 0 or h == 0:
+        return
+    data = chan.data
+    if len(tree.nodes) == 1 and tree.nodes[0].predictor in (0, 1, 2, 3, 5):
+        _encode_single_leaf(ts, tree.nodes[0], data, w, h)
+        return
+    need_wp = tree.uses_weighted()
+    wp = WPState(wp_params, w) if need_wp else None
+    max_prop = tree.max_property
+    for y in range(h):
+        if wp is not None and y > 0:
+            wp.new_row()
+        for x in range(w):
+            W, N, NW, NE, NN, WW, NEE = neighbors(data, x, y, w)
+            wp_pred3 = None
+            max_err = 0
+            if wp is not None:
+                wp_pred3 = wp.predict(x, y, w, W, N, NW, NE, NN)
+                max_err = wp.max_error
+            if max_prop >= 0:
+                props = properties_for_pixel(
+                    chan_index, stream_id, x, y, W, N, NW, NE, NN, WW,
+                    max_err, prev_channels)
+                leaf = tree.lookup(props)
+            else:
+                leaf = tree.nodes[0]
+            pred = predict(leaf.predictor, W, N, NW, NE, NN, WW, NEE,
+                           wp_pred3)
+            diff = int(data[y, x]) - pred - leaf.offset
+            if diff % leaf.multiplier != 0:
+                raise ValueError("value not representable with multiplier")
+            ts.add(leaf.ctx, pack_signed(diff // leaf.multiplier))
+            if wp is not None:
+                wp.update(x, int(data[y, x]))
+
+
+def _encode_single_leaf(ts: TokenStream, leaf, data, w, h) -> None:
+    data64 = data.astype(np.int64)
+    p = leaf.predictor
+    pred = np.zeros((h, w), np.int64)
+    if p == 0:
+        pass
+    elif p == 1:
+        pred[:, 1:] = data64[:, :-1]
+        pred[1:, 0] = data64[:-1, 0]
+    elif p == 2:
+        pred[1:, :] = data64[:-1, :]
+        pred[0, 1:] = data64[0, :-1]
+    elif p == 3:
+        W = np.zeros((h, w), np.int64)
+        W[:, 1:] = data64[:, :-1]
+        W[1:, 0] = data64[:-1, 0]
+        N = np.zeros((h, w), np.int64)
+        N[1:] = data64[:-1]
+        N[0] = W[0]
+        pred = (W + N) >> 1
+    elif p == 5:
+        W = np.zeros((h, w), np.int64)
+        W[:, 1:] = data64[:, :-1]
+        W[1:, 0] = data64[:-1, 0]
+        N = np.zeros((h, w), np.int64)
+        N[1:] = data64[:-1]
+        N[0] = W[0]
+        NW = np.zeros((h, w), np.int64)
+        NW[1:, 1:] = data64[:-1, :-1]
+        NW[:, 0] = W[:, 0]
+        NW[0, 1:] = W[0, 1:]
+        m = np.minimum(N, W)
+        M = np.maximum(N, W)
+        grad = N + W - NW
+        pred = np.where(NW > M, m, np.where(NW < m, M, grad))
+    res = data64 - pred - leaf.offset
+    if leaf.multiplier != 1:
+        if np.any(res % leaf.multiplier):
+            raise ValueError("residuals not divisible by multiplier")
+        res //= leaf.multiplier
+    tokens = _pack_signed_np(res.reshape(-1))
+    ctx = leaf.ctx
+    add = ts.add
+    for t in tokens:
+        add(ctx, int(t))
+
+
+# --------------------------------------------------------------------------
+# Stream-level decode/encode
+
+def decode_modular_stream(br: BitReader, image: ModularImage,
+                          stream_id: int = 0,
+                          global_tree: Optional[Tree] = None,
+                          tree_size_limit: int = 1 << 22,
+                          channel_range=None) -> GroupHeader:
+    """Decode header + (local tree) + channel planes for `image`.
+
+    channel_range: optional (start, end) restricting which channels (after
+    meta transforms) this stream carries (group streams).
+    """
+    header = GroupHeader.read(br)
+    apply_meta_transforms(image, header)
+    if header.use_global_tree:
+        if global_tree is None:
+            raise BitstreamError("stream requires global tree")
+        tree = global_tree
+    else:
+        tree = decode_tree(br, tree_size_limit)
+    dec = EntropyDecoder(br, tree.num_leaves)
+    chans = image.channels
+    start, end = channel_range or (0, len(chans))
+    decoded_planes: List[np.ndarray] = []
+    for ci in range(start, end):
+        chan = chans[ci]
+        decode_channel(dec, tree, chan, ci, stream_id, decoded_planes,
+                       header.wp_params)
+        if chan.width and chan.height:
+            decoded_planes.insert(0, chan.data)
+    if not dec.check_final_state():
+        raise BitstreamError("modular stream ANS checksum failed")
+    return header
+
+
+def encode_modular_stream(bw: BitWriter, image: ModularImage,
+                          header: GroupHeader, tree: Tree,
+                          stream_id: int = 0,
+                          channel_range=None) -> None:
+    """Encode header + local tree + channels (image must already be in
+    transformed/compressed representation)."""
+    header.write(bw)
+    if not header.use_global_tree:
+        encode_tree(bw, tree)
+    ts = TokenStream(tree.num_leaves)
+    chans = image.channels
+    start, end = channel_range or (0, len(chans))
+    planes: List[np.ndarray] = []
+    for ci in range(start, end):
+        chan = chans[ci]
+        encode_channel(ts, tree, chan, ci, stream_id, planes,
+                       header.wp_params)
+        if chan.width and chan.height:
+            planes.insert(0, chan.data)
+    ts.write(bw)
