@@ -178,7 +178,7 @@ def basic_info(data: bytes) -> BasicInfo:
 # ---- Encode / decode (lossless Modular path) -----------------------------
 
 def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
-           effort: int = 7) -> bytes:
+           effort: int = 7, quality: int = None) -> bytes:
     """Encode an image array to a bare JXL codestream.
 
     pixels: uint8/uint16 array (H, W), (H, W, 1), (H, W, 3) or (H, W, 4).
@@ -200,8 +200,17 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
     if bits_per_sample is None:
         bits_per_sample = 16 if pixels.dtype == np.uint16 else 8
     if not lossless:
-        raise NotImplementedError(
-            "lossy (VarDCT) encoding arrives with the VarDCT layer")
+        if nch == 1:
+            pixels = np.repeat(pixels, 3, axis=2)
+            nch = 3
+        if nch == 4:
+            pixels = pixels[:, :, :3]
+            nch = 3
+        from .vardct.quant import quality_to_distance
+        q = quality if quality is not None else 90
+        distance = quality_to_distance(int(q))
+        return codec.encode_vardct_still(pixels, distance=distance,
+                                         effort=effort)
 
     m = ImageMetadata()
     m.xyb_encoded = False
@@ -267,8 +276,8 @@ def decode(data: bytes):
             2 + ndc + ng * fh.passes.num_passes)
         toc = read_toc(br, n)
         if fh.encoding != Encoding.MODULAR:
-            raise InvalidJXLError(
-                "VarDCT decode arrives with the device pipeline")
+            out = codec.decode_vardct_still(cs, hdr, fh, toc)
+            return out, basic_info(data)
         planes = codec.decode_modular_frame(cs, hdr, fh, toc)
     except BitstreamError as e:
         raise InvalidJXLError(str(e)) from e

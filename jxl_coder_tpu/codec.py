@@ -346,3 +346,82 @@ def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,
     for s in sections:
         for byte in s:
             bw.u(byte, 8)
+
+
+# --------------------------------------------------------------------------
+# VarDCT (lossy) still path — host framing + device pipeline
+
+def encode_vardct_still(pixels: np.ndarray, distance: float,
+                        effort: int = 7) -> bytes:
+    """uint8/uint16 sRGB (H, W, 3) -> bare JXL codestream (VarDCT)."""
+    import jax.numpy as jnp
+    from .vardct import pipeline as P
+    from .vardct import frame as VF
+    from .bitstream.frame_header import FrameHeader, Encoding
+
+    h, w, nch = pixels.shape
+    if nch != 3:
+        raise ValueError("VarDCT path currently encodes RGB")
+    maxval = 255.0 if pixels.dtype == np.uint8 else 65535.0
+
+    m = ImageMetadata()  # defaults: 8-bit sRGB xyb_encoded
+    if pixels.dtype != np.uint8:
+        m.bit_depth = BitDepth(False, 16, 0)
+    hdr = ImageHeader(size=SizeHeader(xsize=w, ysize=h), metadata=m)
+    fh = FrameHeader()
+    fh.encoding = Encoding.VARDCT
+    fh.x_qm_scale = 2
+    fh.restoration_filter.epf_iters = 1
+
+    # pad to block grid with edge replication
+    ph = -(-h // 8) * 8
+    pw = -(-w // 8) * 8
+    arr = np.asarray(pixels, np.float32) / maxval
+    arr = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    srgb = jnp.asarray(arr.transpose(2, 0, 1))
+
+    from .ops.color import srgb_to_linear
+    from .vardct.xyb import linear_rgb_to_xyb
+    xyb = linear_rgb_to_xyb(srgb_to_linear(srgb))
+    ny, nx = ph // 8, pw // 8
+    qf = jnp.full((ny, nx), 8, jnp.int32)
+    ac, dc = P.quantize_coeffs(xyb, qf, jnp.float32(distance))
+
+    ty, tx = -(-ny // 8), -(-nx // 8)
+    data = VF.VarDctFrameData(
+        ac=np.asarray(ac), dc=np.asarray(dc), qf=np.asarray(qf),
+        cfl_x=np.zeros((ty, tx), np.int32),
+        cfl_b=np.full((ty, tx), 64, np.int32),
+        distance=float(distance))
+
+    bw = BitWriter()
+    write_image_header(bw, hdr)
+    VF.encode_vardct_frame(bw, hdr, fh, data)
+    bw.zero_pad_to_byte()
+    return bw.to_bytes()
+
+
+def decode_vardct_still(cs: bytes, hdr: ImageHeader, fh, toc) -> np.ndarray:
+    """Returns float linear XYB reconstruction converted to uint sRGB."""
+    import jax.numpy as jnp
+    from .vardct import pipeline as P
+    from .vardct import frame as VF
+
+    data = VF.decode_vardct_frame(cs, hdr, fh, toc)
+    xyb = P.reconstruct_xyb(
+        jnp.asarray(data.ac.reshape(3, data.qf.shape[0], data.qf.shape[1],
+                                    8, 8)),
+        jnp.asarray(data.dc), jnp.asarray(data.qf),
+        jnp.asarray(data.cfl_x), jnp.asarray(data.cfl_b),
+        jnp.float32(data.distance),
+        epf_iters=fh.restoration_filter.epf_iters
+        if fh.restoration_filter.epf_iters else 0,
+        gab=fh.restoration_filter.gab)
+    bits = hdr.metadata.bit_depth.bits_per_sample
+    if bits <= 8:
+        out = np.asarray(P.xyb_to_srgb8(xyb))
+    else:
+        out = np.asarray(P.xyb_to_u16(xyb))
+    # crop coded padding
+    out = out[:, :hdr.ysize, :hdr.xsize]
+    return out.transpose(1, 2, 0)

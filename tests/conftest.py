@@ -13,6 +13,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+
+def pytest_configure(config):
+    import jax
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU via
+    # config (tests must run on the virtual 8-device CPU mesh).
+    jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compile cache: VarDCT pipeline graphs compile once
+    cache_dir = os.path.join("/tmp", "jxl_tpu_xla_cache_cpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_ASSETS = "/root/reference/app/src/main/assets"
 
 

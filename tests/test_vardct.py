@@ -1,0 +1,129 @@
+"""VarDCT path tests: DCT correctness, XYB invertibility, full lossy
+roundtrip quality (BASELINE config[1] shape: PSNR gates)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jxl_coder_tpu.vardct.dct import dct2d, idct2d, dct_matrix, blockify, \
+    unblockify
+from jxl_coder_tpu.vardct.xyb import linear_rgb_to_xyb, xyb_to_linear_rgb
+from jxl_coder_tpu.ops import color as C
+from jxl_coder_tpu import api
+
+
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_dct_orthonormal():
+    for n in (2, 4, 8, 16, 32):
+        m = dct_matrix(n)
+        assert np.allclose(m @ m.T, np.eye(n), atol=1e-5)
+
+
+def test_dct_idct_roundtrip():
+    r = rng()
+    blocks = jnp.asarray(r.normal(0, 1, (5, 4, 4, 8, 8)).astype(np.float32))
+    rec = idct2d(dct2d(blocks))
+    assert np.allclose(np.asarray(rec), np.asarray(blocks), atol=1e-4)
+
+
+def test_blockify_roundtrip():
+    r = rng()
+    img = jnp.asarray(r.normal(0, 1, (3, 32, 40)).astype(np.float32))
+    assert np.array_equal(np.asarray(unblockify(blockify(img))),
+                          np.asarray(img))
+
+
+def test_dct_dc_is_mean():
+    r = rng()
+    b = jnp.asarray(r.normal(0, 1, (1, 1, 1, 8, 8)).astype(np.float32))
+    c = dct2d(b)
+    assert np.allclose(float(c[0, 0, 0, 0, 0]),
+                       float(jnp.mean(b)) * 8.0, atol=1e-5)
+
+
+def test_xyb_roundtrip():
+    r = rng()
+    rgb = jnp.asarray(r.uniform(0.01, 1.0, (3, 16, 16)).astype(np.float32))
+    back = xyb_to_linear_rgb(linear_rgb_to_xyb(rgb))
+    assert np.allclose(np.asarray(back), np.asarray(rgb), atol=1e-3)
+
+
+def test_xyb_grey_axis():
+    grey = jnp.full((3, 4, 4), 0.5, jnp.float32)
+    xyb = linear_rgb_to_xyb(grey)
+    # X (opponent red-green) should be ~0 for neutral grey
+    assert abs(float(xyb[0].mean())) < 1e-4
+
+
+@pytest.mark.parametrize("tf", [1, 8, 13, 16, 17, 18])
+def test_transfer_function_roundtrip(tf):
+    v = jnp.linspace(1e-4, 1.0, 64)
+    enc = C.LINEAR_TO_TRC[tf](v)
+    dec = C.TRC_TO_LINEAR[tf](enc)
+    assert np.allclose(np.asarray(dec), np.asarray(v), rtol=2e-3, atol=2e-4)
+
+
+def test_gamut_matrices():
+    m = C.conversion_matrix("srgb", "bt2020")
+    inv = C.conversion_matrix("bt2020", "srgb")
+    assert np.allclose(m @ inv, np.eye(3), atol=1e-5)
+    # white maps to white
+    assert np.allclose(m @ np.ones(3), np.ones(3), atol=1e-4)
+
+
+def test_luma_coeffs_bt709():
+    lw = C.luma_coeffs(C.PRIMARIES["srgb"])
+    assert np.allclose(lw, [0.2126, 0.7152, 0.0722], atol=1e-3)
+
+
+def _test_image(h=96, w=128):
+    r = rng()
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        128 + 80 * np.sin(yy / 17) + 30 * np.cos(xx / 11),
+        120 + 60 * np.cos((xx + yy) / 23),
+        90 + 70 * np.sin(xx / 13),
+    ], -1)
+    return np.clip(img + r.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_vardct_roundtrip_quality():
+    img = _test_image()
+    data = api.encode(img, lossless=False, quality=90)
+    assert api.is_jxl(data)
+    out, info = api.decode(data)
+    assert out.shape == img.shape
+    p = _psnr(out, img)
+    assert p > 32.0, f"PSNR too low: {p}"
+    # lossy must actually compress
+    assert len(data) < img.size
+
+
+def test_vardct_quality_ladder():
+    img = _test_image(64, 64)
+    sizes = []
+    psnrs = []
+    for q in (30, 70, 95):
+        data = api.encode(img, lossless=False, quality=q)
+        out, _ = api.decode(data)
+        sizes.append(len(data))
+        psnrs.append(_psnr(out, img))
+    assert sizes[0] < sizes[2], sizes
+    assert psnrs[0] < psnrs[2], psnrs
+
+
+def test_vardct_odd_size_crop():
+    img = _test_image(41, 53)
+    data = api.encode(img, lossless=False, quality=90)
+    out, _ = api.decode(data)
+    assert out.shape == (41, 53, 3)
+    assert _psnr(out, img) > 30.0
