@@ -262,6 +262,16 @@ def decode(data: bytes):
         read_frame_header, read_toc, Encoding)
     from . import codec
 
+    from .jpeg import transcode as _jpeg_tc
+    if _jpeg_tc.is_constructed(data):
+        pixels = _jpeg_tc.decode_to_pixels(data)
+        h, w, _ = pixels.shape
+        info = BasicInfo(xsize=w, ysize=h, bits_per_sample=8,
+                         float_samples=False, alpha=False,
+                         alpha_premultiplied=False, orientation=1,
+                         have_animation=False, intensity_target=255.0,
+                         uses_original_profile=True)
+        return pixels, info
     try:
         c = _container.extract_codestream(data)
         cs = c.codestream
@@ -322,3 +332,40 @@ def decode_sampled(data: bytes, width: int, height: int,
         f = np.concatenate([f, np.ones_like(f[..., :1])], axis=-1)
     out = _pack.reformat(f, preferred_color_config, info.bits_per_sample)
     return out, info
+
+
+# ---- Convenience transcoders (JxlCoder.Convenience, JxlCoder.kt:141-185) -
+
+def construct(jpeg_data: bytes) -> bytes:
+    """Lossless JPEG -> JXL (Convenience.construct, JxlCoder.kt:173-175)."""
+    from .jpeg import transcode as _tc
+    from .jpeg.parser import JpegError
+    try:
+        return _tc.construct(jpeg_data)
+    except JpegError as e:
+        raise InvalidJXLError(str(e)) from e
+
+
+def reconstruct_jpeg(data: bytes) -> bytes:
+    """JXL -> byte-identical original JPEG (Convenience.reconstructJPEG,
+    JxlCoder.kt:182-184)."""
+    from .jpeg import transcode as _tc
+    from .jpeg.parser import JpegError
+    try:
+        return _tc.reconstruct(data)
+    except (JpegError, BitstreamError) as e:
+        raise InvalidJXLError(str(e)) from e
+
+
+def gif_to_jxl(gif_data: bytes, lossless: bool = True,
+               quality: int = 90) -> bytes:
+    """GIF -> animated JXL (Convenience.gif2JXL, JxlCoder.kt:146-153)."""
+    from . import animation as _anim
+    return _anim.gif_to_jxl(gif_data, lossless, quality)
+
+
+def apng_to_jxl(png_data: bytes, lossless: bool = True,
+                quality: int = 90) -> bytes:
+    """APNG -> animated JXL (Convenience.apng2JXL, JxlCoder.kt:159-166)."""
+    from . import animation as _anim
+    return _anim.apng_to_jxl(png_data, lossless, quality)

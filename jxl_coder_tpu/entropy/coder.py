@@ -287,8 +287,9 @@ class TokenStream:
     greedy merge into <=8 clusters so the simple cluster-map form applies).
     """
 
-    def __init__(self, num_contexts: int):
+    def __init__(self, num_contexts: int, lz77: bool = False):
         self.num_contexts = num_contexts
+        self.lz77 = lz77
         self.tokens: List[tuple] = []
 
     def add(self, ctx: int, value: int) -> None:
@@ -298,6 +299,9 @@ class TokenStream:
 
     def write(self, bw: BitWriter,
               config: HybridUintConfig = HybridUintConfig(4, 4, 0)) -> None:
+        if self.lz77:
+            self._write_lz77(bw, config)
+            return
         # lz77 disabled
         bw.bool(False)
         # cluster contexts: group by histogram similarity — round 1: map all
@@ -366,3 +370,122 @@ class TokenStream:
             codes[cl].write(bw, token)
             if nbits:
                 bw.u(extra, nbits)
+
+    def _write_lz77(self, bw: BitWriter, config: HybridUintConfig) -> None:
+        """Serialize with distance-1 LZ77 runs (RLE of repeated values).
+
+        Greedy: a literal v followed by >= min_length more copies of v
+        becomes one copy token; the decoder's window serves the repeats.
+        """
+        max_tok = 0
+        for _, v in self.tokens:
+            t, _, _ = config.tokenize(v)
+            if t > max_tok:
+                max_tok = t
+        min_symbol = 224 if max_tok < 224 else 512 if max_tok < 512 else 4096
+        if max_tok >= 4096:
+            raise ValueError("literal token too large for lz77 min_symbol")
+        params = Lz77Params(enabled=True, min_symbol=min_symbol,
+                            min_length=3,
+                            length_config=HybridUintConfig(4, 2, 0))
+        params.write(bw)
+        n_ctx = self.num_contexts
+        dist_ctx = n_ctx
+        # detect runs over the raw value sequence
+        seq = self.tokens
+        events = []  # ("lit", ctx, value) | ("copy", ctx, length)
+        i = 0
+        N = len(seq)
+        while i < N:
+            ctx, v = seq[i]
+            events.append(("lit", ctx, v))
+            i += 1
+            if i < N and seq[i][1] == v:
+                j = i
+                while j < N and seq[j][1] == v:
+                    j += 1
+                run = j - i
+                if run >= params.min_length:
+                    events.append(("copy", seq[i][0], run))
+                    i = j
+        # cluster map: contexts + distance context
+        used = sorted({e[1] for e in events})
+        cmap = [0] * (n_ctx + 1)
+        assign = {}
+        nid = 0
+        for c in used + [dist_ctx]:
+            if c not in assign:
+                assign[c] = min(nid, 7)
+                nid += 1
+        for c in range(n_ctx + 1):
+            cmap[c] = assign.get(c, 0)
+        dense = sorted(set(cmap))
+        remap = {v: i for i, v in enumerate(dense)}
+        cmap = [remap[v] for v in cmap]
+        num_clusters = max(cmap) + 1
+        write_cluster_map(bw, cmap)
+        bw.bool(True)  # use_prefix_code
+        for _ in range(num_clusters):
+            config.write(bw, 15)
+        # tokenize
+        per_hist = [dict() for _ in range(num_clusters)]
+        out_toks = []
+        for e in events:
+            if e[0] == "lit":
+                cl = cmap[e[1]]
+                token, extra, nbits = config.tokenize(e[2])
+                if token >= params.min_symbol:
+                    # value's token collides with copy tokens: escape by
+                    # downgrading the run handling — encode value anyway;
+                    # tokens >= min_symbol are copies, so remap value
+                    # tokens into the literal range is impossible here.
+                    raise ValueError(
+                        "token >= lz77 min_symbol; raise min_symbol")
+                out_toks.append((cl, token, extra, nbits, None))
+            else:
+                cl = cmap[e[1]]
+                ltok, lextra, lnbits = params.length_config.tokenize(
+                    e[2] - params.min_length)
+                token = params.min_symbol + ltok
+                dcl = cmap[dist_ctx]
+                dtok, dextra, dnbits = config.tokenize(0)  # distance 1
+                out_toks.append((cl, token, lextra, lnbits,
+                                 (dcl, dtok, dextra, dnbits)))
+                h = per_hist[dcl]
+                h[dtok] = h.get(dtok, 0) + 1
+            h = per_hist[cl if e[0] == "lit" else cl]
+            t = out_toks[-1][1]
+            h[t] = h.get(t, 0) + 1
+        # alphabet sizes then codes
+        alphas = []
+        for cl in range(num_clusters):
+            h = per_hist[cl]
+            alpha = (max(h) + 1) if h else 1
+            alphas.append(alpha)
+            if alpha == 1:
+                bw.bool(False)
+            else:
+                bw.bool(True)
+                nb = (alpha - 1).bit_length() - 1
+                bw.u(nb, 4)
+                bw.u(alpha - 1 - (1 << nb), nb)
+        codes = []
+        for cl in range(num_clusters):
+            h = per_hist[cl]
+            alpha = alphas[cl]
+            hist_list = [h.get(s, 0) for s in range(alpha)]
+            lengths = build_code_lengths(hist_list, alpha)
+            if alpha > 1:
+                write_prefix_code(bw, lengths, alpha)
+                codes.append(PrefixCode(lengths))
+            else:
+                codes.append(PrefixCode([1]))
+        for cl, token, extra, nbits, dist in out_toks:
+            codes[cl].write(bw, token)
+            if nbits:
+                bw.u(extra, nbits)
+            if dist is not None:
+                dcl, dtok, dextra, dnbits = dist
+                codes[dcl].write(bw, dtok)
+                if dnbits:
+                    bw.u(dextra, dnbits)

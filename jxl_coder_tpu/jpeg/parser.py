@@ -1,0 +1,287 @@
+"""Baseline JPEG parser: markers + Huffman scan decode to DCT coefficients.
+
+Host-side front-end for lossless JPEG<->JXL transcoding, the capability
+the reference exposes as construct/reconstructJPEG
+(/root/reference/jxlcoder/src/main/cpp/interop/JxlConstruction.hpp:45-102,
+JxlReconstruction.hpp:44-88 over libjxl's JPEG recompression).
+
+We parse the entropy-coded scan into quantized coefficient planes
+(device-friendly layout) and keep every header byte verbatim so
+writer.py can re-serialize the identical file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int32)
+
+
+class JpegError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class Component:
+    id: int
+    h: int  # horizontal sampling factor
+    v: int
+    tq: int  # quant table id
+    td: int = 0  # DC huffman table (from SOS)
+    ta: int = 0  # AC huffman table
+    blocks_w: int = 0
+    blocks_h: int = 0
+    coeffs: Optional[np.ndarray] = None  # (blocks_h, blocks_w, 64) zigzag
+
+
+@dataclasses.dataclass
+class HuffTable:
+    counts: List[int]
+    symbols: List[int]
+
+    def build_decode(self):
+        """(code,length)->symbol dict + max length."""
+        dec = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(self.counts[ln - 1]):
+                dec[(ln, code)] = self.symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return dec
+
+    def build_encode(self):
+        enc = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(self.counts[ln - 1]):
+                enc[self.symbols[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return enc
+
+
+@dataclasses.dataclass
+class JpegData:
+    width: int = 0
+    height: int = 0
+    precision: int = 8
+    components: List[Component] = dataclasses.field(default_factory=list)
+    quant: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
+    dc_tables: Dict[int, HuffTable] = dataclasses.field(default_factory=dict)
+    ac_tables: Dict[int, HuffTable] = dataclasses.field(default_factory=dict)
+    restart_interval: int = 0
+    header_bytes: bytes = b""   # SOI .. end of SOS header (inclusive)
+    trailer_bytes: bytes = b""  # EOI and anything after
+    hmax: int = 1
+    vmax: int = 1
+    mcus_x: int = 0
+    mcus_y: int = 0
+
+
+class _ScanReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing
+    and restart-marker handling."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        if self.pos >= len(self.data):
+            raise JpegError("unexpected end of scan data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1
+                return 0xFF
+            # a marker: signal by raising; caller should have handled RST
+            raise JpegError(f"marker 0xFF{nxt:02X} inside scan")
+        return b
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.bitbuf = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, idx: int) -> None:
+        """Skip to byte boundary and consume RSTn marker."""
+        self.nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise JpegError("missing restart marker")
+        if self.data[self.pos] != 0xFF or \
+                (self.data[self.pos + 1] & 0xF8) != 0xD0:
+            raise JpegError("expected restart marker")
+        if (self.data[self.pos + 1] & 7) != (idx & 7):
+            raise JpegError("restart marker out of sequence")
+        self.pos += 2
+
+    def read_symbol(self, dec) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            s = dec.get((ln, code))
+            if s is not None:
+                return s
+        raise JpegError("invalid huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def parse_jpeg(data: bytes) -> JpegData:
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    j = JpegData()
+    pos = 2
+    sos_pos = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI in headers?
+            raise JpegError("EOI before scan")
+        seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+        seg = data[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                n = 64 * (2 if pq else 1)
+                if pq:
+                    tbl = np.frombuffer(seg[p:p + 128], ">u2").astype(
+                        np.int32)
+                else:
+                    tbl = np.frombuffer(seg[p:p + 64], np.uint8).astype(
+                        np.int32)
+                j.quant[tq] = tbl
+                p += n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            j.precision = seg[0]
+            j.height = int.from_bytes(seg[1:3], "big")
+            j.width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                j.components.append(Component(cid, hv >> 4, hv & 15, tq))
+        elif marker == 0xC2:
+            raise JpegError("progressive JPEG not yet supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                nsym = sum(counts)
+                syms = list(seg[p + 17:p + 17 + nsym])
+                tbl = HuffTable(counts, syms)
+                (j.ac_tables if tc else j.dc_tables)[th] = tbl
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            j.restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                for c in j.components:
+                    if c.id == cid:
+                        c.td, c.ta = tt >> 4, tt & 15
+            sos_pos = pos + 2 + seg_len
+            j.header_bytes = data[:sos_pos]
+            break
+        pos += 2 + seg_len
+    if sos_pos is None:
+        raise JpegError("no SOS marker found")
+
+    # geometry
+    j.hmax = max(c.h for c in j.components)
+    j.vmax = max(c.v for c in j.components)
+    j.mcus_x = -(-j.width // (8 * j.hmax))
+    j.mcus_y = -(-j.height // (8 * j.vmax))
+    for c in j.components:
+        c.blocks_w = j.mcus_x * c.h
+        c.blocks_h = j.mcus_y * c.v
+        c.coeffs = np.zeros((c.blocks_h, c.blocks_w, 64), np.int32)
+
+    # scan decode (single interleaved scan)
+    rd = _ScanReader(data, sos_pos)
+    dc_pred = {c.id: 0 for c in j.components}
+    dc_dec = {t: tbl.build_decode() for t, tbl in j.dc_tables.items()}
+    ac_dec = {t: tbl.build_decode() for t, tbl in j.ac_tables.items()}
+    ri = j.restart_interval
+    mcu_count = 0
+    rst_idx = 0
+    single = len(j.components) == 1
+    for my in range(j.mcus_y):
+        for mx in range(j.mcus_x):
+            if ri and mcu_count and mcu_count % ri == 0:
+                rd.align_and_expect_rst(rst_idx)
+                rst_idx = (rst_idx + 1) & 7
+                for c in j.components:
+                    dc_pred[c.id] = 0
+            for c in j.components:
+                ch = 1 if single else c.h
+                cv = 1 if single else c.v
+                for by in range(cv):
+                    for bx in range(ch):
+                        block = np.zeros(64, np.int32)
+                        s = rd.read_symbol(dc_dec[c.td])
+                        diff = _extend(rd.read_bits(s), s)
+                        dc_pred[c.id] += diff
+                        block[0] = dc_pred[c.id]
+                        k = 1
+                        while k < 64:
+                            rs = rd.read_symbol(ac_dec[c.ta])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = rs >> 4, rs & 15
+                            k += run
+                            if k > 63:
+                                raise JpegError("AC index overflow")
+                            block[k] = _extend(rd.read_bits(size), size)
+                            k += 1
+                        c.coeffs[my * c.v + by, mx * c.h + bx] = block
+            mcu_count += 1
+    # trailer: align to byte, find EOI
+    tpos = rd.pos
+    # any remaining bits in current byte are padding
+    while tpos < len(data) and not (data[tpos] == 0xFF
+                                    and data[tpos + 1:tpos + 2] != b"\x00"):
+        tpos += 1
+    j.trailer_bytes = data[tpos:]
+    return j

@@ -90,11 +90,12 @@ def decode_channel(dec: EntropyDecoder, tree: Tree, chan: Channel,
     need_wp = tree.uses_weighted()
     wp = WPState(wp_params, w) if need_wp else None
     max_prop = tree.max_property
+    # prev-channel properties only reference same-shaped channels
+    same_shape_prev = [p for p in prev_channels if p.shape == (h, w)]
 
     for y in range(h):
         if wp is not None and y > 0:
             wp.new_row()
-        row_prev = data[y - 1] if y > 0 else None
         for x in range(w):
             W, N, NW, NE, NN, WW, NEE = neighbors(data, x, y, w)
             wp_pred3 = None
@@ -105,7 +106,7 @@ def decode_channel(dec: EntropyDecoder, tree: Tree, chan: Channel,
             if max_prop >= 0:
                 props = properties_for_pixel(
                     chan_index, stream_id, x, y, W, N, NW, NE, NN, WW,
-                    max_err, prev_channels)
+                    max_err, same_shape_prev)
                 leaf = tree.lookup(props)
             else:
                 leaf = tree.nodes[0]
@@ -200,6 +201,7 @@ def encode_channel(ts: TokenStream, tree: Tree, chan: Channel,
     need_wp = tree.uses_weighted()
     wp = WPState(wp_params, w) if need_wp else None
     max_prop = tree.max_property
+    same_shape_prev = [p for p in prev_channels if p.shape == (h, w)]
     for y in range(h):
         if wp is not None and y > 0:
             wp.new_row()
@@ -213,7 +215,7 @@ def encode_channel(ts: TokenStream, tree: Tree, chan: Channel,
             if max_prop >= 0:
                 props = properties_for_pixel(
                     chan_index, stream_id, x, y, W, N, NW, NE, NN, WW,
-                    max_err, prev_channels)
+                    max_err, same_shape_prev)
                 leaf = tree.lookup(props)
             else:
                 leaf = tree.nodes[0]
@@ -313,13 +315,13 @@ def decode_modular_stream(br: BitReader, image: ModularImage,
 def encode_modular_stream(bw: BitWriter, image: ModularImage,
                           header: GroupHeader, tree: Tree,
                           stream_id: int = 0,
-                          channel_range=None) -> None:
+                          channel_range=None, lz77: bool = False) -> None:
     """Encode header + local tree + channels (image must already be in
     transformed/compressed representation)."""
     header.write(bw)
     if not header.use_global_tree:
         encode_tree(bw, tree)
-    ts = TokenStream(tree.num_leaves)
+    ts = TokenStream(tree.num_leaves, lz77=lz77)
     chans = image.channels
     start, end = channel_range or (0, len(chans))
     planes: List[np.ndarray] = []

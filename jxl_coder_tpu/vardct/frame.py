@@ -116,7 +116,7 @@ def decode_lf_group(data: bytes, dc_shape, tile_shape) -> tuple:
 
 def encode_pass_group(ac: np.ndarray) -> bytes:
     """AC coefficients of one group: ac (3, gY, gX, 8, 8) int32."""
-    ts = TokenStream(NUM_AC_CONTEXTS)
+    ts = TokenStream(NUM_AC_CONTEXTS, lz77=True)
     _, gy, gx, _, _ = ac.shape
     zz = _ZZ
     for by in range(gy):

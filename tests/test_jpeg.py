@@ -1,0 +1,90 @@
+"""JPEG <-> JXL transcoding tests (BASELINE config[4] shape: lossless
+round-trip)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from jxl_coder_tpu import api
+from jxl_coder_tpu.jpeg.parser import parse_jpeg, JpegError
+from jxl_coder_tpu.jpeg.writer import write_jpeg
+from jxl_coder_tpu.jpeg import transcode as TC
+
+
+def _jpeg(img_arr, quality=85, subsampling=0, **kw):
+    buf = io.BytesIO()
+    Image.fromarray(img_arr).save(buf, format="JPEG", quality=quality,
+                                  subsampling=subsampling, **kw)
+    return buf.getvalue()
+
+
+def _img(h=90, w=120, seed=4, noise=0.0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([120 + 60 * np.sin(yy / 11), 100 + 50 * np.cos(xx / 7),
+                     80 + 40 * np.sin((xx + yy) / 13)], -1)
+    if noise:
+        base = base + rng.normal(0, noise, base.shape)
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality,subsampling", [
+    (85, 0), (70, 2), (90, 1), (40, 2), (98, 0)])
+def test_parse_write_byte_exact(quality, subsampling):
+    jpeg = _jpeg(_img(noise=8), quality, subsampling)
+    assert write_jpeg(parse_jpeg(jpeg)) == jpeg
+
+
+def test_parse_write_grayscale():
+    arr = _img()[:, :, 0]
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="JPEG", quality=75)
+    jpeg = buf.getvalue()
+    assert write_jpeg(parse_jpeg(jpeg)) == jpeg
+
+
+def test_parse_write_odd_dims():
+    jpeg = _jpeg(_img(41, 53), 80, 2)
+    assert write_jpeg(parse_jpeg(jpeg)) == jpeg
+
+
+def test_progressive_rejected():
+    buf = io.BytesIO()
+    Image.fromarray(_img()).save(buf, format="JPEG", quality=80,
+                                 progressive=True)
+    with pytest.raises(JpegError):
+        parse_jpeg(buf.getvalue())
+
+
+@pytest.mark.parametrize("quality,subsampling", [(85, 0), (70, 2)])
+def test_construct_reconstruct_byte_exact(quality, subsampling):
+    jpeg = _jpeg(_img(noise=6), quality, subsampling)
+    jxl = api.construct(jpeg)
+    assert api.is_jxl(jxl)
+    assert api.reconstruct_jpeg(jxl) == jpeg
+
+
+def test_construct_compresses():
+    jpeg = _jpeg(_img(240, 320, noise=6), 85, 0)
+    jxl = api.construct(jpeg)
+    assert len(jxl) < len(jpeg), (len(jxl), len(jpeg))
+
+
+def test_decode_constructed_matches_pil():
+    jpeg = _jpeg(_img(), 90, 0)
+    jxl = api.construct(jpeg)
+    pix, info = api.decode(jxl)
+    ref = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+    assert pix.shape == ref.shape
+    # 4:4:4: only IDCT rounding differences
+    assert np.abs(pix.astype(int) - ref.astype(int)).max() <= 2
+    assert info.uses_original_profile
+
+
+def test_reconstruct_rejects_plain_jxl():
+    data = api.encode(np.zeros((8, 8, 3), np.uint8), lossless=True)
+    with pytest.raises(api.InvalidJXLError):
+        api.reconstruct_jpeg(data)
