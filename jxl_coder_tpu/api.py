@@ -287,6 +287,7 @@ def decode(data: bytes):
         toc = read_toc(br, n)
         if fh.encoding != Encoding.MODULAR:
             out = codec.decode_vardct_still(cs, hdr, fh, toc)
+            out = apply_orientation(out, m.orientation)
             return out, basic_info(data)
         planes = codec.decode_modular_frame(cs, hdr, fh, toc)
     except BitstreamError as e:
@@ -297,6 +298,7 @@ def decode(data: bytes):
     arrs = [np.clip(p, 0, maxval) for p in planes]
     dtype = np.uint8 if bits <= 8 else np.uint16
     out = np.stack(arrs, axis=-1).astype(dtype)
+    out = apply_orientation(out, m.orientation)
     info = basic_info(data)
     return out, info
 
@@ -369,3 +371,27 @@ def apng_to_jxl(png_data: bytes, lossless: bool = True,
     """APNG -> animated JXL (Convenience.apng2JXL, JxlCoder.kt:159-166)."""
     from . import animation as _anim
     return _anim.apng_to_jxl(png_data, lossless, quality)
+
+
+def apply_orientation(pixels, orientation: int):
+    """EXIF-style orientation 1..8 -> upright pixels (the reference
+    resolves orientation before returning bitmaps,
+    JniDecoding.cpp:95-100)."""
+    import numpy as np
+    if orientation == 1:
+        return pixels
+    if orientation == 2:
+        return pixels[:, ::-1]
+    if orientation == 3:
+        return pixels[::-1, ::-1]
+    if orientation == 4:
+        return pixels[::-1]
+    if orientation == 5:  # transpose
+        return np.swapaxes(pixels, 0, 1)
+    if orientation == 6:  # rotate 90 CW
+        return np.swapaxes(pixels, 0, 1)[:, ::-1]
+    if orientation == 7:  # anti-transpose
+        return np.swapaxes(pixels, 0, 1)[::-1, ::-1]
+    if orientation == 8:  # rotate 90 CCW
+        return np.swapaxes(pixels, 0, 1)[::-1]
+    raise InvalidJXLError(f"bad orientation {orientation}")
