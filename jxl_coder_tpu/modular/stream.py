@@ -300,7 +300,35 @@ def decode_modular_stream(br: BitReader, image: ModularImage,
     dec = EntropyDecoder(br, tree.num_leaves)
     chans = image.channels
     start, end = channel_range or (0, len(chans))
+
+    # native fast path (prefix-code streams)
+    native = None
+    if dec.use_prefix:
+        try:
+            from .. import native as native_mod
+            if native_mod.get_lib() is not None:
+                native = native_mod.NativeEntropy(dec, br)
+        except Exception:
+            native = None
     decoded_planes: List[np.ndarray] = []
+    if native is not None:
+        use_wp = tree.uses_weighted()
+        max_prop = tree.max_property
+        for ci in range(start, end):
+            chan = chans[ci]
+            chan.alloc()
+            if chan.width == 0 or chan.height == 0:
+                continue
+            same_shape = [p for p in decoded_planes
+                          if p.shape == (chan.height, chan.width)]
+            native.decode_channel(tree, chan.data, ci, stream_id,
+                                  header.wp_params, same_shape, max_prop,
+                                  use_wp)
+            decoded_planes.insert(0, chan.data)
+        br.pos = native.bit_pos
+        native.close()
+        return header
+
     for ci in range(start, end):
         chan = chans[ci]
         decode_channel(dec, tree, chan, ci, stream_id, decoded_planes,
