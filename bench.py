@@ -49,6 +49,7 @@ def main():
     qf = np.full((ny, nx), 8, np.int32)
     ty, tx = -(-ny // 8), -(-nx // 8)
 
+    ac = ac.astype(np.int16)
     ac_d = jnp.asarray(ac)
     dc_d = jnp.asarray(dc)
     qf_d = jnp.asarray(qf)
@@ -60,10 +61,9 @@ def main():
     def run_k(ac, dc, qf, cx, cb, d):
         def body(carry, i):
             # vary the input per iteration so no step can be elided
-            a = ac + i.astype(jnp.int32)
-            xyb = P.reconstruct_xyb(a, dc, qf, cx, cb, d, epf_iters=1,
-                                    gab=True)
-            out = P.xyb_to_srgb8(xyb)
+            a = ac + i.astype(jnp.int16)
+            out = P.reconstruct_srgb8(a, dc, qf, cx, cb, d, epf_iters=1,
+                                      gab=True)
             return carry + jnp.sum(out.astype(jnp.uint32)), None
 
         total, _ = jax.lax.scan(body, jnp.uint32(0), jnp.arange(K))

@@ -408,19 +408,21 @@ def decode_vardct_still(cs: bytes, hdr: ImageHeader, fh, toc) -> np.ndarray:
     from .vardct import frame as VF
 
     data = VF.decode_vardct_frame(cs, hdr, fh, toc)
-    xyb = P.reconstruct_xyb(
-        jnp.asarray(data.ac.reshape(3, data.qf.shape[0], data.qf.shape[1],
-                                    8, 8)),
-        jnp.asarray(data.dc), jnp.asarray(data.qf),
-        jnp.asarray(data.cfl_x), jnp.asarray(data.cfl_b),
-        jnp.float32(data.distance),
-        epf_iters=fh.restoration_filter.epf_iters
-        if fh.restoration_filter.epf_iters else 0,
-        gab=fh.restoration_filter.gab)
+    ac = data.ac.reshape(3, data.qf.shape[0], data.qf.shape[1], 8, 8)
+    if np.abs(ac).max(initial=0) < 32000:
+        ac = ac.astype(np.int16)  # halve the dominant HBM upload/read
+    epf = fh.restoration_filter.epf_iters \
+        if fh.restoration_filter.epf_iters else 0
     bits = hdr.metadata.bit_depth.bits_per_sample
+    args = (jnp.asarray(ac), jnp.asarray(data.dc), jnp.asarray(data.qf),
+            jnp.asarray(data.cfl_x), jnp.asarray(data.cfl_b),
+            jnp.float32(data.distance))
     if bits <= 8:
-        out = np.asarray(P.xyb_to_srgb8(xyb))
+        out = np.asarray(P.reconstruct_srgb8(
+            *args, epf_iters=epf, gab=fh.restoration_filter.gab))
     else:
+        xyb = P.reconstruct_xyb(*args, epf_iters=epf,
+                                gab=fh.restoration_filter.gab)
         out = np.asarray(P.xyb_to_u16(xyb))
     # crop coded padding
     out = out[:, :hdr.ysize, :hdr.xsize]

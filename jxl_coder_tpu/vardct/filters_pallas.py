@@ -1,0 +1,213 @@
+"""Fused Gaborish + EPF as a Pallas TPU kernel.
+
+The jnp filter chain costs ~20 HBM passes (every shifted slice and tap
+materializes); this kernel streams row tiles through VMEM once:
+HBM -> VMEM (tile + halo via async DMA) -> gaborish -> EPF -> HBM.
+Semantics match pipeline.apply_filters exactly (same op order/constants);
+pipeline falls back to the jnp path off-TPU or for unsupported shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pipeline import GABORISH_W1, GABORISH_W2, EPF_CHANNEL_SCALE
+
+HALO = 2   # filter footprint: 1 (gaborish) + 1 (epf pass)
+PAD = 4    # row padding in the stacked input (8-row DMA alignment)
+
+
+def _kernel(in_hbm, out_ref, scratch, sem, *, tile: int, width: int):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        in_hbm.at[:, pl.ds(i * tile, tile + 2 * PAD), :],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    x = scratch[:]                      # (4, tile+8, W)
+    img = x[:3]
+    inv = x[3]
+
+    # x-edge padding by 2 (global edges; x is not tiled)
+    left = img[:, :, :1]
+    right = img[:, :, -1:]
+    imgp = jnp.concatenate([left, left, img, right, right], axis=2)
+    # gaborish rows [PAD-1, PAD+tile+1): output (3, tile+2, W+2)
+    k = np.array([[GABORISH_W2, GABORISH_W1, GABORISH_W2],
+                  [GABORISH_W1, 1.0, GABORISH_W1],
+                  [GABORISH_W2, GABORISH_W1, GABORISH_W2]], np.float32)
+    k = k / k.sum()
+    t2 = tile + 2
+    base = PAD - 2  # first input row touched by the gaborish window
+    gab = jnp.zeros((3, t2, width), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            gab = gab + k[dy, dx] * imgp[:, base + dy:base + dy + t2,
+                                         1 + dx:1 + dx + width]
+
+    # EPF x-taps replicate the gaborish *output* at the image edge,
+    # matching the jnp apply_epf edge-pad semantics.
+    gabp = jnp.concatenate([gab[:, :, :1], gab, gab[:, :, -1:]], axis=2)
+
+    # EPF pass on gab: output rows [0, tile), inv_sigma at center rows
+    inv_c = inv[PAD:PAD + tile, :]
+    s0, s1, s2 = (float(EPF_CHANNEL_SCALE[0]), float(EPF_CHANNEL_SCALE[1]),
+                  float(EPF_CHANNEL_SCALE[2]))
+    center = gab[:, 1:1 + tile, :]
+    num = jnp.zeros((3, tile, width), jnp.float32)
+    den = jnp.zeros((tile, width), jnp.float32)
+    for (dy, dx) in ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1)):
+        shifted = gabp[:, 1 + dy:1 + dy + tile, 1 + dx:1 + dx + width]
+        if dy == 0 and dx == 0:
+            wgt = jnp.ones((tile, width), jnp.float32)
+        else:
+            ad = jnp.abs(shifted - center)
+            sad = ad[0] * s0 + ad[1] * s1 + ad[2] * s2
+            wgt = jnp.maximum(0.0, 1.0 - sad * inv_c)
+        num = num + shifted * wgt[None]
+        den = den + wgt
+    out_ref[:] = num / den[None]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def fused_gab_epf(stacked: jnp.ndarray, tile: int = 40) -> jnp.ndarray:
+    """stacked: (4, H + 2*PAD, W) f32 = [xyb(3) ; inv_sigma(1)], rows
+    already padded by PAD (edge-replicated at image borders).
+    Returns (3, H, W) filtered."""
+    _, hp, w = stacked.shape
+    h = hp - 2 * PAD
+    assert h % tile == 0 and tile % 8 == 0, (h, tile)
+    grid = (h // tile,)
+    kernel = functools.partial(_kernel, tile=tile, width=w)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((3, tile, w),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((4, tile + 2 * PAD, w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(stacked)
+
+
+def pick_tile(h: int):
+    """8-multiple tile dividing h, small enough for VMEM at 4K widths."""
+    for t in (16, 24, 8, 32):
+        if h % t == 0:
+            return t
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Variant: filters + XYB->sRGB8 fused, separate (unconcatenated) inputs
+
+def _kernel2(img_hbm, inv_hbm, out_ref, simg, sinv, sem1, sem2, *,
+             tile: int, width: int, to_srgb: bool):
+    i = pl.program_id(0)
+    d1 = pltpu.make_async_copy(
+        img_hbm.at[:, pl.ds(i * tile, tile + 2 * PAD), :], simg, sem1)
+    d2 = pltpu.make_async_copy(
+        inv_hbm.at[pl.ds(i * tile, tile + 2 * PAD), :], sinv, sem2)
+    d1.start()
+    d2.start()
+    d1.wait()
+    d2.wait()
+
+    img = simg[:]
+    inv = sinv[:]
+    left = img[:, :, :1]
+    right = img[:, :, -1:]
+    imgp = jnp.concatenate([left, img, right], axis=2)
+    k = np.array([[GABORISH_W2, GABORISH_W1, GABORISH_W2],
+                  [GABORISH_W1, 1.0, GABORISH_W1],
+                  [GABORISH_W2, GABORISH_W1, GABORISH_W2]], np.float32)
+    k = k / k.sum()
+    t2 = tile + 2
+    base = PAD - 2
+    gab = jnp.zeros((3, t2, width), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            gab = gab + k[dy, dx] * imgp[:, base + dy:base + dy + t2,
+                                         dx:dx + width]
+    gabp = jnp.concatenate([gab[:, :, :1], gab, gab[:, :, -1:]], axis=2)
+    inv_c = inv[PAD:PAD + tile, :]
+    s0, s1, s2 = (float(EPF_CHANNEL_SCALE[0]), float(EPF_CHANNEL_SCALE[1]),
+                  float(EPF_CHANNEL_SCALE[2]))
+    center = gab[:, 1:1 + tile, :]
+    num = jnp.zeros((3, tile, width), jnp.float32)
+    den = jnp.zeros((tile, width), jnp.float32)
+    for (dy, dx) in ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1)):
+        shifted = gabp[:, 1 + dy:1 + dy + tile, 1 + dx:1 + dx + width]
+        if dy == 0 and dx == 0:
+            wgt = jnp.ones((tile, width), jnp.float32)
+        else:
+            ad = jnp.abs(shifted - center)
+            sad = ad[0] * s0 + ad[1] * s1 + ad[2] * s2
+            wgt = jnp.maximum(0.0, 1.0 - sad * inv_c)
+        num = num + shifted * wgt[None]
+        den = den + wgt
+    xyb = num / den[None]
+
+    if not to_srgb:
+        out_ref[:] = xyb
+        return
+    # XYB -> linear RGB -> sRGB8 (matches xyb.py / ops.color exactly)
+    from .xyb import DEFAULT_INV_OPSIN, OPSIN_BIAS, CBRT_BIAS
+    x_, y_, b_ = xyb[0], xyb[1], xyb[2]
+    gl = x_ + y_ + float(CBRT_BIAS)
+    gm = y_ - x_ + float(CBRT_BIAS)
+    gs = b_ + float(CBRT_BIAS)
+    ml = gl * gl * gl - float(OPSIN_BIAS)
+    mm = gm * gm * gm - float(OPSIN_BIAS)
+    ms = gs * gs * gs - float(OPSIN_BIAS)
+    inv_m = np.array(DEFAULT_INV_OPSIN, np.float32).reshape(3, 3)
+    rgb = [None] * 3
+    for c in range(3):
+        rgb[c] = (float(inv_m[c, 0]) * ml + float(inv_m[c, 1]) * mm
+                  + float(inv_m[c, 2]) * ms)
+    outs = []
+    for c in range(3):
+        v = jnp.clip(rgb[c], 0.0, 1.0)
+        srgb = jnp.where(v <= 0.0031308, v * 12.92,
+                         1.055 * v ** (1 / 2.4) - 0.055)
+        outs.append(jnp.clip(jnp.round(srgb * 255.0), 0, 255)
+                    .astype(jnp.int32).astype(jnp.uint8))
+    out_ref[:] = jnp.stack(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "to_srgb"))
+def fused_filters2(img_padded: jnp.ndarray, inv_padded: jnp.ndarray,
+                   tile: int = 16, to_srgb: bool = False) -> jnp.ndarray:
+    """img_padded: (3, H+2*PAD, W); inv_padded: (H+2*PAD, W)."""
+    _, hp, w = img_padded.shape
+    h = hp - 2 * PAD
+    assert h % tile == 0 and tile % 8 == 0, (h, tile)
+    kernel = functools.partial(_kernel2, tile=tile, width=w,
+                               to_srgb=to_srgb)
+    dtype = jnp.uint8 if to_srgb else jnp.float32
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, h, w), dtype),
+        grid=(h // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((3, tile, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile + 2 * PAD, w), jnp.float32),
+            pltpu.VMEM((tile + 2 * PAD, w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(img_padded, inv_padded)

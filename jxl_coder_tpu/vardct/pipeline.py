@@ -159,10 +159,23 @@ def reconstruct_xyb(ac_coeffs: jnp.ndarray, dc: jnp.ndarray,
                     cfl_b: jnp.ndarray, distance: jnp.ndarray,
                     epf_iters: int = 1, gab: bool = True) -> jnp.ndarray:
     """Single-device decode for an 8x8-blocked frame: dequant + CfL + DC
-    merge + IDCT + Gaborish + EPF.  See dequant_idct for shapes."""
+    merge + IDCT + Gaborish + EPF.  See dequant_idct for shapes.
+
+    On TPU with supported shapes the Gaborish+EPF chain runs as a fused
+    Pallas kernel (filters_pallas.py, bit-identical to the jnp path)."""
     c, ny, nx, _, _ = ac_coeffs.shape
     fx, fb = expand_cfl(cfl_x, cfl_b, ny, nx)
     img = dequant_idct(ac_coeffs, dc, qf, fx, fb, distance)
+    if gab and epf_iters == 1 and (nx * 8) % 128 == 0 \
+            and jax.default_backend() == "tpu":
+        from . import filters_pallas as FP
+        tile = FP.pick_tile(ny * 8)
+        if tile is not None:
+            stacked = jnp.concatenate(
+                [pad_rows(img, FP.PAD),
+                 pad_rows(inv_sigma_map(qf, distance), FP.PAD)[None]],
+                axis=0)
+            return FP.fused_gab_epf(stacked, tile=tile)
     halo = filter_halo(epf_iters, gab)
     img = pad_rows(img, halo)
     inv_sigma = pad_rows(inv_sigma_map(qf, distance), halo)
@@ -219,3 +232,29 @@ def quantize_coeffs(xyb: jnp.ndarray, qf: jnp.ndarray,
                    / lf_steps[:, None, None]).astype(jnp.int32)
     q = q.at[:, :, :, 0, 0].set(0)
     return q, dc
+
+
+@functools.partial(jax.jit, static_argnames=("epf_iters", "gab"))
+def reconstruct_srgb8(ac_coeffs: jnp.ndarray, dc: jnp.ndarray,
+                      qf: jnp.ndarray, cfl_x: jnp.ndarray,
+                      cfl_b: jnp.ndarray, distance: jnp.ndarray,
+                      epf_iters: int = 1, gab: bool = True) -> jnp.ndarray:
+    """Full decode to (3, H, W) uint8 sRGB; on TPU the filter+color tail
+    runs as one fused Pallas kernel (bit-identical to the jnp chain)."""
+    c, ny, nx, _, _ = ac_coeffs.shape
+    fx, fb = expand_cfl(cfl_x, cfl_b, ny, nx)
+    img = dequant_idct(ac_coeffs, dc, qf, fx, fb, distance)
+    if gab and epf_iters == 1 and (nx * 8) % 128 == 0 \
+            and jax.default_backend() == "tpu":
+        from . import filters_pallas as FP
+        tile = FP.pick_tile(ny * 8)
+        if tile is not None:
+            return FP.fused_filters2(
+                pad_rows(img, FP.PAD),
+                pad_rows(inv_sigma_map(qf, distance), FP.PAD),
+                tile=tile, to_srgb=True)
+    halo = filter_halo(epf_iters, gab)
+    img = pad_rows(img, halo)
+    inv_sigma = pad_rows(inv_sigma_map(qf, distance), halo)
+    xyb = apply_filters(img, inv_sigma, epf_iters, gab)
+    return xyb_to_srgb8(xyb)
