@@ -257,3 +257,71 @@ def _pil_animation_to_jxl(data: bytes, lossless: bool,
     for f, d in zip(frames, durations):
         enc.add_frame(f, d)
     return enc.encode()
+
+
+def decode_frames_batch(img: "AnimatedImage", indices=None,
+                        mesh=None) -> np.ndarray:
+    """Decode several VarDCT frames as one device batch, optionally
+    sharded over a mesh frame axis (GOP sharding).  Host entropy decode
+    per frame feeds a single batched device reconstruction.
+
+    Returns (N, H, W, 3) uint8.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .vardct import frame as VF
+    from .vardct import pipeline as P
+    from .parallel import groups as G
+
+    if indices is None:
+        indices = list(range(img.frames_count))
+    hdr = img.image_header
+    datas = []
+    for i in indices:
+        e = img.frames[i]
+        if e.header.encoding != Encoding.VARDCT:
+            raise NotImplementedError("batch decode is for VarDCT frames")
+        datas.append(VF.decode_vardct_frame(img.codestream, hdr, e.header,
+                                            e.toc))
+    d0 = datas[0]
+    ny, nx = d0.qf.shape
+    ac = np.stack([d.ac for d in datas])
+    dc = np.stack([d.dc for d in datas])
+    qf = np.stack([d.qf for d in datas])
+    fxs, fbs = [], []
+    for d in datas:
+        fx, fb = P.expand_cfl(jnp.asarray(d.cfl_x), jnp.asarray(d.cfl_b),
+                              ny, nx)
+        fxs.append(np.asarray(fx))
+        fbs.append(np.asarray(fb))
+    fx = np.stack(fxs)
+    fb = np.stack(fbs)
+    fh = img.frames[indices[0]].header
+    epf = fh.restoration_filter.epf_iters or 0
+    gab = fh.restoration_filter.gab
+    dist = jnp.float32(d0.distance)
+    if mesh is not None:
+        fn = G.sharded_frame_reconstruct(mesh, epf_iters=epf, gab=gab)
+        xyb = fn(jnp.asarray(ac), jnp.asarray(dc), jnp.asarray(qf),
+                 jnp.asarray(fx), jnp.asarray(fb), dist)
+    else:
+        def one(a, d_, q, x_, b_):
+            im = P.dequant_idct(a, d_, q, x_, b_, dist)
+            halo = P.filter_halo(epf, gab)
+            im = P.pad_rows(im, halo)
+            inv = P.pad_rows(P.inv_sigma_map(q, dist), halo)
+            return P.apply_filters(im, inv, epf, gab)
+        xyb = jax.vmap(one)(jnp.asarray(ac), jnp.asarray(dc),
+                            jnp.asarray(qf), jnp.asarray(fx),
+                            jnp.asarray(fb))
+    out = jax.vmap(P.xyb_to_srgb8)(xyb)
+    out = np.asarray(out).transpose(0, 2, 3, 1)
+    return out[:, :hdr.ysize, :hdr.xsize]
+
+
+def iter_frames(img: "AnimatedImage"):
+    """Playback iterator: yields (pixels, duration_ms) — the analogue of
+    the reference's AnimatedDrawable frame loop
+    (animation/AnimatedDrawable.kt:128-167)."""
+    for i in range(img.frames_count):
+        yield img.get_frame(i), img.frame_duration_ms(i)

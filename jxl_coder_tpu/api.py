@@ -178,7 +178,8 @@ def basic_info(data: bytes) -> BasicInfo:
 # ---- Encode / decode (lossless Modular path) -----------------------------
 
 def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
-           effort: int = 7, quality: int = None) -> bytes:
+           effort: int = 7, quality: int = None,
+           decoding_speed: int = 0) -> bytes:
     """Encode an image array to a bare JXL codestream.
 
     pixels: uint8/uint16 array (H, W), (H, W, 1), (H, W, 3) or (H, W, 4).
@@ -210,7 +211,8 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
         q = quality if quality is not None else 90
         distance = quality_to_distance(int(q))
         return codec.encode_vardct_still(pixels, distance=distance,
-                                         effort=effort)
+                                         effort=effort,
+                                         decoding_speed=decoding_speed)
 
     m = ImageMetadata()
     m.xyb_encoded = False
@@ -240,10 +242,30 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
     fh.restoration_filter.epf_iters = 0
     fh.restoration_filter.gab = False
 
+    # effort semantics (JxlEffort.kt 1-10): low effort skips the color
+    # decorrelation + uses the cheapest predictor; high effort picks the
+    # smaller of candidate encodings.
     bw = BitWriter()
     codec.write_image_header(bw, hdr)
-    codec.encode_modular_frame(bw, hdr, fh, planes,
-                               use_ycocg=(nch >= 3))
+    if effort <= 2:
+        codec.encode_modular_frame(bw, hdr, fh, planes, use_ycocg=False,
+                                   tree=None)
+    elif effort < 8 or nch < 3:
+        codec.encode_modular_frame(bw, hdr, fh, planes,
+                                   use_ycocg=(nch >= 3))
+    else:
+        # try both RCT on/off, keep the smaller stream
+        from .bitstream.writer import BitWriter as _BW
+        best = None
+        for ycocg in (True, False):
+            cand = _BW()
+            codec.encode_modular_frame(cand, hdr, fh, planes,
+                                       use_ycocg=ycocg)
+            b = cand.to_bytes()
+            if best is None or len(b) < len(best):
+                best = b
+        for byte in best:
+            bw.u(byte, 8)
     bw.zero_pad_to_byte()
     return bw.to_bytes()
 

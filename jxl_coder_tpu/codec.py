@@ -352,7 +352,7 @@ def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,
 # VarDCT (lossy) still path — host framing + device pipeline
 
 def encode_vardct_still(pixels: np.ndarray, distance: float,
-                        effort: int = 7) -> bytes:
+                        effort: int = 7, decoding_speed: int = 0) -> bytes:
     """uint8/uint16 sRGB (H, W, 3) -> bare JXL codestream (VarDCT)."""
     import jax.numpy as jnp
     from .vardct import pipeline as P
@@ -371,7 +371,15 @@ def encode_vardct_still(pixels: np.ndarray, distance: float,
     fh = FrameHeader()
     fh.encoding = Encoding.VARDCT
     fh.x_qm_scale = 2
-    fh.restoration_filter.epf_iters = 1
+    # JxlDecodingSpeed 0-4: faster decode tiers drop restoration filters
+    # (mirrors libjxl's decoding-speed frame setting semantics)
+    if decoding_speed >= 4:
+        fh.restoration_filter.epf_iters = 0
+        fh.restoration_filter.gab = False
+    elif decoding_speed >= 2:
+        fh.restoration_filter.epf_iters = 0
+    else:
+        fh.restoration_filter.epf_iters = 1
 
     # pad to block grid with edge replication
     ph = -(-h // 8) * 8

@@ -99,3 +99,37 @@ def pad_frame_arrays(ac, dc, qf, fx, fb, n_devices: int):
     fx = np.pad(fx, ((0, e), (0, 0)))
     fb = np.pad(fb, ((0, e), (0, 0)))
     return ac, dc, qf, fx, fb, ny
+
+
+# ---------------------------------------------------------------------------
+# Frame-level (GOP) sharding for animation decode
+
+def sharded_frame_reconstruct(mesh: Mesh, epf_iters: int = 1,
+                              gab: bool = True):
+    """Batch-decode N frames with the frame axis sharded over the mesh —
+    the GOP-sharding axis of SURVEY.md §2.6 (animation frames are
+    independent for REPLACE blending).
+
+    Returns fn(ac (N,3,nY,nX,8,8), dc (N,3,nY,nX), qf (N,nY,nX),
+    fx, fb (N,nY,nX), distance) -> (N, 3, H, W) XYB.
+    N must be divisible by the mesh size.
+    """
+    import jax.numpy as jnp
+    axis = mesh.axis_names[0]
+    halo = pl.filter_halo(epf_iters, gab)
+
+    def one(ac, dc, qf, fx, fb, distance):
+        img = pl.dequant_idct(ac, dc, qf, fx, fb, distance)
+        img = pl.pad_rows(img, halo)
+        inv = pl.pad_rows(pl.inv_sigma_map(qf, distance), halo)
+        return pl.apply_filters(img, inv, epf_iters, gab)
+
+    def per_shard(ac, dc, qf, fx, fb, distance):
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None))(
+            ac, dc, qf, fx, fb, distance)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis))
+    return jax.jit(fn)

@@ -170,3 +170,71 @@ def test_apng_to_jxl_bit_exact():
     for i in range(3):
         expect = np.asarray(frames[i].convert("RGBA"))
         assert np.array_equal(img.get_frame(i), expect)
+
+
+# ---- GOP batch decode + PIL plugin + knobs -------------------------------
+
+def test_gop_sharded_batch_decode():
+    from jxl_coder_tpu.parallel import groups as G
+    r = rng()
+    w, h, n = 128, 64, 8
+    enc = anim.AnimatedEncoder(w, h, lossless=False, quality=88)
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        enc.add_frame(np.clip(np.stack([yy * 2 + i * 10, xx, xx + yy], -1),
+                              0, 255).astype(np.uint8), 40)
+    img = anim.AnimatedImage(enc.encode())
+    mesh = G.make_mesh(8)
+    batch = anim.decode_frames_batch(img, mesh=mesh)
+    single = np.stack([img.get_frame(i) for i in range(n)])
+    assert np.array_equal(batch, single)
+
+
+def test_iter_frames():
+    enc = anim.AnimatedEncoder(8, 8, lossless=True)
+    for i in range(3):
+        enc.add_frame(np.full((8, 8, 3), i * 40, np.uint8), 10 + i)
+    img = anim.AnimatedImage(enc.encode())
+    seq = list(anim.iter_frames(img))
+    assert [d for _, d in seq] == [10, 11, 12]
+    assert seq[1][0][0, 0, 0] == 40
+
+
+def test_pil_plugin_roundtrip():
+    import io as _io
+    from PIL import Image
+    from jxl_coder_tpu.integrations import pil_plugin
+    pil_plugin.register()
+    r = rng()
+    img = r.integers(0, 255, (24, 32, 3)).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, format="JXL")
+    im = Image.open(_io.BytesIO(buf.getvalue()))
+    assert im.format == "JXL" and im.size == (32, 24)
+    assert np.array_equal(np.asarray(im), img)
+
+
+@pytest.mark.parametrize("effort", [1, 5, 9])
+def test_effort_levels_lossless(effort):
+    r = rng()
+    img = r.integers(0, 200, (20, 20, 3)).astype(np.uint8)
+    data = api.encode(img, lossless=True, effort=effort)
+    out, _ = api.decode(data)
+    assert np.array_equal(out, img)
+
+
+def test_decoding_speed_drops_filters():
+    r = rng()
+    img = r.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    from jxl_coder_tpu.bitstream.reader import BitReader
+    from jxl_coder_tpu.bitstream.container import extract_codestream
+    from jxl_coder_tpu.bitstream.headers import read_image_header
+    from jxl_coder_tpu.bitstream.frame_header import read_frame_header
+    for ds, epf, gab in ((0, 1, True), (2, 0, True), (4, 0, False)):
+        data = api.encode(img, lossless=False, quality=90,
+                          decoding_speed=ds)
+        br = BitReader(extract_codestream(data).codestream)
+        hdr = read_image_header(br)
+        fh = read_frame_header(br, hdr)
+        assert fh.restoration_filter.epf_iters == epf
+        assert fh.restoration_filter.gab == gab
