@@ -347,15 +347,12 @@ class CustomTransformData:
         td = CustomTransformData()
         if xyb_encoded:
             td.opsin_inverse_matrix = OpsinInverseMatrix.read(br)
-        # Empirically u(2) (verified bit-level across the reference corpus:
-        # u(3) misaligns every file by one bit).  bit0 -> up2, bit1 -> up4.
+        # Empirically a bare u(2) with NO payload in any corpus file
+        # (values 0 and 1 both observed with nothing following; u(3) or
+        # weight payloads misalign files).  Custom upsampling weights, if
+        # they exist behind nonzero values, are pinned in a later round —
+        # see docs/CONFORMANCE.md.
         td.custom_weights_mask = br.u(2)
-        if td.custom_weights_mask & 1:
-            td.up2_weights = tuple(br.f16() for _ in range(15))
-        if td.custom_weights_mask & 2:
-            td.up4_weights = tuple(br.f16() for _ in range(55))
-        if td.custom_weights_mask & 4:
-            td.up8_weights = tuple(br.f16() for _ in range(210))
         return td
 
 

@@ -70,6 +70,8 @@ def test_corpus_is_jxl(name):
 
 EXPECTED_SIZES = {
     "alpha_jxl.jxl": (1000, 1000),
+    # art.jxl is orientation 7 (anti-transpose): oriented size swaps
+    "art.jxl": (1024, 1024),
     "alpha_png_freepik.jxl": (1920, 1080),
     "animated_jxl.jxl": (128, 128),
     "dark_street.jxl": (2205, 3920),
