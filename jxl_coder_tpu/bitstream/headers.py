@@ -344,15 +344,21 @@ class CustomTransformData:
 
     @staticmethod
     def read(br: BitReader, xyb_encoded: bool) -> "CustomTransformData":
+        """Bundle: a leading all_default bit (the universal case — every
+        reference-encoder stream observed writes 1 here), else the opsin
+        matrix (when xyb) + custom upsampling weight fields."""
         td = CustomTransformData()
+        if br.bool():  # all_default
+            return td
         if xyb_encoded:
             td.opsin_inverse_matrix = OpsinInverseMatrix.read(br)
-        # Empirically a bare u(2) with NO payload in any corpus file
-        # (values 0 and 1 both observed with nothing following; u(3) or
-        # weight payloads misalign files).  Custom upsampling weights, if
-        # they exist behind nonzero values, are pinned in a later round —
-        # see docs/CONFORMANCE.md.
-        td.custom_weights_mask = br.u(2)
+        td.custom_weights_mask = br.u(3)
+        if td.custom_weights_mask & 1:
+            td.up2_weights = tuple(br.f16() for _ in range(15))
+        if td.custom_weights_mask & 2:
+            td.up4_weights = tuple(br.f16() for _ in range(55))
+        if td.custom_weights_mask & 4:
+            td.up8_weights = tuple(br.f16() for _ in range(210))
         return td
 
 

@@ -114,10 +114,8 @@ def write_image_header(bw: BitWriter, hdr: ImageHeader) -> None:
     m = hdr.metadata
     # metadata body (without the transform-data tail)
     _write_metadata_body(bw, m)
-    # default_m tail: opsin matrix (only when xyb) + 2-bit weights mask
-    if m.xyb_encoded:
-        bw.bool(True)  # default opsin inverse matrix
-    bw.u(0, 2)  # custom_weights_mask
+    # default_m (CustomTransformData bundle): all_default
+    bw.bool(True)
     bw.zero_pad_to_byte()
 
 
@@ -204,7 +202,19 @@ def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
     if n_entries == 1:
         sec = toc.section(0)
         br = BitReader(cs[sec.offset:sec.offset + sec.size])
-        header = decode_modular_stream(br, image, stream_id=0)
+        # LfGlobal: DC dequant factors (bundle; used by modular XYB mode)
+        dc_quant = read_dc_quant(br)
+        # GlobalModular: optional global tree + shared histograms
+        global_tree = None
+        global_code = None
+        if br.bool():  # have_global_tree
+            from .modular.tree import decode_tree
+            from .entropy.coder import EntropyCode
+            global_tree = decode_tree(br, 1 << 22)
+            global_code = EntropyCode(br, global_tree.num_leaves)
+        header = decode_modular_stream(br, image, stream_id=0,
+                                       global_tree=global_tree,
+                                       global_code=global_code)
         undo_transforms(image, header)
         return [c.data for c in image.channels]
     # multi-section layout: LfGlobal has header+tree-less global stream of
@@ -236,7 +246,7 @@ def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
         chan = image.channels[ci]
         decode_channel(dec, tree, chan, pos, 0, planes, g_header.wp_params)
         if chan.width and chan.height:
-            planes.insert(0, chan.data)
+            planes.insert(0, (chan.data, chan.hshift, chan.vshift))
     if not dec.check_final_state():
         raise BitstreamError("global modular checksum failed")
     # pass-group sections: entries [1..ndc] are DC groups (empty),
@@ -293,6 +303,8 @@ def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,
     sections: List[bytes] = []
     if ng == 1:
         sw = BitWriter()
+        sw.bool(True)   # LfGlobal: dc_quant all_default
+        sw.bool(False)  # have_global_tree (GlobalModular prelude)
         encode_modular_stream(sw, image, header, tree, stream_id=0)
         sections.append(sw.to_bytes())
     else:
@@ -467,3 +479,20 @@ def encode_vardct_frame_into(bw: BitWriter, hdr: ImageHeader, fh,
         cfl_b=np.full((ty, tx), 64, np.int32),
         distance=float(distance))
     VF.encode_vardct_frame(bw, hdr, fh, data)
+
+
+DEFAULT_DC_QUANT = (1.0 / 4096, 1.0 / 512, 1.0 / 256)
+
+
+def read_dc_quant(br: BitReader):
+    """DequantMatrices::DecodeDC: all_default bundle, else 3 F16 factors
+    (divided by 128)."""
+    if br.bool():
+        return DEFAULT_DC_QUANT
+    vals = []
+    for _ in range(3):
+        v = br.f16() / 128.0
+        if v < 1e-8:
+            raise BitstreamError("invalid dc_quant")
+        vals.append(v)
+    return tuple(vals)

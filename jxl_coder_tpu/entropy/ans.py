@@ -41,16 +41,36 @@ def write_u8(bw: BitWriter, value: int) -> None:
 
 
 def flat_counts(alphabet_size: int) -> List[int]:
-    """Deterministic flat distribution summing to ANS_TAB_SIZE (staircase)."""
-    return [ANS_TAB_SIZE * (i + 1) // alphabet_size
-            - ANS_TAB_SIZE * i // alphabet_size
-            for i in range(alphabet_size)]
+    """Deterministic flat distribution summing to ANS_TAB_SIZE.
+
+    Matches CreateFlatHistogram (ans_common.cc): every symbol gets
+    total//n and the first total%n symbols get one extra."""
+    base = ANS_TAB_SIZE // alphabet_size
+    rem = ANS_TAB_SIZE - base * alphabet_size
+    return [base + (1 if i < rem else 0) for i in range(alphabet_size)]
 
 
-# Static prefix code for log-counts in the "complex" distribution encoding.
-# NOTE: provisional lengths — to be pinned empirically against real
-# bitstreams (our encoder only emits simple/flat forms).
-_LOGCOUNT_LENGTHS = [5, 4, 4, 4, 4, 4, 4, 3, 3, 3, 3, 3, 3, 5]
+# Static prefix code for log-counts in the "complex" distribution encoding:
+# symbol -> (code length, codeword bits read LSB-first).  Pinned by
+# extracting the unique structurally-valid 128-entry peek LUT from a
+# reference libjxl binary and cross-validated on real bitstreams.
+LOGCOUNT_CODE = {
+    0: (5, 17), 1: (4, 11), 2: (4, 15), 3: (4, 3), 4: (4, 9),
+    5: (4, 7), 6: (3, 4), 7: (3, 2), 8: (3, 5), 9: (3, 6),
+    10: (3, 0), 11: (6, 33), 12: (7, 1), 13: (7, 65),
+}
+# 7-bit peek decode table
+_LOGCOUNT_LUT = [None] * 128
+for _sym, (_len, _word) in LOGCOUNT_CODE.items():
+    for _hi in range(1 << (7 - _len)):
+        _LOGCOUNT_LUT[(_hi << _len) | _word] = (_len, _sym)
+
+
+def _read_logcount(br: BitReader) -> int:
+    peek = br.peek(7)
+    ln, sym = _LOGCOUNT_LUT[peek]
+    br.skip(ln)
+    return sym
 
 
 def read_ans_distribution(br: BitReader, log_alphabet_size: int) -> List[int]:
@@ -77,7 +97,7 @@ def read_ans_distribution(br: BitReader, log_alphabet_size: int) -> List[int]:
         if alphabet_size > max_alpha:
             raise BitstreamError("flat dist alphabet too large")
         return flat_counts(alphabet_size)
-    # complex (RLE log-count coding) — provisional implementation
+    # complex: RLE-coded log counts + extra precision bits
     length = 0
     while length < 3 and br.u(1):
         length += 1
@@ -87,9 +107,67 @@ def read_ans_distribution(br: BitReader, log_alphabet_size: int) -> List[int]:
     alphabet_size = read_u8(br) + 3
     if alphabet_size > max_alpha:
         raise BitstreamError("complex dist alphabet too large")
-    raise BitstreamError(
-        "complex ANS distributions not yet supported (static log-count code "
-        "pending empirical pinning)")
+    logcounts = [0] * alphabet_size
+    same = [0] * alphabet_size
+    omit_log = -1
+    omit_pos = -1
+    i = 0
+    while i < alphabet_size:
+        logcounts[i] = _read_logcount(br)
+        if logcounts[i] == ANS_LOG_TAB_SIZE + 1:  # RLE marker (13)
+            rle_length = read_u8(br)
+            same[i] = rle_length + 5
+            i += rle_length + 4
+            continue
+        if logcounts[i] > omit_log:
+            omit_log = logcounts[i]
+            omit_pos = i
+        i += 1
+    if omit_pos < 0 or (omit_pos + 1 < alphabet_size
+                        and logcounts[omit_pos + 1] == 13):
+        raise BitstreamError("invalid omit position")
+    counts = [0] * alphabet_size
+    total_count = 0
+    prev = 0
+    rle_i = 0
+    i = 0
+    while i < alphabet_size:
+        if same[i]:
+            # RLE: same[i]-1 copies of the previous count
+            rle_length = same[i] - 1
+            if i == 0:
+                raise BitstreamError("RLE at start")
+            for k in range(rle_length):
+                if i + k >= alphabet_size:
+                    raise BitstreamError("RLE overrun")
+                counts[i + k] = counts[i - 1]
+            total_count += counts[i - 1] * rle_length
+            i += rle_length
+            continue
+        if i == omit_pos:
+            i += 1
+            continue
+        code = logcounts[i]
+        if code == 0:
+            counts[i] = 0
+        elif code == 1:
+            counts[i] = 1
+            total_count += 1
+        else:
+            bitcount = _population_count_precision(code - 1, shift)
+            counts[i] = (1 << (code - 1)) + (br.u(bitcount)
+                                             << (code - 1 - bitcount))
+            total_count += counts[i]
+        i += 1
+    counts[omit_pos] = ANS_TAB_SIZE - total_count
+    if counts[omit_pos] <= 0:
+        raise BitstreamError("complex dist oversubscribed")
+    return counts
+
+
+def _population_count_precision(logcount: int, shift: int) -> int:
+    r = min(logcount, shift - ((ANS_LOG_TAB_SIZE - logcount) >> 1))
+    return max(0, r)
 
 
 def write_ans_distribution(bw: BitWriter, counts: List[int]) -> None:
@@ -155,9 +233,8 @@ class AliasTable:
                      if cutoffs[i] < self.entry_size]
         overfull = [i for i in range(n_buckets)
                     if cutoffs[i] > self.entry_size]
-        # LIFO stacks, processed in index order initially (deterministic)
-        underfull.reverse()
-        overfull.reverse()
+        # LIFO stacks in ascending build order: highest indices pair first
+        # (matches the reference construction exactly)
         while overfull:
             o = overfull.pop()
             if not underfull:

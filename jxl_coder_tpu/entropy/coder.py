@@ -92,20 +92,26 @@ class Lz77Params:
 
     @staticmethod
     def read(br: BitReader) -> "Lz77Params":
+        """No all_default bit: LZ77Params::VisitFields starts with a plain
+        Bool(false, &enabled), so disabled is a single 0 bit.  The length
+        config is not part of the bundle; it follows only when enabled
+        (read by DecodeHistograms)."""
         p = Lz77Params()
         p.enabled = br.bool()
-        if p.enabled:
-            p.min_symbol = br.u32(224, 512, 4096, (15, 8))
-            p.min_length = br.u32(3, 4, (2, 5), (8, 9))
-            p.length_config = HybridUintConfig.read(br, 8)
+        if not p.enabled:
+            return p
+        p.min_symbol = br.u32(224, 512, 4096, (15, 8))
+        p.min_length = br.u32(3, 4, (2, 5), (8, 9))
+        p.length_config = HybridUintConfig.read(br, 8)
         return p
 
     def write(self, bw: BitWriter) -> None:
         bw.bool(self.enabled)
-        if self.enabled:
-            bw.u32(self.min_symbol, 224, 512, 4096, (15, 8))
-            bw.u32(self.min_length, 3, 4, (2, 5), (8, 9))
-            self.length_config.write(bw, 8)
+        if not self.enabled:
+            return
+        bw.u32(self.min_symbol, 224, 512, 4096, (15, 8))
+        bw.u32(self.min_length, 3, 4, (2, 5), (8, 9))
+        self.length_config.write(bw, 8)
 
 
 # --------------------------------------------------------------------------
@@ -114,7 +120,7 @@ class Lz77Params:
 def read_cluster_map(br: BitReader, num_contexts: int) -> List[int]:
     if num_contexts == 1:
         return [0]
-    if br.bool():  # is_simple
+    if br.bool():  # 1 => simple (polarity verified against libjxl)
         nbits = br.u(2)
         cmap = [br.u(nbits) for _ in range(num_contexts)]
     else:
@@ -144,7 +150,7 @@ def write_cluster_map(bw: BitWriter, cmap: List[int]) -> None:
     nbits = max(v.bit_length() for v in cmap)
     if nbits > 3:
         raise ValueError("simple cluster map supports <= 8 clusters")
-    bw.bool(True)
+    bw.bool(True)  # simple
     bw.u(nbits, 2)
     for v in cmap:
         bw.u(v, nbits)
@@ -153,19 +159,21 @@ def write_cluster_map(bw: BitWriter, cmap: List[int]) -> None:
 # --------------------------------------------------------------------------
 # Decoder
 
-class EntropyDecoder:
-    """Reads hybrid-uint values with contexts from a JXL entropy stream."""
+class EntropyCode:
+    """Parsed entropy tables (lz77 params, cluster map, uint configs,
+    prefix codes / ANS alias tables).  Shared between streams: the global
+    modular histograms are parsed once and reused by every group stream,
+    each with its own stream state (EntropyDecoder)."""
 
-    def __init__(self, br: BitReader, num_contexts: int,
-                 dist_multiplier: int = 0):
-        self.br = br
-        self.dist_multiplier = dist_multiplier
+    def __init__(self, br: BitReader, num_contexts: int):
+        self.num_contexts = num_contexts
         self.lz77 = Lz77Params.read(br)
         num_dists = num_contexts
         if self.lz77.enabled:
             num_dists += 1
             self.dist_ctx = num_contexts
-            self.window: List[int] = []
+        else:
+            self.dist_ctx = None
         self.cluster_map = read_cluster_map(br, num_dists)
         num_clusters = max(self.cluster_map) + 1
         self.use_prefix = br.bool()
@@ -187,12 +195,36 @@ class EntropyDecoder:
                 else:
                     sizes.append(1)
             self.prefix_codes = [read_prefix_code(br, s) for s in sizes]
-            self.ans = None
         else:
             dists = [_ans.read_ans_distribution(br, log_alpha)
                      for _ in range(num_clusters)]
             self.alias_tables = [AliasTable(d, log_alpha) for d in dists]
-            self.ans = AnsState(br)
+
+
+class EntropyDecoder:
+    """Reads hybrid-uint values with contexts from a JXL entropy stream.
+
+    Either parses its own EntropyCode from the stream (num_contexts given)
+    or attaches fresh stream state to a shared, already-parsed code."""
+
+    def __init__(self, br: BitReader, num_contexts: int = None,
+                 dist_multiplier: int = 0, code: "EntropyCode" = None):
+        self.br = br
+        self.dist_multiplier = dist_multiplier
+        if code is None:
+            code = EntropyCode(br, num_contexts)
+        self.code = code
+        self.lz77 = code.lz77
+        if self.lz77.enabled:
+            self.dist_ctx = code.dist_ctx
+            self.window: List[int] = []
+        self.cluster_map = code.cluster_map
+        self.use_prefix = code.use_prefix
+        self.log_alpha = code.log_alpha
+        self.configs = code.configs
+        self.prefix_codes = code.prefix_codes
+        self.alias_tables = code.alias_tables
+        self.ans = None if code.use_prefix else AnsState(br)
         # lz77 run state
         self._copy_pos = 0
         self._copy_len = 0
@@ -258,23 +290,24 @@ class EntropyDecoder:
         return self.ans.check_final_state()
 
 
-# Special LZ77 distances (§C.3, kSpecialDistances): 120 small (x, y) motion
-# pairs; distance = x + y * dist_multiplier.
-# NOTE: provisional ordering — to be pinned against real bitstreams before
-# the decoder accepts special distances from foreign files.
-def _gen_special_distances():
-    pairs = []
-    for y in range(0, 9):
-        for x in range(-7, 8):
-            if y == 0 and x <= 0:
-                continue
-            pairs.append((x, y))
-    pairs.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], p[1], abs(p[0]),
-                              -p[0]))
-    return pairs[:120]
-
-
-SPECIAL_DISTANCES = _gen_special_distances()
+# Special LZ77 distances (§C.3, kSpecialDistances): 120 (x, y) motion
+# pairs from WebP lossless; distance = max(1, x + y * dist_multiplier).
+SPECIAL_DISTANCES = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7)]
 
 
 # --------------------------------------------------------------------------
@@ -302,7 +335,7 @@ class TokenStream:
         if self.lz77:
             self._write_lz77(bw, config)
             return
-        # lz77 disabled
+        # lz77 disabled: a plain Bool field, 0 bit (no all_default)
         bw.bool(False)
         # cluster contexts: group by histogram similarity — round 1: map all
         # contexts with data to shared clusters by identity capped at 8.

@@ -90,28 +90,32 @@ def decode_channel(dec: EntropyDecoder, tree: Tree, chan: Channel,
     need_wp = tree.uses_weighted()
     wp = WPState(wp_params, w) if need_wp else None
     max_prop = tree.max_property
-    # prev-channel properties only reference same-shaped channels
-    same_shape_prev = [p for p in prev_channels if p.shape == (h, w)]
+    # eligible reference channels: same size AND same shifts, closest first
+    eligible_prev = [p for (p, hs, vs) in prev_channels
+                     if p.shape == (h, w)
+                     and hs == chan.hshift and vs == chan.vshift]
 
     for y in range(h):
         if wp is not None and y > 0:
             wp.new_row()
+        prev_grad = 0
         for x in range(w):
             W, N, NW, NE, NN, WW, NEE = neighbors(data, x, y, w)
-            wp_pred3 = None
-            max_err = 0
+            wp_pred = None
+            wp_prop = 0
             if wp is not None:
-                wp_pred3 = wp.predict(x, y, w, W, N, NW, NE, NN)
-                max_err = wp.max_error
+                wp_pred = wp.predict(x, y, w, W, N, NW, NE, NN)
+                wp_prop = wp.prop
             if max_prop >= 0:
                 props = properties_for_pixel(
                     chan_index, stream_id, x, y, W, N, NW, NE, NN, WW,
-                    max_err, same_shape_prev)
+                    wp_prop, eligible_prev, prev_grad)
+                prev_grad = props[9]
                 leaf = tree.lookup(props)
             else:
                 leaf = tree.nodes[0]
             pred = predict(leaf.predictor, W, N, NW, NE, NN, WW, NEE,
-                           wp_pred3)
+                           wp_pred)
             val = pred + leaf.offset + leaf.multiplier * unpack_signed(
                 dec.read(leaf.ctx))
             data[y, x] = val
@@ -160,7 +164,9 @@ def _scan_avg(data, res, w, h):
             else:
                 W = 0
             N = data[y - 1, x] if y > 0 else W
-            data[y, x] = ((int(W) + int(N)) >> 1) + res[y, x]
+            s_ = int(W) + int(N)
+            q = abs(s_) >> 1
+            data[y, x] = (-q if s_ < 0 else q) + res[y, x]
 
 
 def _scan_gradient(data, res, w, h):
@@ -201,26 +207,30 @@ def encode_channel(ts: TokenStream, tree: Tree, chan: Channel,
     need_wp = tree.uses_weighted()
     wp = WPState(wp_params, w) if need_wp else None
     max_prop = tree.max_property
-    same_shape_prev = [p for p in prev_channels if p.shape == (h, w)]
+    eligible_prev = [p for (p, hs, vs) in prev_channels
+                     if p.shape == (h, w)
+                     and hs == chan.hshift and vs == chan.vshift]
     for y in range(h):
         if wp is not None and y > 0:
             wp.new_row()
+        prev_grad = 0
         for x in range(w):
             W, N, NW, NE, NN, WW, NEE = neighbors(data, x, y, w)
-            wp_pred3 = None
-            max_err = 0
+            wp_pred = None
+            wp_prop = 0
             if wp is not None:
-                wp_pred3 = wp.predict(x, y, w, W, N, NW, NE, NN)
-                max_err = wp.max_error
+                wp_pred = wp.predict(x, y, w, W, N, NW, NE, NN)
+                wp_prop = wp.prop
             if max_prop >= 0:
                 props = properties_for_pixel(
                     chan_index, stream_id, x, y, W, N, NW, NE, NN, WW,
-                    max_err, same_shape_prev)
+                    wp_prop, eligible_prev, prev_grad)
+                prev_grad = props[9]
                 leaf = tree.lookup(props)
             else:
                 leaf = tree.nodes[0]
             pred = predict(leaf.predictor, W, N, NW, NE, NN, WW, NEE,
-                           wp_pred3)
+                           wp_pred)
             diff = int(data[y, x]) - pred - leaf.offset
             if diff % leaf.multiplier != 0:
                 raise ValueError("value not representable with multiplier")
@@ -248,7 +258,8 @@ def _encode_single_leaf(ts: TokenStream, leaf, data, w, h) -> None:
         N = np.zeros((h, w), np.int64)
         N[1:] = data64[:-1]
         N[0] = W[0]
-        pred = (W + N) >> 1
+        s_ = W + N
+        pred = np.sign(s_) * (np.abs(s_) >> 1)  # trunc toward zero
     elif p == 5:
         W = np.zeros((h, w), np.int64)
         W[:, 1:] = data64[:, :-1]
@@ -282,12 +293,17 @@ def _encode_single_leaf(ts: TokenStream, leaf, data, w, h) -> None:
 def decode_modular_stream(br: BitReader, image: ModularImage,
                           stream_id: int = 0,
                           global_tree: Optional[Tree] = None,
+                          global_code=None,
                           tree_size_limit: int = 1 << 22,
-                          channel_range=None) -> GroupHeader:
+                          channel_range=None,
+                          max_chan_size: Optional[int] = None) -> GroupHeader:
     """Decode header + (local tree) + channel planes for `image`.
 
     channel_range: optional (start, end) restricting which channels (after
     meta transforms) this stream carries (group streams).
+    max_chan_size: stop (break) at the first non-meta channel wider/taller
+    than this (the global-stream partial-decode rule); the index where
+    decoding stopped is stored on the returned header as `.stopped_at`.
     """
     header = GroupHeader.read(br)
     apply_meta_transforms(image, header)
@@ -295,15 +311,21 @@ def decode_modular_stream(br: BitReader, image: ModularImage,
         if global_tree is None:
             raise BitstreamError("stream requires global tree")
         tree = global_tree
+        dec = EntropyDecoder(br, code=global_code) if global_code is not None \
+            else EntropyDecoder(br, tree.num_leaves)
     else:
         tree = decode_tree(br, tree_size_limit)
-    dec = EntropyDecoder(br, tree.num_leaves)
+        dec = EntropyDecoder(br, tree.num_leaves)
     chans = image.channels
     start, end = channel_range or (0, len(chans))
 
-    # native fast path (prefix-code streams)
+    # native fast path (prefix-code streams).  Gated to trees whose
+    # properties the C++ implements with reference-exact semantics
+    # (props 0-7; WP and the running-gradient/FFV1/prev-channel props
+    # are Python-only until the C++ port catches up).
     native = None
-    if dec.use_prefix:
+    if dec.use_prefix and not tree.uses_weighted() \
+            and tree.max_property <= 7:
         try:
             from .. import native as native_mod
             if native_mod.get_lib() is not None:
@@ -311,30 +333,47 @@ def decode_modular_stream(br: BitReader, image: ModularImage,
         except Exception:
             native = None
     decoded_planes: List[np.ndarray] = []
+    header.stopped_at = end
+
+    def _stop(ci, chan):
+        return (max_chan_size is not None
+                and ci >= image.nb_meta_channels
+                and (chan.width > max_chan_size
+                     or chan.height > max_chan_size))
+
     if native is not None:
         use_wp = tree.uses_weighted()
         max_prop = tree.max_property
         for ci in range(start, end):
             chan = chans[ci]
+            if _stop(ci, chan):
+                header.stopped_at = ci
+                break
             chan.alloc()
             if chan.width == 0 or chan.height == 0:
                 continue
-            same_shape = [p for p in decoded_planes
-                          if p.shape == (chan.height, chan.width)]
+            same_shape = [p for (p, hs, vs) in decoded_planes
+                          if p.shape == (chan.height, chan.width)
+                          and hs == chan.hshift and vs == chan.vshift]
             native.decode_channel(tree, chan.data, ci, stream_id,
                                   header.wp_params, same_shape, max_prop,
                                   use_wp)
-            decoded_planes.insert(0, chan.data)
+            decoded_planes.insert(
+                0, (chan.data, chan.hshift, chan.vshift))
         br.pos = native.bit_pos
         native.close()
         return header
 
     for ci in range(start, end):
         chan = chans[ci]
+        if _stop(ci, chan):
+            header.stopped_at = ci
+            break
         decode_channel(dec, tree, chan, ci, stream_id, decoded_planes,
                        header.wp_params)
         if chan.width and chan.height:
-            decoded_planes.insert(0, chan.data)
+            decoded_planes.insert(
+                0, (chan.data, chan.hshift, chan.vshift))
     if not dec.check_final_state():
         raise BitstreamError("modular stream ANS checksum failed")
     return header
@@ -358,5 +397,5 @@ def encode_modular_stream(bw: BitWriter, image: ModularImage,
         encode_channel(ts, tree, chan, ci, stream_id, planes,
                        header.wp_params)
         if chan.width and chan.height:
-            planes.insert(0, chan.data)
+            planes.insert(0, (chan.data, chan.hshift, chan.vshift))
     ts.write(bw)

@@ -52,7 +52,7 @@ class Transform:
             t.nb_deltas = br.u32(0, (8, 1), (10, 257), (16, 1281))
             t.d_pred = br.u(4)
         elif t.id == 2:  # Squeeze
-            num_sq = br.u32(0, (3, 1), (6, 9), (12, 41))
+            num_sq = br.u32(0, (4, 1), (6, 9), (8, 41))
             for _ in range(num_sq):
                 t.squeezes.append(SqueezeParams(
                     horizontal=br.bool(), in_place=br.bool(),
@@ -75,7 +75,7 @@ class Transform:
             bw.u32(self.nb_deltas, 0, (8, 1), (10, 257), (16, 1281))
             bw.u(self.d_pred, 4)
         elif self.id == 2:
-            bw.u32(len(self.squeezes), 0, (3, 1), (6, 9), (12, 41))
+            bw.u32(len(self.squeezes), 0, (4, 1), (6, 9), (8, 41))
             for s in self.squeezes:
                 bw.bool(s.horizontal)
                 bw.bool(s.in_place)
@@ -99,8 +99,9 @@ def _rct_inverse_type(a, b, c, rct_type):
     if rct_type == 4:
         return a, b + ((a + c) >> 1), c
     if rct_type == 5:
-        b2 = b + a
-        return a, b2, c + ((a + b2) >> 1)
+        # third += first happens BEFORE second uses it (rct.cc InvRCT)
+        c2 = c + a
+        return a, b + ((a + c2) >> 1), c2
     if rct_type == 6:  # YCoCg
         y, co, cg = a, b, c
         tmp = y - (cg >> 1)

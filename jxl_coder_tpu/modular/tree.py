@@ -62,9 +62,9 @@ class Tree:
                    default=-1)
 
     def uses_weighted(self) -> bool:
-        # property 14 is the WP max_error
+        # property 15 is the WP max-magnitude error (kWPProp)
         return any(n.is_leaf and n.predictor == 6 for n in self.nodes) or \
-            any((not n.is_leaf) and n.property == 14 for n in self.nodes)
+            any((not n.is_leaf) and n.property == 15 for n in self.nodes)
 
     def lookup(self, properties) -> Node:
         node = self.nodes[0]

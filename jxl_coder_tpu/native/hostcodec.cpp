@@ -352,23 +352,23 @@ static inline int64_t predict_one(int p, int64_t W, int64_t N, int64_t NW,
         case 0: return 0;
         case 1: return W;
         case 2: return N;
-        case 3: return (W + N) >> 1;
+        case 3: return (W + N) / 2;  // trunc toward zero, per reference
         case 4: {
             int64_t g = W + N - NW;
             int64_t dW = g - W; if (dW < 0) dW = -dW;
             int64_t dN = g - N; if (dN < 0) dN = -dN;
-            return dW <= dN ? W : N;
+            return dW < dN ? W : N;  // ties go to N
         }
         case 5: return clamped_gradient(N, W, NW);
         case 6: return (wp_pred3 + 3) >> 3;
         case 7: return NE;
         case 8: return NW;
         case 9: return WW;
-        case 10: return (W + NW) >> 1;
-        case 11: return (N + NW) >> 1;
-        case 12: return (N + NE) >> 1;
+        case 10: return (W + NW) / 2;
+        case 11: return (NW + N) / 2;
+        case 12: return (N + NE) / 2;
         case 13: return (6 * N - 2 * NN + 7 * W + WW + NEE + 3 * NE + 8)
-                     >> 4;
+                     / 16;
     }
     *err = 1;
     return 0;

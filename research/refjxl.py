@@ -1,0 +1,188 @@
+"""ctypes wrapper for the system libjxl 0.7 — reference encoder/decoder.
+
+Used as a conformance oracle: generates known-content streams for
+pinning wire-format details and golden pixels for decode comparison.
+"""
+
+import ctypes
+from ctypes import (POINTER, byref, c_void_p, c_int, c_size_t, c_uint8,
+                    c_uint32, c_uint64, c_float, Structure)
+
+import numpy as np
+
+_lib = ctypes.CDLL("/usr/lib/x86_64-linux-gnu/libjxl.so.0.7.0")
+
+# enums (jxl/decode.h, jxl/encode.h 0.7)
+JXL_DEC_SUCCESS = 0
+JXL_DEC_ERROR = 1
+JXL_DEC_NEED_MORE_INPUT = 2
+JXL_DEC_BASIC_INFO = 0x40
+JXL_DEC_FULL_IMAGE = 0x1000
+JXL_ENC_SUCCESS = 0
+JXL_TYPE_FLOAT = 0
+JXL_TYPE_UINT8 = 2
+JXL_TYPE_UINT16 = 3
+JXL_NATIVE_ENDIAN = 0
+
+
+class JxlPixelFormat(Structure):
+    _fields_ = [("num_channels", c_uint32), ("data_type", c_int),
+                ("endianness", c_int), ("align", c_size_t)]
+
+
+class JxlBasicInfo(Structure):
+    _fields_ = [("have_container", c_int), ("xsize", c_uint32),
+                ("ysize", c_uint32), ("bits_per_sample", c_uint32),
+                ("exponent_bits_per_sample", c_uint32),
+                ("intensity_target", c_float), ("min_nits", c_float),
+                ("relative_to_max_display", c_int),
+                ("linear_below", c_float), ("uses_original_profile", c_int),
+                ("have_preview", c_int), ("have_animation", c_int),
+                ("orientation", c_int), ("num_color_channels", c_uint32),
+                ("num_extra_channels", c_uint32), ("alpha_bits", c_uint32),
+                ("alpha_exponent_bits", c_uint32),
+                ("alpha_premultiplied", c_int),
+                ("preview_xsize", c_uint32), ("preview_ysize", c_uint32),
+                ("animation_tps_numerator", c_uint32),
+                ("animation_tps_denominator", c_uint32),
+                ("animation_num_loops", c_uint32),
+                ("animation_have_timecodes", c_int),
+                ("padding", c_uint8 * 108)]
+
+
+for name, restype, argtypes in [
+    ("JxlDecoderCreate", c_void_p, [c_void_p]),
+    ("JxlDecoderDestroy", None, [c_void_p]),
+    ("JxlDecoderSubscribeEvents", c_int, [c_void_p, c_int]),
+    ("JxlDecoderSetInput", c_int, [c_void_p, c_void_p, c_size_t]),
+    ("JxlDecoderProcessInput", c_int, [c_void_p]),
+    ("JxlDecoderGetBasicInfo", c_int, [c_void_p, POINTER(JxlBasicInfo)]),
+    ("JxlDecoderImageOutBufferSize", c_int,
+     [c_void_p, POINTER(JxlPixelFormat), POINTER(c_size_t)]),
+    ("JxlDecoderSetImageOutBuffer", c_int,
+     [c_void_p, POINTER(JxlPixelFormat), c_void_p, c_size_t]),
+    ("JxlEncoderCreate", c_void_p, [c_void_p]),
+    ("JxlEncoderDestroy", None, [c_void_p]),
+    ("JxlEncoderAddImageFrame", c_int,
+     [c_void_p, POINTER(JxlPixelFormat), c_void_p, c_size_t]),
+    ("JxlEncoderCloseInput", None, [c_void_p]),
+    ("JxlEncoderProcessOutput", c_int,
+     [c_void_p, POINTER(POINTER(c_uint8)), POINTER(c_size_t)]),
+    ("JxlEncoderSetBasicInfo", c_int, [c_void_p, POINTER(JxlBasicInfo)]),
+    ("JxlEncoderOptionsCreate", c_void_p, [c_void_p, c_void_p]),
+    ("JxlEncoderOptionsSetDistance", c_int, [c_void_p, c_float]),
+    ("JxlEncoderOptionsSetEffort", c_int, [c_void_p, c_int]),
+    ("JxlEncoderOptionsSetLossless", c_int, [c_void_p, c_int]),
+    ("JxlEncoderUseContainer", c_int, [c_void_p, c_int]),
+    ("JxlColorEncodingSetToSRGB", None, [c_void_p, c_int]),
+    ("JxlEncoderSetColorEncoding", c_int, [c_void_p, c_void_p]),
+    ("JxlEncoderInitBasicInfo", None, [POINTER(JxlBasicInfo)]),
+]:
+    try:
+        f = getattr(_lib, name)
+        f.restype = restype
+        f.argtypes = argtypes
+    except AttributeError:
+        pass
+
+
+def decode(data: bytes):
+    """Decode to (pixels uint8 (H,W,C), JxlBasicInfo)."""
+    dec = _lib.JxlDecoderCreate(None)
+    try:
+        assert _lib.JxlDecoderSubscribeEvents(
+            dec, JXL_DEC_BASIC_INFO | JXL_DEC_FULL_IMAGE) == 0
+        buf = ctypes.create_string_buffer(data, len(data))
+        assert _lib.JxlDecoderSetInput(dec, buf, len(data)) == 0
+        info = JxlBasicInfo()
+        pixels = None
+        fmt = None
+        while True:
+            status = _lib.JxlDecoderProcessInput(dec)
+            if status == JXL_DEC_BASIC_INFO:
+                assert _lib.JxlDecoderGetBasicInfo(dec, byref(info)) == 0
+            elif status == 5:  # NEED_IMAGE_OUT_BUFFER
+                nch = 3 + (1 if info.alpha_bits else 0)
+                fmt = JxlPixelFormat(nch, JXL_TYPE_UINT8,
+                                     JXL_NATIVE_ENDIAN, 0)
+                size = c_size_t()
+                assert _lib.JxlDecoderImageOutBufferSize(
+                    dec, byref(fmt), byref(size)) == 0
+                pixels = (c_uint8 * size.value)()
+                assert _lib.JxlDecoderSetImageOutBuffer(
+                    dec, byref(fmt), pixels, size.value) == 0
+            elif status == JXL_DEC_FULL_IMAGE:
+                pass
+            elif status == JXL_DEC_SUCCESS:
+                break
+            elif status == JXL_DEC_ERROR:
+                raise RuntimeError("libjxl decode error")
+            elif status == JXL_DEC_NEED_MORE_INPUT:
+                raise RuntimeError("truncated input")
+            else:
+                raise RuntimeError(f"unhandled decoder status {status}")
+        nch = fmt.num_channels
+        arr = np.ctypeslib.as_array(pixels).reshape(
+            info.ysize, info.xsize, nch).copy()
+        return arr, info
+    finally:
+        _lib.JxlDecoderDestroy(dec)
+
+
+def encode(pixels: np.ndarray, lossless: bool = True, effort: int = 7,
+           distance: float = 1.0, container: bool = False) -> bytes:
+    """Encode uint8 (H, W, 3) with libjxl 0.7."""
+    h, w, nch = pixels.shape
+    enc = _lib.JxlEncoderCreate(None)
+    try:
+        _lib.JxlEncoderUseContainer(enc, 1 if container else 0)
+        info = JxlBasicInfo()
+        _lib.JxlEncoderInitBasicInfo(byref(info))
+        info.xsize = w
+        info.ysize = h
+        info.bits_per_sample = 8
+        info.num_color_channels = 3
+        info.uses_original_profile = 1 if lossless else 0
+        assert _lib.JxlEncoderSetBasicInfo(enc, byref(info)) == 0, \
+            "SetBasicInfo failed"
+        # color encoding: sRGB
+        ce = ctypes.create_string_buffer(1024)
+        _lib.JxlColorEncodingSetToSRGB(ce, 0)
+        assert _lib.JxlEncoderSetColorEncoding(enc, ce) == 0
+        opts = _lib.JxlEncoderOptionsCreate(enc, None)
+        _lib.JxlEncoderOptionsSetEffort(opts, effort)
+        if lossless:
+            _lib.JxlEncoderOptionsSetLossless(opts, 1)
+        else:
+            _lib.JxlEncoderOptionsSetDistance(opts, distance)
+        fmt = JxlPixelFormat(nch, JXL_TYPE_UINT8, JXL_NATIVE_ENDIAN, 0)
+        arr = np.ascontiguousarray(pixels, np.uint8)
+        assert _lib.JxlEncoderAddImageFrame(
+            opts, byref(fmt), arr.ctypes.data_as(c_void_p),
+            arr.nbytes) == 0, "AddImageFrame failed"
+        _lib.JxlEncoderCloseInput(enc)
+        out = bytearray()
+        chunk = (c_uint8 * 65536)()
+        while True:
+            ptr = ctypes.cast(chunk, POINTER(c_uint8))
+            avail = c_size_t(65536)
+            status = _lib.JxlEncoderProcessOutput(enc, byref(ptr),
+                                                  byref(avail))
+            used = 65536 - avail.value
+            out += bytes(chunk[:used])
+            if status == JXL_ENC_SUCCESS:
+                break
+            if status != 2:  # JXL_ENC_NEED_MORE_OUTPUT
+                raise RuntimeError(f"encoder status {status}")
+        return bytes(out)
+    finally:
+        _lib.JxlEncoderDestroy(enc)
+
+
+if __name__ == "__main__":
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :, 0] = 128
+    data = encode(img, lossless=True, effort=1)
+    print("encoded", len(data), "bytes:", data[:32].hex())
+    back, info = decode(data)
+    print("decoded", back.shape, "exact:", np.array_equal(back, img))
