@@ -86,8 +86,8 @@ for name, restype, argtypes in [
         pass
 
 
-def decode(data: bytes):
-    """Decode to (pixels uint8 (H,W,C), JxlBasicInfo)."""
+def decode(data: bytes, as_float: bool = False):
+    """Decode to (pixels uint8 or float32 (H,W,C), JxlBasicInfo)."""
     dec = _lib.JxlDecoderCreate(None)
     try:
         assert _lib.JxlDecoderSubscribeEvents(
@@ -103,8 +103,8 @@ def decode(data: bytes):
                 assert _lib.JxlDecoderGetBasicInfo(dec, byref(info)) == 0
             elif status == 5:  # NEED_IMAGE_OUT_BUFFER
                 nch = 3 + (1 if info.alpha_bits else 0)
-                fmt = JxlPixelFormat(nch, JXL_TYPE_UINT8,
-                                     JXL_NATIVE_ENDIAN, 0)
+                ptype = JXL_TYPE_FLOAT if as_float else JXL_TYPE_UINT8
+                fmt = JxlPixelFormat(nch, ptype, JXL_NATIVE_ENDIAN, 0)
                 size = c_size_t()
                 assert _lib.JxlDecoderImageOutBufferSize(
                     dec, byref(fmt), byref(size)) == 0
@@ -122,8 +122,12 @@ def decode(data: bytes):
             else:
                 raise RuntimeError(f"unhandled decoder status {status}")
         nch = fmt.num_channels
-        arr = np.ctypeslib.as_array(pixels).reshape(
-            info.ysize, info.xsize, nch).copy()
+        raw = np.ctypeslib.as_array(pixels)
+        if as_float:
+            arr = raw.view(np.float32).reshape(
+                info.ysize, info.xsize, nch).copy()
+        else:
+            arr = raw.reshape(info.ysize, info.xsize, nch).copy()
         return arr, info
     finally:
         _lib.JxlDecoderDestroy(dec)
