@@ -210,9 +210,8 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
         from .vardct.quant import quality_to_distance
         q = quality if quality is not None else 90
         distance = quality_to_distance(int(q))
-        return codec.encode_vardct_still(pixels, distance=distance,
-                                         effort=effort,
-                                         decoding_speed=decoding_speed)
+        from .vardct.enc_real import encode_vardct_real
+        return encode_vardct_real(pixels, distance=distance)
 
     m = ImageMetadata()
     m.xyb_encoded = False
@@ -308,7 +307,8 @@ def decode(data: bytes):
             2 + ndc + ng * fh.passes.num_passes)
         toc = read_toc(br, n)
         if fh.encoding != Encoding.MODULAR:
-            out = codec.decode_vardct_still(cs, hdr, fh, toc)
+            from .vardct.dec_real import decode_vardct_frame
+            out = decode_vardct_frame(cs, hdr, fh, toc)
             out = apply_orientation(out, m.orientation)
             return out, basic_info(data)
         planes = codec.decode_modular_frame(cs, hdr, fh, toc)

@@ -335,10 +335,20 @@ class TokenStream:
         if self.lz77:
             self._write_lz77(bw, config)
             return
+        shared = self.write_histograms(bw, config)
+        self.write_symbols(bw, shared)
+
+    def write_histograms(self, bw: BitWriter,
+                         config: HybridUintConfig = HybridUintConfig(4, 4, 0)
+                         ):
+        """Serialize lz77-off + cluster map + configs + prefix codes for
+        THIS stream's tokens; returns the shared coding state so other
+        token streams (e.g. per-group sections sharing HfGlobal
+        histograms) can emit just their symbols."""
         # lz77 disabled: a plain Bool field, 0 bit (no all_default)
         bw.bool(False)
-        # cluster contexts: group by histogram similarity — round 1: map all
-        # contexts with data to shared clusters by identity capped at 8.
+        # cluster contexts: map all contexts with data to shared
+        # clusters by identity capped at 8 (simple cluster-map form).
         used = sorted({c for c, _ in self.tokens})
         cmap = [0] * self.num_contexts
         if self.num_contexts > 1:
@@ -352,7 +362,6 @@ class TokenStream:
                     assign[c] = 7
             for c in range(self.num_contexts):
                 cmap[c] = assign.get(c, assign[used[0]] if used else 0)
-            # ensure dense ids
             dense = sorted(set(cmap))
             remap = {v: i for i, v in enumerate(dense)}
             cmap = [remap[v] for v in cmap]
@@ -362,17 +371,13 @@ class TokenStream:
         log_alpha = 15
         for _ in range(num_clusters):
             config.write(bw, log_alpha)
-        # tokenize
         per_cluster_hist = [dict() for _ in range(num_clusters)]
-        tokenized = []
         for ctx, value in self.tokens:
             cl = cmap[ctx] if self.num_contexts > 1 else 0
             token, extra, nbits = config.tokenize(value)
-            tokenized.append((cl, token, extra, nbits))
             h = per_cluster_hist[cl]
             h[token] = h.get(token, 0) + 1
-        # all alphabet sizes first, then all codes (two separate loops, as
-        # the decoder reads them)
+        # all alphabet sizes first, then all codes (decoder order)
         alphas = []
         for cl in range(num_clusters):
             h = per_cluster_hist[cl]
@@ -382,8 +387,6 @@ class TokenStream:
                 bw.bool(False)
             else:
                 bw.bool(True)
-                # alphabet = 1 + (1<<n) + u(n): choose n so that
-                # alpha-1-(1<<n) in [0, 2^n)
                 n = (alpha - 1).bit_length() - 1
                 bw.u(n, 4)
                 bw.u(alpha - 1 - (1 << n), n)
@@ -398,8 +401,13 @@ class TokenStream:
                 codes.append(PrefixCode(lengths))
             else:
                 codes.append(PrefixCode([1]))
-        # emit tokens
-        for cl, token, extra, nbits in tokenized:
+        return (cmap, config, codes)
+
+    def write_symbols(self, bw: BitWriter, shared) -> None:
+        cmap, config, codes = shared
+        for ctx, value in self.tokens:
+            cl = cmap[ctx] if self.num_contexts > 1 else 0
+            token, extra, nbits = config.tokenize(value)
             codes[cl].write(bw, token)
             if nbits:
                 bw.u(extra, nbits)

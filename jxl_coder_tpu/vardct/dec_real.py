@@ -169,6 +169,16 @@ class LfGroup:
     dc: ModularImage          # 3 channels (Y, X, B), quantized ints
     nb_blocks: int
     acm: ModularImage         # ytox, ytob, blockinfo, sharpness
+    acs_map: np.ndarray = None    # (ys_b, xs_b) strategy id, -1=covered
+    qf_map: np.ndarray = None     # (ys_b, xs_b) quant field
+    sharp_map: np.ndarray = None  # (ys_b, xs_b)
+    ytox: np.ndarray = None       # tile grids (ceil/8)
+    ytob: np.ndarray = None
+
+
+def _strategies():
+    from .strategies import STRATEGIES
+    return STRATEGIES
 
 
 def read_lf_group(br: BitReader, lf: LfGlobal, xs_b: int, ys_b: int,
@@ -189,8 +199,40 @@ def read_lf_group(br: BitReader, lf: LfGlobal, xs_b: int, ys_b: int,
     decode_modular_stream(
         br, acm, stream_id=1 + 2 * num_dc_groups + group_index,
         global_tree=lf.gtree, global_code=lf.gcode)
-    return LfGroup(extra_precision=ep, dc=dc_img, nb_blocks=count,
-                   acm=acm)
+    lg = LfGroup(extra_precision=ep, dc=dc_img, nb_blocks=count,
+                 acm=acm)
+    # varblock walk: raster over the LF group, consuming one blockinfo
+    # entry per uncovered anchor (only 8x8 strategies for now)
+    acs_row = acm.channels[2].data[0]
+    qf_row = acm.channels[2].data[1]
+    acs_map = np.full((ys_b, xs_b), -1, np.int32)
+    from .strategies import STRATEGIES as _S_
+    qf_map = np.zeros((ys_b, xs_b), np.int32)
+    vi = 0
+    for by in range(ys_b):
+        for bx in range(xs_b):
+            if acs_map[by, bx] != -1:
+                continue
+            if vi >= count:
+                raise BitstreamError("too few AC metadata entries")
+            strategy = int(acs_row[vi])
+            st = _strategies().get(strategy)
+            if st is None:
+                raise BitstreamError("invalid AC strategy %d" % strategy)
+            if bx + st.cx > xs_b or by + st.cy > ys_b:
+                raise BitstreamError("AC strategy overflows group")
+            acs_map[by:by + st.cy, bx:bx + st.cx] = -2
+            acs_map[by, bx] = strategy
+            qf_map[by:by + st.cy, bx:bx + st.cx] = int(qf_row[vi]) + 1
+            vi += 1
+    if vi != count:
+        raise BitstreamError("unused AC metadata entries")
+    lg.acs_map = acs_map
+    lg.qf_map = qf_map
+    lg.sharp_map = acm.channels[3].data
+    lg.ytox = acm.channels[0].data
+    lg.ytob = acm.channels[1].data
+    return lg
 
 
 @dataclasses.dataclass
@@ -221,6 +263,13 @@ def read_permutation(pdec, skip, size):
     return [temp.pop(l) for l in lehmer]
 
 
+# canonical (covered, size) per order bucket: first strategy of the bucket
+BUCKET_GEOM = {0: (1, 64), 1: (1, 64), 2: (4, 256), 3: (16, 1024),
+               4: (2, 128), 5: (4, 256), 6: (8, 512), 7: (64, 4096),
+               8: (32, 2048), 9: (256, 16384), 10: (128, 8192),
+               11: (1024, 65536), 12: (512, 32768)}
+
+
 def read_hf_global(br: BitReader, lf: LfGlobal, num_groups: int,
                    num_passes: int) -> HfGlobal:
     if not br.bool():
@@ -237,13 +286,11 @@ def read_hf_global(br: BitReader, lf: LfGlobal, num_groups: int,
             pdec = EntropyDecoder(br, code=pcode)
             for ord_ in range(NUM_ORDERS):
                 if used_orders & (1 << ord_):
-                    if ord_ != 0:
-                        raise BitstreamError(
-                            "custom order for transform class %d "
-                            "not supported yet" % ord_)
+                    cov, size = BUCKET_GEOM[ord_]
                     for c in range(3):
-                        perm = read_permutation(pdec, 1, 64)
-                        orders[(ord_, c)] = [ZIGZAG8[v] for v in perm]
+                        # scan permutation relative to the natural scan
+                        orders[(ord_, c)] = read_permutation(pdec, cov,
+                                                             size)
             if not pdec.check_final_state():
                 raise BitstreamError("permutation checksum failed")
         nctx = num_histograms * lf.bcm.num_ctxs \
@@ -265,34 +312,47 @@ def dc_context_idx(bcm: BlockCtxMap, dc_vals) -> int:
     return idx
 
 
+@dataclasses.dataclass
+class VarBlock:
+    bx: int
+    by: int
+    strategy: int
+    # per channel: scan-indexed coefficient ints, length covered*64
+    values: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
+
+
 def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
                     lg: LfGroup, xs_b: int, ys_b: int,
                     pass_index: int, histo_index: int,
-                    dc_q: np.ndarray) -> np.ndarray:
-    """Decode AC coefficients for one group; returns (3, ys_b, xs_b, 64)
-    quantized ints (stored-layout indices)."""
+                    dc_q: np.ndarray) -> List["VarBlock"]:
+    """Decode AC coefficients for one 256px group: a list of varblocks
+    with scan-indexed quantized values per channel."""
+    from .strategies import STRATEGIES
     dec = EntropyDecoder(br, code=hf.accodes[pass_index])
     bcm = lf.bcm
     num_ctxs = bcm.num_ctxs
-    acs_row = lg.acm.channels[2].data[0]
-    qf_row = lg.acm.channels[2].data[1]
     ctx_base = histo_index * num_ctxs \
         * (NONZERO_BUCKETS + ZERO_DENSITY_CTX_COUNT)
-    coeffs = np.zeros((3, ys_b, xs_b, 64), np.int32)
+    blocks: List[VarBlock] = []
     nz_map = np.zeros((3, ys_b, xs_b), np.int32)
-    bi = 0
     for by in range(ys_b):
         for bx in range(xs_b):
-            acs = int(acs_row[bi])
-            qf = int(qf_row[bi]) + 1
-            bi += 1
-            if acs != 0:
-                raise BitstreamError(
-                    "AC strategy %d not supported yet" % acs)
+            acs = int(lg.acs_map[by, bx])
+            if acs < 0:
+                continue          # covered by an earlier anchor
+            strat = STRATEGIES.get(acs)
+            if strat is None:
+                raise BitstreamError("invalid AC strategy %d" % acs)
+            qf = int(lg.qf_map[by, bx])
+            cov = strat.covered
+            log2cov = strat.log2_covered
+            size = strat.num_coeffs
+            ord_b = strat.order_bucket
+            vb = VarBlock(bx=bx, by=by, strategy=acs)
             dc_idx = dc_context_idx(
                 bcm, (dc_q[1, by, bx], dc_q[0, by, bx], dc_q[2, by, bx]))
             for c in (1, 0, 2):
-                order = hf.orders.get((0, c)) or ZIGZAG8
+                order = hf.orders.get((ord_b, c))
                 if by == 0:
                     predicted = 32 if bx == 0 else int(nz_map[c, by, bx - 1])
                 elif bx == 0:
@@ -300,29 +360,35 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
                 else:
                     predicted = (int(nz_map[c, by - 1, bx])
                                  + int(nz_map[c, by, bx - 1]) + 1) // 2
-                bctx = bcm.context(dc_idx, qf, 0, c)
+                bctx = bcm.context(dc_idx, qf, ord_b, c)
                 nz = dec.read(ctx_base + nonzero_ctx(predicted, bctx,
                                                      num_ctxs))
-                if nz > 63:
+                if nz >= size - cov + 1:
                     raise BitstreamError("too many nonzeros")
-                nz_map[c, by, bx] = nz
+                spread = (nz + cov - 1) >> log2cov
+                nz_map[c, by:by + strat.cy, bx:bx + strat.cx] = spread
+                vals = np.zeros(size, np.int32)
                 ctx_off = ctx_base + num_ctxs * NONZERO_BUCKETS \
                     + ZERO_DENSITY_CTX_COUNT * bctx
-                prev = 0 if nz > 4 else 1
+                prev = 0 if nz > (size >> 4) else 1
                 nzeros = nz
-                k = 1
+                k = cov
                 while nzeros > 0:
-                    if k >= 64:
+                    if k >= size:
                         raise BitstreamError("coeff index overflow")
-                    ctx = ctx_off + zero_density_ctx(nzeros, k, 1, 0, prev)
+                    ctx = ctx_off + zero_density_ctx(nzeros, k, cov,
+                                                     log2cov, prev)
                     v = unpack_signed(dec.read(ctx))
-                    coeffs[c, by, bx, order[k]] = v
+                    p = order[k] if order is not None else k
+                    vals[p] = v
                     prev = 1 if v else 0
                     nzeros -= prev
                     k += 1
+                vb.values[c] = vals
+            blocks.append(vb)
     if not dec.check_final_state():
         raise BitstreamError("AC group checksum failed")
-    return coeffs
+    return blocks
 
 # ---------------------------------------------------------------------------
 # Reconstruction (numpy reference path; the TPU path mirrors this)
@@ -386,83 +452,176 @@ def xyb_planes_to_srgb8(X, Y, B):
     return np.clip(np.floor(srgb * 255.0 + 0.5), 0, 255).astype(np.uint8)
 
 
-def reconstruct_group_dct8(lf: LfGlobal, lg: LfGroup, coeffs: np.ndarray,
-                           fh) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """coeffs: (3, ys_b, xs_b, 64) ints -> X, Y, B float planes."""
-    from .tables_real import DCT8_TABLE
-    _, ys_b, xs_b, _ = coeffs.shape
+def reconstruct_group(lf: LfGlobal, lg: LfGroup,
+                      blocks: List["VarBlock"], fh
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Scan-indexed varblocks -> X, Y, B float planes for the group."""
+    from .strategies import STRATEGIES
+    from . import synthesis as S
+    ys_b, xs_b = lg.qf_map.shape
     igs = lf.inv_global_scale
     dc_mul = [d * igs / lf.quant_dc / (1 << lg.extra_precision)
               for d in lf.dcq]          # (x, y, b)
     qm = [0.8 ** (fh.x_qm_scale - 2), 1.0, 0.8 ** (fh.b_qm_scale - 2)]
-    qf_row = lg.acm.channels[2].data[1].astype(np.int64) + 1
-    qf = qf_row.reshape(ys_b, xs_b)
-    inv_qac = igs / qf                   # (ys_b, xs_b)
-
-    # dequantized AC (float64): (3, ys_b, xs_b, 64)
-    deq = coeffs.astype(np.float64)
-    for c in range(3):
-        deq[c] *= DCT8_TABLE[c][None, None, :].astype(np.float64) * qm[c]
-    deq *= inv_qac[None, :, :, None]
-
-    # CfL on dequantized AC: X += xf*Y, B += bf*Y per 64px tile
     cf = 1.0 / lf.cfl_color_factor
-    ytox = lg.acm.channels[0].data.astype(np.float64)
-    ytob = lg.acm.channels[1].data.astype(np.float64)
-    xf_t = lf.cfl_base_x + ytox * cf     # tile grids
-    bf_t = lf.cfl_base_b + ytob * cf
-    ty = np.arange(ys_b) // 8
-    tx = np.arange(xs_b) // 8
-    xf = xf_t[np.ix_(ty, tx)]
-    bf = bf_t[np.ix_(ty, tx)]
-    deq[0] += xf[:, :, None] * deq[1]
-    deq[2] += bf[:, :, None] * deq[1]
-
-    # DC: modular channels (Y, X, B) -> dequant + DC CfL
+    # dequantized, DC-CfL'ed DC planes
     dcY = lg.dc.channels[0].data.astype(np.float64) * dc_mul[1]
-    dcX = lg.dc.channels[1].data.astype(np.float64) * dc_mul[0]
-    dcB = lg.dc.channels[2].data.astype(np.float64) * dc_mul[2]
-    xf_dc = lf.cfl_base_x + lf.cfl_ytox_dc * cf
-    bf_dc = lf.cfl_base_b + lf.cfl_ytob_dc * cf
-    dcX = dcX + xf_dc * dcY
-    dcB = dcB + bf_dc * dcY
+    dcX = lg.dc.channels[1].data.astype(np.float64) * dc_mul[0] \
+        + (lf.cfl_base_x + lf.cfl_ytox_dc * cf) * dcY
+    dcB = lg.dc.channels[2].data.astype(np.float64) * dc_mul[2] \
+        + (lf.cfl_base_b + lf.cfl_ytob_dc * cf) * dcY
+    dc_planes = {0: dcX, 1: dcY, 2: dcB}
 
-    planes = []
-    A = _IDCT8_BASIS
-    for c, dcp in ((0, dcX), (1, dcY), (2, dcB)):
-        blocks = deq[c].reshape(ys_b, xs_b, 8, 8)
-        blocks[:, :, 0, 0] = dcp
-        # stored index k=r*8+c' maps to basis (kx=r, ky=c'): transpose
-        km = np.transpose(blocks, (0, 1, 3, 2))
-        pix = np.einsum('yxkl,km,ln->yxmn', km, A, A)
-        plane = np.transpose(pix, (0, 2, 1, 3)).reshape(ys_b * 8, xs_b * 8)
-        planes.append(plane)
+    H, W = ys_b * 8, xs_b * 8
+    planes = {c: np.zeros((H, W)) for c in range(3)}
+    for vb in blocks:
+        strat = STRATEGIES[vb.strategy]
+        bx, by = vb.bx, vb.by
+        qf = int(lg.qf_map[by, bx])
+        inv_qac = igs / qf
+        ty, tx = by // 8, bx // 8
+        xf = lf.cfl_base_x + float(lg.ytox[ty, tx]) * cf
+        bf = lf.cfl_base_b + float(lg.ytob[ty, tx]) * cf
+        bh, bw = strat.height, strat.width
+        ac_pix = {}
+        if strat.covered == 1 and vb.strategy != 0:
+            # non-separable 8x8 transforms: measured response matrices
+            for c in (1, 0, 2):
+                resp = S.response_matrix(vb.strategy, c)
+                ints = vb.values[c].astype(np.float64)
+                pix = np.tensordot(ints[1:], resp[1:], axes=1) \
+                    * (inv_qac * qm[c])
+                pix = pix + float(dc_planes[c][by, bx]) * resp[0]
+                ac_pix[c] = pix
+            # AC CfL on the coded part only: subtract DC part first
+            acY = np.tensordot(vb.values[1].astype(np.float64)[1:],
+                               S.response_matrix(vb.strategy, 1)[1:],
+                               axes=1) * inv_qac
+            ac_pix[0] = ac_pix[0] + xf * acY
+            ac_pix[2] = ac_pix[2] + bf * acY
+        else:
+            order = S.scan_to_basis(vb.strategy)
+            cov = strat.covered
+            acY_mat = None
+            for c in (1, 0, 2):
+                tab = S.dequant_table(strat.quant_kind, c)
+                cvec = np.zeros(bh * bw)
+                idx = order[cov:]
+                cvec[idx] = vb.values[c][cov:].astype(np.float64) \
+                    * tab[idx] * (inv_qac * qm[c])
+                cmat = cvec.reshape(bh, bw)
+                if c == 1:
+                    acY_mat = cmat.copy()
+                else:
+                    f = xf if c == 0 else bf
+                    cmat += f * acY_mat
+                # LLF from the (cfl'ed) DC
+                dcblk = dc_planes[c][by:by + strat.cy, bx:bx + strat.cx]
+                cmat[:strat.cy, :strat.cx] = S.llf_from_dc(dcblk)
+                ac_pix[c] = S.synth_rect(cmat)
+        for c in range(3):
+            planes[c][by * 8:by * 8 + bh, bx * 8:bx * 8 + bw] = ac_pix[c]
     return planes[0], planes[1], planes[2]
 
 
 def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
-    """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB."""
+    """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
+
+    Section layout (multi-entry TOC): LfGlobal | LfGroup[0..ndc) |
+    HfGlobal | PassGroup[pass][0..ng); single-entry TOC concatenates
+    them in the same order without byte re-alignment.
+    """
     w, h = fh.coded_size(hdr)
     xs_b, ys_b = -(-w // 8), -(-h // 8)
     ng, ndc = fh.counts(hdr)
-    if ng != 1 or fh.passes.num_passes != 1:
-        raise BitstreamError("multi-group VarDCT not wired up yet")
-    sec = toc.section(0)
-    br = BitReader(cs[sec.offset:sec.offset + sec.size])
-    lf = read_lf_global(br, fh)
-    lg = read_lf_group(br, lf, xs_b, ys_b, 0, ndc)
-    hf = read_hf_global(br, lf, 1, 1)
-    dc_q = np.stack([lg.dc.channels[1].data, lg.dc.channels[0].data,
-                     lg.dc.channels[2].data])  # (x, y, b) for dc ctx
-    coeffs = read_pass_group(br, lf, hf, lg, xs_b, ys_b, 0, 0, dc_q)
-    X, Y, B = reconstruct_group_dct8(lf, lg, coeffs, fh)
-    if not (fh.flags & 0x80):
-        X, Y, B = adaptive_dc_smoothing_placeholder(X, Y, B)
+    npasses = fh.passes.num_passes
+    if npasses != 1:
+        raise BitstreamError("progressive passes not wired up yet")
+    single = len(toc.entries) == 1
+
+    def section(idx):
+        if single:
+            return None
+        s = toc.section(idx)
+        return BitReader(cs[s.offset:s.offset + s.size])
+
+    if single:
+        s = toc.section(0)
+        br = BitReader(cs[s.offset:s.offset + s.size])
+        brs = lambda idx: br  # noqa: E731
+    else:
+        brs = section
+
+    lf = read_lf_global(brs(0), fh)
+
+    # LF groups: 2048x2048 px tiles (256x256 blocks)
+    lf_gd_b = 256
+    gx_lf = -(-xs_b // lf_gd_b)
+    gy_lf = -(-ys_b // lf_gd_b)
+    lgs = []
+    for gi in range(ndc):
+        lx = (gi % gx_lf) * lf_gd_b
+        ly = (gi // gx_lf) * lf_gd_b
+        gw = min(lf_gd_b, xs_b - lx)
+        gh = min(lf_gd_b, ys_b - ly)
+        lgs.append((lx, ly, read_lf_group(brs(1 + gi), lf, gw, gh,
+                                          gi, ndc)))
+
+    hf = read_hf_global(brs(1 + ndc), lf, ng, npasses)
+    histo_bits = (hf.num_histograms - 1).bit_length() \
+        if hf.num_histograms > 1 else 0
+
+    # AC groups: 256x256 px (32x32 blocks)
+    gd_b = 32
+    gx = -(-xs_b // gd_b)
+    X = np.zeros((ys_b * 8, xs_b * 8))
+    Y = np.zeros_like(X)
+    B = np.zeros_like(X)
+    for gi in range(ng):
+        ax = (gi % gx) * gd_b
+        ay = (gi // gx) * gd_b
+        gw = min(gd_b, xs_b - ax)
+        gh = min(gd_b, ys_b - ay)
+        br_g = brs(2 + ndc + gi)
+        histo_index = br_g.u(histo_bits) if histo_bits else 0
+        # parent LF group and intra-LF-group offsets
+        lgi = (ay // lf_gd_b) * gx_lf + (ax // lf_gd_b)
+        lx, ly, lg = lgs[lgi]
+        ox, oy = ax - lx, ay - ly
+        sub = _lf_group_view(lg, ox, oy, gw, gh)
+        dc_q = np.stack([sub.dc.channels[1].data, sub.dc.channels[0].data,
+                         sub.dc.channels[2].data])
+        blocks = read_pass_group(br_g, lf, hf, sub, gw, gh, 0,
+                                 histo_index, dc_q)
+        gX, gY, gB = reconstruct_group(lf, sub, blocks, fh)
+        X[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gX
+        Y[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gY
+        B[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gB
+
     rgb = xyb_planes_to_srgb8(X, Y, B)
     return rgb[:h, :w]
 
 
-def adaptive_dc_smoothing_placeholder(X, Y, B):
-    # DC smoothing not yet pinned; identity for now (flags bit 0x80
-    # skips it in streams we generate).
-    return X, Y, B
+def _lf_group_view(lg: LfGroup, ox: int, oy: int, gw: int,
+                   gh: int) -> LfGroup:
+    """Slice one AC group's window out of its parent LF group (block
+    maps, DC channels, and 64-px cfl tile grids; ox/oy are multiples
+    of 8 blocks so tile grids slice cleanly)."""
+    full_w = lg.dc.channels[0].width
+    full_h = lg.dc.channels[0].height
+    if ox == 0 and oy == 0 and gw == full_w and gh == full_h:
+        return lg
+    dc = ModularImage([
+        Channel(gw, gh, data=c.data[oy:oy + gh, ox:ox + gw])
+        for c in lg.dc.channels])
+    tx0, ty0 = ox // 8, oy // 8
+    tx1 = -(-(ox + gw) // 8)
+    ty1 = -(-(oy + gh) // 8)
+    return LfGroup(
+        extra_precision=lg.extra_precision, dc=dc,
+        nb_blocks=0, acm=lg.acm,
+        acs_map=lg.acs_map[oy:oy + gh, ox:ox + gw],
+        qf_map=lg.qf_map[oy:oy + gh, ox:ox + gw],
+        sharp_map=lg.sharp_map[oy:oy + gh, ox:ox + gw],
+        ytox=lg.ytox[ty0:ty1, tx0:tx1],
+        ytob=lg.ytob[ty0:ty1, tx0:tx1])

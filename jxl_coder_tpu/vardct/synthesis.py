@@ -1,0 +1,91 @@
+"""Transform synthesis for VarDCT reconstruction.
+
+Convention (pinned numerically against the reference decoder): a WxH
+transform's basis is the separable cosine family
+  psi[ky,kx](y,x) = a(ky) cos(pi (2y+1) ky / 2H) a(kx) cos(...)
+with a(0)=1, a(k)=sqrt(2); the DC basis function is constant 1 (DC =
+block mean).  The lowest cy*cx frequencies of a multi-block transform
+are not coded; they are produced from the DC image by a scaled DCT on
+the covered-block grid with per-frequency resampling factors
+  rs_N(i) = 1 / (cos(i pi/(16N)) cos(i pi/(8N)) cos(i pi/(4N)))
+(cf. dct_scales.h generator formula; validated by probe streams).
+
+Calibrated data (scan->basis maps, dequant tables, small-transform
+response matrices) lives in calib_real.npz next to this file.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict
+
+import numpy as np
+
+from .strategies import STRATEGIES
+
+
+@functools.lru_cache(maxsize=None)
+def cos_basis(n: int) -> np.ndarray:
+    """A[k, x] = a(k) cos(pi (2x+1) k / (2n)); synthesis f = A.T @ c."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    a = np.where(k == 0, 1.0, np.sqrt(2.0))
+    return a * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+
+
+@functools.lru_cache(maxsize=None)
+def ana_basis(n: int) -> np.ndarray:
+    """Forward (analysis) with DC = mean: M such that c = M @ f."""
+    return np.linalg.inv(cos_basis(n).T)
+
+
+@functools.lru_cache(maxsize=None)
+def resample_vec(n: int) -> np.ndarray:
+    """Upsampling scales rs_n(i), i < n (from n DC samples to 8n)."""
+    i = np.arange(n)
+    down = (np.cos(i * np.pi / (16 * n)) * np.cos(i * np.pi / (8 * n))
+            * np.cos(i * np.pi / (4 * n)))
+    return 1.0 / down
+
+
+def synth_rect(cmat: np.ndarray) -> np.ndarray:
+    """coefficients (H freq, W freq) -> pixels (H, W)."""
+    H, W = cmat.shape
+    return cos_basis(H).T @ cmat @ cos_basis(W)
+
+
+def llf_from_dc(dc_block: np.ndarray) -> np.ndarray:
+    """DC values (cy, cx) -> lowest-frequency coefficients (cy, cx)."""
+    cy, cx = dc_block.shape
+    c = ana_basis(cy) @ dc_block @ ana_basis(cx).T
+    return c * np.outer(resample_vec(cy), resample_vec(cx))
+
+
+_CALIB = None
+
+
+def calib():
+    global _CALIB
+    if _CALIB is None:
+        path = os.path.join(os.path.dirname(__file__), "calib_real.npz")
+        _CALIB = dict(np.load(path, allow_pickle=False))
+    return _CALIB
+
+
+def scan_to_basis(strategy_id: int) -> np.ndarray:
+    """scan position -> basis index ky*W+kx (length covered*64); the
+    first `covered` entries are the LLF raster positions."""
+    return calib()[f"order_{strategy_id}"]
+
+
+def dequant_table(quant_kind: str, c: int) -> np.ndarray:
+    """Dequant step per basis index at inv_qac=1 and qm=1."""
+    return calib()[f"table_{quant_kind}"][c]
+
+
+def response_matrix(strategy_id: int, c: int) -> np.ndarray:
+    """For cov==1 special transforms: (64 scan, 8, 8) pixel response
+    per unit quantized int at inv_qac=1, qm=1.  Row 0 is the response
+    per unit *float* DC (from the DC image)."""
+    return calib()[f"resp_{strategy_id}"][c]
