@@ -452,25 +452,70 @@ def xyb_planes_to_srgb8(X, Y, B):
     return np.clip(np.floor(srgb * 255.0 + 0.5), 0, 255).astype(np.uint8)
 
 
+def compute_dc_planes(lf: LfGlobal, lg: LfGroup):
+    """Dequantized, DC-CfL'ed DC planes for one LF group."""
+    igs = lf.inv_global_scale
+    cf = 1.0 / lf.cfl_color_factor
+    dc_mul = [d * igs / lf.quant_dc / (1 << lg.extra_precision)
+              for d in lf.dcq]          # (x, y, b)
+    dcY = lg.dc.channels[0].data.astype(np.float64) * dc_mul[1]
+    dcX = lg.dc.channels[1].data.astype(np.float64) * dc_mul[0] \
+        + (lf.cfl_base_x + lf.cfl_ytox_dc * cf) * dcY
+    dcB = lg.dc.channels[2].data.astype(np.float64) * dc_mul[2] \
+        + (lf.cfl_base_b + lf.cfl_ytob_dc * cf) * dcY
+    return {0: dcX, 1: dcY, 2: dcB}
+
+
+DC_SMOOTH_W1 = 0.20345139757231578
+DC_SMOOTH_W2 = 0.0334829185968739
+
+
+def adaptive_dc_smoothing(dc_planes, dc_steps):
+    """3x3 weighted smoothing of the DC image, gated per sample by the
+    largest per-channel deviation in quant-step units:
+    factor = clamp((0.7 - gap)/0.2, 0, 1), gap >= 0.5.  Image-border
+    samples are left untouched.  (Pinned by flag-toggle probes.)"""
+    w1, w2 = DC_SMOOTH_W1, DC_SMOOTH_W2
+    w0 = 1.0 - 4.0 * (w1 + w2)
+    sms = {}
+    gap = None
+    for c in range(3):
+        p = dc_planes[c]
+        pad = np.pad(p, 1, mode="edge")
+        sm = (w0 * p
+              + w1 * (pad[:-2, 1:-1] + pad[2:, 1:-1]
+                      + pad[1:-1, :-2] + pad[1:-1, 2:])
+              + w2 * (pad[:-2, :-2] + pad[:-2, 2:]
+                      + pad[2:, :-2] + pad[2:, 2:]))
+        sms[c] = sm
+        g = np.abs(sm - p) / dc_steps[c]
+        gap = g if gap is None else np.maximum(gap, g)
+    gap = np.maximum(0.5, gap)
+    mix = np.clip((0.7 - gap) / 0.2, 0.0, 1.0)
+    out = {}
+    for c in range(3):
+        p = dc_planes[c]
+        f = p + (sms[c] - p) * mix
+        f[0, :] = p[0, :]
+        f[-1, :] = p[-1, :]
+        f[:, 0] = p[:, 0]
+        f[:, -1] = p[:, -1]
+        out[c] = f
+    return out
+
+
 def reconstruct_group(lf: LfGlobal, lg: LfGroup,
-                      blocks: List["VarBlock"], fh
+                      blocks: List["VarBlock"], fh, dc_view=None
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Scan-indexed varblocks -> X, Y, B float planes for the group."""
     from .strategies import STRATEGIES
     from . import synthesis as S
     ys_b, xs_b = lg.qf_map.shape
     igs = lf.inv_global_scale
-    dc_mul = [d * igs / lf.quant_dc / (1 << lg.extra_precision)
-              for d in lf.dcq]          # (x, y, b)
     qm = [0.8 ** (fh.x_qm_scale - 2), 1.0, 0.8 ** (fh.b_qm_scale - 2)]
     cf = 1.0 / lf.cfl_color_factor
-    # dequantized, DC-CfL'ed DC planes
-    dcY = lg.dc.channels[0].data.astype(np.float64) * dc_mul[1]
-    dcX = lg.dc.channels[1].data.astype(np.float64) * dc_mul[0] \
-        + (lf.cfl_base_x + lf.cfl_ytox_dc * cf) * dcY
-    dcB = lg.dc.channels[2].data.astype(np.float64) * dc_mul[2] \
-        + (lf.cfl_base_b + lf.cfl_ytob_dc * cf) * dcY
-    dc_planes = {0: dcX, 1: dcY, 2: dcB}
+    dc_planes = dc_view if dc_view is not None else \
+        compute_dc_planes(lf, lg)
 
     H, W = ys_b * 8, xs_b * 8
     planes = {c: np.zeros((H, W)) for c in range(3)}
@@ -504,7 +549,7 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
             cov = strat.covered
             acY_mat = None
             for c in (1, 0, 2):
-                tab = S.dequant_table(strat.quant_kind, c)
+                tab = S.dequant_table(vb.strategy, c)
                 cvec = np.zeros(bh * bw)
                 idx = order[cov:]
                 cvec[idx] = vb.values[c][cov:].astype(np.float64) \
@@ -522,6 +567,83 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
         for c in range(3):
             planes[c][by * 8:by * 8 + bh, bx * 8:bx * 8 + bw] = ac_pix[c]
     return planes[0], planes[1], planes[2]
+
+
+def gaborish(plane: np.ndarray, w1: float, w2: float) -> np.ndarray:
+    """3x3 smoothing [[w2,w1,w2],[w1,1,w1],[w2,w1,w2]] / norm with
+    mirrored borders (kernel verified by impulse probe vs libjxl)."""
+    norm = 1.0 + 4.0 * (w1 + w2)
+    p = np.pad(plane, 1, mode="symmetric")
+    out = (p[1:-1, 1:-1]
+           + w1 * (p[:-2, 1:-1] + p[2:, 1:-1]
+                   + p[1:-1, :-2] + p[1:-1, 2:])
+           + w2 * (p[:-2, :-2] + p[:-2, 2:]
+                   + p[2:, :-2] + p[2:, 2:]))
+    return out / norm
+
+
+def apply_gaborish(X, Y, B, rf):
+    if not rf.gab:
+        return X, Y, B
+    if rf.gab_custom and rf.gab_weights is not None:
+        wx1, wx2, wy1, wy2, wb1, wb2 = rf.gab_weights
+    else:
+        wx1 = wy1 = wb1 = 0.115169525
+        wx2 = wy2 = wb2 = 0.061248592
+    return (gaborish(X, wx1, wx2), gaborish(Y, wy1, wy2),
+            gaborish(B, wb1, wb2))
+
+
+KINV_SIGMA = -1.1715728752538099024
+EPF_CHANNEL_SCALE = (40.0, 5.0, 3.5)
+# measured: sigma = EPF_SIGMA_PER * sharpness * (inv_global_scale / qf)
+EPF_SIGMA_PER = 0.05921
+
+
+def apply_epf1(X, Y, B, sigma_map):
+    """EPF first stage (epf_iters >= 1): filters only pixels on 8x8
+    block borders with a 4-neighbour cross; the per-pair distance is a
+    5-tap (cross-shaped) patch SAD over all three channels with scales
+    (40, 5, 3.5).  Pinned empirically against libjxl step/impulse
+    probes (border-only behaviour, linear sharpness lut, sigma
+    proportional to the quant step, skip below sigma 0.3)."""
+    H, W = Y.shape
+    planes = [X, Y, B]
+    pad = [np.pad(p, 2, mode="edge") for p in planes]
+    offs = ((0, 1), (0, -1), (1, 0), (-1, 0))
+    taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+    with np.errstate(divide="ignore"):
+        inv = np.where(sigma_map >= 0.3, KINV_SIGMA / sigma_map, 0.0)
+    active = sigma_map >= 0.3
+    # per-pixel maps
+    inv_px = np.repeat(np.repeat(inv, 8, 0), 8, 1)[:H, :W]
+    act_px = np.repeat(np.repeat(active, 8, 0), 8, 1)[:H, :W]
+    bx = np.arange(W) % 8
+    by = np.arange(H) % 8
+    border = (((by == 0) | (by == 7))[:, None]
+              | ((bx == 0) | (bx == 7))[None, :])
+    sel = border & act_px
+    wsum = np.ones((H, W))
+    acc = [p.copy() for p in planes]
+    for (dy, dx) in offs:
+        sad = np.zeros((H, W))
+        for c in range(3):
+            pc = pad[c]
+            for (ty, tx) in taps:
+                a = pc[2 + ty:2 + ty + H, 2 + tx:2 + tx + W]
+                b = pc[2 + dy + ty:2 + dy + ty + H,
+                       2 + dx + tx:2 + dx + tx + W]
+                sad += EPF_CHANNEL_SCALE[c] * np.abs(a - b)
+        w = np.maximum(0.0, 1.0 + sad * inv_px)
+        wsum += w
+        for c in range(3):
+            pc = pad[c]
+            acc[c] += w * pc[2 + dy:2 + dy + H, 2 + dx:2 + dx + W]
+    out = []
+    for c in range(3):
+        f = acc[c] / wsum
+        out.append(np.where(sel, f, planes[c]))
+    return out[0], out[1], out[2]
 
 
 def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
@@ -577,6 +699,24 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
     X = np.zeros((ys_b * 8, xs_b * 8))
     Y = np.zeros_like(X)
     B = np.zeros_like(X)
+    qf_map = np.zeros((ys_b, xs_b), np.int64)
+    sharp_map = np.zeros((ys_b, xs_b), np.int64)
+    dc_glob = {c: np.zeros((ys_b, xs_b)) for c in range(3)}
+    for lx, ly, lg in lgs:
+        gh_, gw_ = lg.qf_map.shape
+        qf_map[ly:ly + gh_, lx:lx + gw_] = lg.qf_map
+        sharp_map[ly:ly + gh_, lx:lx + gw_] = lg.sharp_map
+        dcp = compute_dc_planes(lf, lg)
+        for c in range(3):
+            dc_glob[c][ly:ly + gh_, lx:lx + gw_] = dcp[c]
+    if not (fh.flags & 0x80):
+        igs0 = lf.inv_global_scale
+        ep0 = lgs[0][2].extra_precision
+        steps = [lf.dcq[c] * igs0 / lf.quant_dc / (1 << ep0)
+                 for c in range(3)]  # (x, y, b)
+        dc_glob = adaptive_dc_smoothing(dc_glob,
+                                        {0: steps[0], 1: steps[1],
+                                         2: steps[2]})
     for gi in range(ng):
         ax = (gi % gx) * gd_b
         ay = (gi // gx) * gd_b
@@ -593,11 +733,19 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
                          sub.dc.channels[2].data])
         blocks = read_pass_group(br_g, lf, hf, sub, gw, gh, 0,
                                  histo_index, dc_q)
-        gX, gY, gB = reconstruct_group(lf, sub, blocks, fh)
+        dc_view = {c: dc_glob[c][ay:ay + gh, ax:ax + gw]
+                   for c in range(3)}
+        gX, gY, gB = reconstruct_group(lf, sub, blocks, fh, dc_view)
         X[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gX
         Y[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gY
         B[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gB
 
+    rf = fh.restoration_filter
+    X, Y, B = apply_gaborish(X, Y, B, rf)
+    if rf.epf_iters >= 1:
+        lf_sigma = EPF_SIGMA_PER * sharp_map \
+            * (lf.inv_global_scale / np.maximum(qf_map, 1))
+        X, Y, B = apply_epf1(X, Y, B, lf_sigma)
     rgb = xyb_planes_to_srgb8(X, Y, B)
     return rgb[:h, :w]
 

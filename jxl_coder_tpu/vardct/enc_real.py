@@ -108,7 +108,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0
     dc_steps = [d * igs / qdc for d in DC_STEPS]
 
     order = S.scan_to_basis(0)
-    tabs = [S.dequant_table("DCT8", c).astype(np.float64) * inv_qac
+    tabs = [S.dequant_table(0, c).astype(np.float64) * inv_qac
             for c in range(3)]
     ANA = S.ana_basis(8)
 

@@ -79,9 +79,10 @@ def scan_to_basis(strategy_id: int) -> np.ndarray:
     return calib()[f"order_{strategy_id}"]
 
 
-def dequant_table(quant_kind: str, c: int) -> np.ndarray:
-    """Dequant step per basis index at inv_qac=1 and qm=1."""
-    return calib()[f"table_{quant_kind}"][c]
+def dequant_table(strategy_id: int, c: int) -> np.ndarray:
+    """Dequant step per basis index at inv_qac=1 and qm=1 (per
+    strategy id: transposed variants have transposed tables)."""
+    return calib()[f"table_{strategy_id}"][c]
 
 
 def response_matrix(strategy_id: int, c: int) -> np.ndarray:

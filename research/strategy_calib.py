@@ -210,9 +210,7 @@ if __name__ == "__main__":
         try:
             order, tabs = calibrate_dct(sid)
             out[f"order_{sid}"] = order.astype(np.int32)
-            if s.quant_kind not in done_kinds:
-                out[f"table_{s.quant_kind}"] = tabs.astype(np.float32)
-                done_kinds.add(s.quant_kind)
+            out[f"table_{sid}"] = tabs.astype(np.float32)
             err, _, _ = validate_llf(sid) if s.covered > 1 else (0, 0, 0)
             print(f"{s.name}: order+table ok, llf err={err:.2e}")
         except Exception as e:
