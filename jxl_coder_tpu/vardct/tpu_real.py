@@ -1,0 +1,190 @@
+"""TPU (JAX/XLA) reconstruction for real-format VarDCT frames.
+
+Host side parses entropy streams into dense arrays; everything after
+that — dequant, CfL, IDCT (batched matmuls on the MXU), adaptive DC
+smoothing, gaborish, EPF stage 1, XYB->sRGB8 (including the bit-exact
+FastLinearToSRGB exponent trick) — runs on device in one jitted
+program.  DCT8-only fast path; mixed-strategy groups fall back to the
+numpy reference path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .dec_real import (DC_SMOOTH_W1, DC_SMOOTH_W2, KINV_SIGMA,
+                       EPF_CHANNEL_SCALE, EPF_SIGMA_PER,
+                       _OPSIN_INV, _BIAS, _CBRT_BIAS,
+                       _POW25TO18, _POW17TO10)
+
+
+@functools.lru_cache(maxsize=None)
+def _idct8_basis():
+    A = np.zeros((8, 8), np.float32)
+    for k in range(8):
+        for x in range(8):
+            a = 1.0 if k == 0 else np.sqrt(2.0)
+            A[k, x] = a * np.cos(np.pi * (2 * x + 1) * k / 16)
+    return jnp.asarray(A)
+
+
+def dc_smoothing_device(dc, steps):
+    """dc: (3, ys, xs) float32; steps: (3,) float32."""
+    w1, w2 = DC_SMOOTH_W1, DC_SMOOTH_W2
+    w0 = 1.0 - 4.0 * (w1 + w2)
+    p = jnp.pad(dc, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    sm = (w0 * dc
+          + w1 * (p[:, :-2, 1:-1] + p[:, 2:, 1:-1]
+                  + p[:, 1:-1, :-2] + p[:, 1:-1, 2:])
+          + w2 * (p[:, :-2, :-2] + p[:, :-2, 2:]
+                  + p[:, 2:, :-2] + p[:, 2:, 2:]))
+    gap = jnp.max(jnp.abs(sm - dc) / steps[:, None, None], axis=0)
+    gap = jnp.maximum(0.5, gap)
+    mix = jnp.clip((0.7 - gap) / 0.2, 0.0, 1.0)
+    out = dc + (sm - dc) * mix[None]
+    # image borders untouched
+    ys, xs = dc.shape[1], dc.shape[2]
+    ymask = (jnp.arange(ys) % (ys - 1) == 0)[None, :, None]
+    xmask = (jnp.arange(xs) % (xs - 1) == 0)[None, None, :]
+    keep = ymask | xmask
+    return jnp.where(keep, dc, out)
+
+
+def gaborish_device(plane, w1, w2):
+    norm = 1.0 + 4.0 * (w1 + w2)
+    p = jnp.pad(plane, 1, mode="symmetric")
+    out = (p[1:-1, 1:-1]
+           + w1 * (p[:-2, 1:-1] + p[2:, 1:-1]
+                   + p[1:-1, :-2] + p[1:-1, 2:])
+           + w2 * (p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:]))
+    return out / norm
+
+
+def epf1_device(X, Y, B, sigma_map):
+    H, W = Y.shape
+    planes = (X, Y, B)
+    pad = [jnp.pad(p, 2, mode="edge") for p in planes]
+    offs = ((0, 1), (0, -1), (1, 0), (-1, 0))
+    taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+    active = sigma_map >= 0.3
+    inv = jnp.where(active, KINV_SIGMA / jnp.maximum(sigma_map, 1e-9),
+                    0.0)
+    inv_px = jnp.repeat(jnp.repeat(inv, 8, 0), 8, 1)[:H, :W]
+    act_px = jnp.repeat(jnp.repeat(active, 8, 0), 8, 1)[:H, :W]
+    bx = jnp.arange(W) % 8
+    by = jnp.arange(H) % 8
+    border = (((by == 0) | (by == 7))[:, None]
+              | ((bx == 0) | (bx == 7))[None, :])
+    sel = border & act_px
+    wsum = jnp.ones((H, W), jnp.float32)
+    acc = [p for p in planes]
+    for (dy, dx) in offs:
+        sad = jnp.zeros((H, W), jnp.float32)
+        for c in range(3):
+            pc = pad[c]
+            for (ty, tx) in taps:
+                a = jax.lax.dynamic_slice(pc, (2 + ty, 2 + tx), (H, W))
+                b = jax.lax.dynamic_slice(pc, (2 + dy + ty, 2 + dx + tx),
+                                          (H, W))
+                sad = sad + EPF_CHANNEL_SCALE[c] * jnp.abs(a - b)
+        w = jnp.maximum(0.0, 1.0 + sad * inv_px)
+        wsum = wsum + w
+        acc = [acc[c] + w * jax.lax.dynamic_slice(
+            pad[c], (2 + dy, 2 + dx), (H, W)) for c in range(3)]
+    out = [jnp.where(sel, acc[c] / wsum, planes[c]) for c in range(3)]
+    return out[0], out[1], out[2]
+
+
+_P25 = jnp.asarray(np.asarray(_POW25TO18, np.uint32))
+_P17 = jnp.asarray(np.asarray(_POW17TO10, np.uint32))
+
+
+def fast_linear_to_srgb_device(v):
+    v = v.astype(jnp.float32)
+    vb = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    v025 = jax.lax.bitcast_convert_type(
+        (vb | np.uint32(0x3e800000)) & np.uint32(0x3effffff), jnp.float32)
+    d1 = v025 * np.float32(0.059914046) + np.float32(-0.108894556)
+    d2 = d1 * v025 + np.float32(0.107963754)
+    pw = d2 * v025 + np.float32(0.018092343)
+    exp = ((vb >> np.uint32(23)) - np.uint32(118)) & np.uint32(0xf)
+    mul = jax.lax.bitcast_convert_type(
+        (_P25[exp] << np.uint32(18)) | (_P17[exp] << np.uint32(10))
+        | np.uint32(0x40000000), jnp.float32)
+    return jnp.where(v < np.float32(0.0031308),
+                     v * np.float32(12.92),
+                     pw * mul + np.float32(-0.055))
+
+
+_OPSIN_INV32 = jnp.asarray(_OPSIN_INV.astype(np.float32))
+
+
+def xyb_to_srgb8_device(X, Y, B):
+    cb = np.float32(_CBRT_BIAS)
+    bias = np.float32(_BIAS)
+    g_r = Y + X + cb
+    g_g = Y - X + cb
+    g_b = B + cb
+    mixed = jnp.stack([g_r * g_r * g_r - bias,
+                       g_g * g_g * g_g - bias,
+                       g_b * g_b * g_b - bias], axis=-1)
+    lin = mixed @ _OPSIN_INV32.T
+    srgb = fast_linear_to_srgb_device(lin)
+    return jnp.clip(jnp.floor(srgb * 255.0 + 0.5), 0, 255).astype(
+        jnp.uint8)
+
+
+def reconstruct_dct8_frame(coeffs, dc, qf, sharp, xf, bf, table,
+                           igs, quant_dc, dcq, qm_x, qm_b,
+                           gab, epf, skip_dc_smooth):
+    """All-DCT8 frame reconstruction on device.
+
+    coeffs: (3, ys, xs, 64) float32 scan->basis ALREADY applied
+    (basis-indexed); dc: (3, ys, xs) int32 (y, x, b channel order);
+    qf/sharp: (ys, xs); xf/bf: per-block cfl factor maps (ys, xs).
+    """
+    _, ys, xs, _ = coeffs.shape
+    dc_steps = jnp.asarray([dcq[0] * igs / quant_dc,
+                            dcq[1] * igs / quant_dc,
+                            dcq[2] * igs / quant_dc], jnp.float32)
+    dcY = dc[0].astype(jnp.float32) * dc_steps[1]
+    dcX = dc[1].astype(jnp.float32) * dc_steps[0] + 0.0 * dcY
+    dcB = dc[2].astype(jnp.float32) * dc_steps[2] + 1.0 * dcY
+    dcp = jnp.stack([dcX, dcY, dcB])          # (x, y, b) order
+    if not skip_dc_smooth:
+        steps_xyb = jnp.stack([dc_steps[0], dc_steps[1], dc_steps[2]])
+        dcp = dc_smoothing_device(dcp, steps_xyb)
+
+    inv_qac = (igs / qf.astype(jnp.float32))[None, :, :, None]
+    qm = jnp.asarray([qm_x, 1.0, qm_b], jnp.float32)[:, None, None, None]
+    deq = coeffs * table[:, None, None, :] * inv_qac * qm
+    deqY = deq[1]
+    deqX = deq[0] + xf[:, :, None] * deqY
+    deqB = deq[2] + bf[:, :, None] * deqY
+    A = _idct8_basis()
+
+    def synth(dq, dcplane):
+        # input is basis-indexed: [ky][kx]
+        km = dq.reshape(ys, xs, 8, 8)
+        km = km.at[:, :, 0, 0].set(dcplane)
+        pix = jnp.einsum("yxkl,km,ln->yxmn", km, A, A,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.transpose(pix, (0, 2, 1, 3)).reshape(ys * 8, xs * 8)
+
+    Xp = synth(deqX, dcp[0])
+    Yp = synth(deqY, dcp[1])
+    Bp = synth(deqB, dcp[2])
+    if gab:
+        w1, w2 = np.float32(0.115169525), np.float32(0.061248592)
+        Xp = gaborish_device(Xp, w1, w2)
+        Yp = gaborish_device(Yp, w1, w2)
+        Bp = gaborish_device(Bp, w1, w2)
+    if epf:
+        sigma = (EPF_SIGMA_PER * sharp.astype(jnp.float32)
+                 * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
+        Xp, Yp, Bp = epf1_device(Xp, Yp, Bp, sigma)
+    return xyb_to_srgb8_device(Xp, Yp, Bp)
