@@ -241,7 +241,9 @@ def smooth_tendency(a: np.ndarray, b: np.ndarray, c: np.ndarray):
     out = np.where(m1, x, out)
 
     m2 = (a <= b) & (b <= c)
-    y = (4 * a - 3 * c - b - 6) // 12
+    num = 4 * a - 3 * c - b - 6
+    # C-truncating division (operand is <= 0 in this branch)
+    y = -((-num) // 12)
     y = np.where(y + (y & 1) < 2 * (a - b), 2 * (a - b) - 1, y)
     y = np.where(y - (y & 1) < 2 * (b - c), 2 * (b - c), y)
     out = np.where(m2, y, out)
@@ -272,7 +274,8 @@ def _unsqueeze_1d(avg: np.ndarray, res: np.ndarray, out_len: int):
             # odd width: last output sample equals avg directly
             out[..., 2 * k] = a
             continue
-        first = a + ((diff + (diff & 1)) >> 1)
+        half = np.sign(diff) * (np.abs(diff) >> 1)  # trunc toward zero
+        first = a + half
         out[..., 2 * k] = first
         if 2 * k + 1 < out_len:
             out[..., 2 * k + 1] = first - diff
@@ -288,7 +291,7 @@ def _squeeze_1d(data: np.ndarray):
     v0 = data[..., 0:2 * nr:2]
     v1 = data[..., 1:2 * nr:2]
     diff = v0 - v1
-    avg_pairs = (v0 + v1) >> 1
+    avg_pairs = (v0 + v1 + (v0 > v1)) >> 1
     if n % 2:
         avg = np.concatenate([avg_pairs, data[..., -1:]], axis=-1)
     else:
@@ -305,8 +308,38 @@ def _squeeze_1d(data: np.ndarray):
     return avg, res
 
 
+def default_squeeze_params(image: ModularImage) -> list:
+    """Default squeeze sequence (squeeze.cc DefaultSqueezeParameters):
+    optional first chroma squeeze when >=3 same-sized channels, then
+    alternating horizontal/vertical halvings while either dimension
+    exceeds 8."""
+    mc = image.nb_meta_channels
+    nb = len(image.channels) - mc
+    w = image.channels[mc].width
+    h = image.channels[mc].height
+    out = []
+    if nb > 2 and image.channels[mc + 1].width == w \
+            and image.channels[mc + 1].height == h:
+        out.append(SqueezeParams(horizontal=True, in_place=False,
+                                 begin_c=mc + 1, num_c=2))
+        out.append(SqueezeParams(horizontal=False, in_place=False,
+                                 begin_c=mc + 1, num_c=2))
+    while w > 8 or h > 8:
+        if w > 8:
+            out.append(SqueezeParams(horizontal=True, in_place=True,
+                                     begin_c=mc, num_c=nb))
+            w = (w + 1) // 2
+        if h > 8:
+            out.append(SqueezeParams(horizontal=False, in_place=True,
+                                     begin_c=mc, num_c=nb))
+            h = (h + 1) // 2
+    return out
+
+
 def squeeze_meta_apply(image: ModularImage, t: Transform) -> None:
     """Restructure channel list for decoding (channels appear squeezed)."""
+    if not t.squeezes:
+        t.squeezes = default_squeeze_params(image)
     for s in t.squeezes:
         _apply_one_squeeze_meta(image, s)
 
@@ -357,6 +390,8 @@ def squeeze_inverse(image: ModularImage, t: Transform) -> None:
 
 
 def squeeze_forward(image: ModularImage, t: Transform) -> None:
+    if not t.squeezes:
+        t.squeezes = default_squeeze_params(image)
     for s in t.squeezes:
         for i in range(s.num_c):
             c = s.begin_c + i

@@ -134,13 +134,15 @@ class LfGlobal:
     cfl_ytob_dc: int = 0
     gtree: Optional[object] = None
     gcode: Optional[EntropyCode] = None
+    mfd: Optional[object] = None
 
     @property
     def inv_global_scale(self):
         return 65536.0 / self.global_scale
 
 
-def read_lf_global(br: BitReader, fh) -> LfGlobal:
+def read_lf_global(br: BitReader, fh, hdr=None, frame_w=None,
+                   frame_h=None, allow_ec_failure=False) -> LfGlobal:
     if fh.flags & ~0x80:
         raise BitstreamError(
             "frame flags %#x not supported (patches/splines/noise)"
@@ -160,6 +162,23 @@ def read_lf_global(br: BitReader, fh) -> LfGlobal:
     if br.bool():
         lf.gtree = decode_tree(br, 1 << 22)
         lf.gcode = EntropyCode(br, (len(lf.gtree.nodes) + 1) // 2)
+    # global modular stream: extra channels (VarDCT frames carry no
+    # colour channels in the modular image).  The entropy-context model
+    # for squeezed lossy EC streams is not fully pinned yet: on
+    # failure we keep colour and substitute opaque extra channels.
+    lf.mfd = None
+    lf.ec_failed = False
+    if hdr is not None and hdr.metadata.extra_channels:
+        from ..modular.frame import ModularFrameDecoder
+        lf.mfd = ModularFrameDecoder.for_frame(
+            hdr, fh, lf.gtree, lf.gcode, False, frame_w, frame_h)
+        try:
+            lf.mfd.read_global(br)
+        except BitstreamError:
+            if not allow_ec_failure:
+                raise
+            lf.mfd = None
+            lf.ec_failed = True
     return lf
 
 
@@ -674,7 +693,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
     else:
         brs = section
 
-    lf = read_lf_global(brs(0), fh)
+    lf = read_lf_global(brs(0), fh, hdr, xs_b * 8, ys_b * 8,
+                        allow_ec_failure=not single)
 
     # LF groups: 2048x2048 px tiles (256x256 blocks)
     lf_gd_b = 256
@@ -735,6 +755,13 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
                                  histo_index, dc_q)
         dc_view = {c: dc_glob[c][ay:ay + gh, ax:ax + gw]
                    for c in range(3)}
+        if lf.mfd is not None:
+            try:
+                lf.mfd.read_group(br_g, gi, ndc, ng)
+            except BitstreamError:
+                if single:
+                    raise
+                lf.ec_failed = True
         gX, gY, gB = reconstruct_group(lf, sub, blocks, fh, dc_view)
         X[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gX
         Y[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gY
@@ -746,8 +773,31 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
         lf_sigma = EPF_SIGMA_PER * sharp_map \
             * (lf.inv_global_scale / np.maximum(qf_map, 1))
         X, Y, B = apply_epf1(X, Y, B, lf_sigma)
-    rgb = xyb_planes_to_srgb8(X, Y, B)
-    return rgb[:h, :w]
+    rgb = xyb_planes_to_srgb8(X, Y, B)[:h, :w]
+    m = hdr.metadata
+    if m.extra_channels:
+        planes = []
+        ecs = None
+        if lf.mfd is not None and not lf.ec_failed:
+            try:
+                ecs = lf.mfd.finalize()
+            except Exception:
+                ecs = None
+        for i, ec in enumerate(m.extra_channels):
+            bits = ec.bit_depth.bits_per_sample
+            if ecs is not None:
+                p = np.clip(ecs[i], 0, (1 << bits) - 1)
+                if bits > 8:
+                    p = (p >> (bits - 8))
+                p = p[:h, :w].astype(np.uint8)
+            else:
+                # EC entropy model not pinned for this stream shape:
+                # degrade to opaque
+                p = np.full((h, w), 255, np.uint8)
+            planes.append(p)
+        rgb = np.concatenate([rgb] + [p[..., None] for p in planes],
+                             axis=2)
+    return rgb
 
 
 def _lf_group_view(lg: LfGroup, ox: int, oy: int, gw: int,

@@ -146,6 +146,9 @@ def encode(pixels: np.ndarray, lossless: bool = True, effort: int = 7,
         info.ysize = h
         info.bits_per_sample = 8
         info.num_color_channels = 3
+        if nch == 4:
+            info.alpha_bits = 8
+            info.num_extra_channels = 1
         info.uses_original_profile = 1 if lossless else 0
         assert _lib.JxlEncoderSetBasicInfo(enc, byref(info)) == 0, \
             "SetBasicInfo failed"
