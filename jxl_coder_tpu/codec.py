@@ -217,67 +217,33 @@ def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
                                        global_code=global_code)
         undo_transforms(image, header)
         return [c.data for c in image.channels]
-    # multi-section layout: LfGlobal has header+tree-less global stream of
-    # small channels; PassGroups carry the big channel planes.
+    # multi-section layout: LfGlobal (dc-quant, global tree, global
+    # modular stream) | LfGroup* (shift>=3 channel rects) | HfGlobal
+    # (empty for modular frames) | PassGroup* (shift<3 channel rects)
+    from .modular.frame import ModularFrameDecoder
+    from .modular.tree import decode_tree
+    from .entropy.coder import EntropyCode
+
     sec = toc.section(0)
     br = BitReader(cs[sec.offset:sec.offset + sec.size])
-    header = GroupHeader.read(br)
-    apply_meta_transforms(image, header)
-    # global channels: meta channels + channels <= group_dim
-    globals_idx = [i for i, c in enumerate(image.channels)
-                   if i < image.nb_meta_channels
-                   or (c.width <= gd and c.height <= gd)]
-    group_idx = [i for i in range(len(image.channels))
-                 if i not in globals_idx]
-    # re-decode global stream properly (header + tree + global channels)
-    br = BitReader(cs[sec.offset:sec.offset + sec.size])
-    g_image = ModularImage([image.channels[i] for i in globals_idx],
-                           image.nb_meta_channels)
-    g_header = GroupHeader.read(br)
-    from .modular.tree import decode_tree
-    from .entropy.coder import EntropyDecoder
-    from .modular.stream import decode_channel
-    if g_header.use_global_tree:
-        raise BitstreamError("global stream global-tree not supported here")
-    tree = decode_tree(br, 1 << 22)
-    dec = EntropyDecoder(br, tree.num_leaves)
-    planes: List[np.ndarray] = []
-    for pos, ci in enumerate(globals_idx):
-        chan = image.channels[ci]
-        decode_channel(dec, tree, chan, pos, 0, planes, g_header.wp_params)
-        if chan.width and chan.height:
-            planes.insert(0, (chan.data, chan.hshift, chan.vshift))
-    if not dec.check_final_state():
-        raise BitstreamError("global modular checksum failed")
-    # pass-group sections: entries [1..ndc] are DC groups (empty),
-    # [1+ndc] is HfGlobal (empty), groups follow
+    read_dc_quant(br)
+    gtree = gcode = None
+    if br.bool():
+        gtree = decode_tree(br, 1 << 22)
+        gcode = EntropyCode(br, (len(gtree.nodes) + 1) // 2)
     w, h = fh.coded_size(hdr)
-    gx = -(-w // gd)
-    gy = -(-h // gd)
+    mfd = ModularFrameDecoder.for_frame(hdr, fh, gtree, gcode, True, w, h)
+    mfd.read_global(br)
+    for gi in range(ndc):
+        sec = toc.section(1 + gi)
+        gbr = BitReader(cs[sec.offset:sec.offset + sec.size])
+        mfd.read_lf_group(gbr, gi, ndc)
     for gi in range(ng):
         sec = toc.section(2 + ndc + gi)
         gbr = BitReader(cs[sec.offset:sec.offset + sec.size])
-        x0 = (gi % gx) * gd
-        y0 = (gi // gx) * gd
-        sub_channels = []
-        for ci in group_idx:
-            c = image.channels[ci]
-            cx0 = x0 >> c.hshift if c.hshift >= 0 else x0
-            cy0 = y0 >> c.vshift if c.vshift >= 0 else y0
-            cw = min(c.width - cx0, gd >> max(0, c.hshift))
-            ch = min(c.height - cy0, gd >> max(0, c.vshift))
-            sub_channels.append((ci, cx0, cy0, Channel(cw, ch)))
-        sub_image = ModularImage([s[3] for s in sub_channels], 0)
-        decode_modular_stream(gbr, sub_image, stream_id=1 + gi)
-        for (ci, cx0, cy0, sub) in sub_channels:
-            c = image.channels[ci].alloc()
-            c.data[cy0:cy0 + sub.height, cx0:cx0 + sub.width] = sub.data
-    undo_transforms(image, header)
-    return [c.data for c in image.channels]
+        mfd.read_group(gbr, gi, ndc, ng)
+    return mfd.finalize()
 
-
-# --------------------------------------------------------------------------
-# Encode
 
 def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,
                          planes: List[np.ndarray],
@@ -308,49 +274,49 @@ def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,
         encode_modular_stream(sw, image, header, tree, stream_id=0)
         sections.append(sw.to_bytes())
     else:
-        # global section: header + tree + small channels
-        globals_idx = [i for i, c in enumerate(image.channels)
-                       if i < image.nb_meta_channels
-                       or (c.width <= gd and c.height <= gd)]
-        group_idx = [i for i in range(len(image.channels))
-                     if i not in globals_idx]
+        # real multi-section layout: LfGlobal | LfGroup* (empty: no
+        # shift>=3 channels from RCT-only transforms) | HfGlobal
+        # (empty) | per-group ModularAC streams (stream id
+        # 1 + 3*ndc + 17 + g), each with a local tree.
         sw = BitWriter()
-        header.write(sw)
-        from .modular.tree import encode_tree
-        from .entropy.coder import TokenStream
-        from .modular.stream import encode_channel
-        encode_tree(sw, tree)
-        ts = TokenStream(tree.num_leaves)
-        planes_acc: List[np.ndarray] = []
-        for pos, ci in enumerate(globals_idx):
-            chan = image.channels[ci]
-            encode_channel(ts, tree, chan, pos, 0, planes_acc,
-                           header.wp_params)
-            if chan.width and chan.height:
-                planes_acc.insert(0, chan.data)
-        ts.write(sw)
+        sw.bool(True)   # dc_quant all_default
+        sw.bool(False)  # no frame-level global tree
+        # global stream: decode-until-break rule — stop at the first
+        # channel larger than group_dim
+        stop = len(image.channels)
+        for i, c in enumerate(image.channels):
+            if i >= image.nb_meta_channels and (c.width > gd
+                                                or c.height > gd):
+                stop = i
+                break
+        encode_modular_stream(sw, image, header, tree, stream_id=0,
+                              channel_range=(0, stop))
         sections.append(sw.to_bytes())
         for _ in range(ndc):
-            sections.append(b"")  # DC groups (empty for modular)
-        sections.append(b"")  # HfGlobal
+            sections.append(b"")  # LfGroups: no shift>=3 channels
+        sections.append(b"")      # HfGlobal (empty for modular)
         w, hgt = fh.coded_size(hdr)
         gx = -(-w // gd)
         for gi in range(ng):
             x0 = (gi % gx) * gd
             y0 = (gi // gx) * gd
             subs = []
-            for ci in group_idx:
+            for ci in range(stop, len(image.channels)):
                 c = image.channels[ci]
+                if min(c.hshift, c.vshift) >= 3:
+                    continue
                 cx0 = x0 >> max(0, c.hshift)
                 cy0 = y0 >> max(0, c.vshift)
                 cw = min(c.width - cx0, gd >> max(0, c.hshift))
                 chh = min(c.height - cy0, gd >> max(0, c.vshift))
+                if cw <= 0 or chh <= 0:
+                    continue
                 subs.append(Channel(cw, chh, data=c.data[
                     cy0:cy0 + chh, cx0:cx0 + cw].copy()))
             gw = BitWriter()
             sub_image = ModularImage(subs, 0)
             encode_modular_stream(gw, sub_image, GroupHeader(), tree,
-                                  stream_id=1 + gi)
+                                  stream_id=1 + 3 * ndc + 17 + gi)
             sections.append(gw.to_bytes())
 
     write_frame_header(bw, fh, hdr)

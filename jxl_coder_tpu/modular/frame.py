@@ -32,6 +32,8 @@ class ModularFrameDecoder:
     gcode: object = None
     group_dim: int = 256
     stopped_at: int = 0
+    frame_w: int = 0
+    frame_h: int = 0
 
     @staticmethod
     def for_frame(hdr, fh, gtree, gcode, include_color: bool,
@@ -51,7 +53,7 @@ class ModularFrameDecoder:
             chans.append(Channel(cw, ch, hshift=ds, vshift=ds))
         return ModularFrameDecoder(
             image=ModularImage(chans), gtree=gtree, gcode=gcode,
-            group_dim=fh.group_dim())
+            group_dim=fh.group_dim(), frame_w=w, frame_h=h)
 
     def read_global(self, br: BitReader) -> None:
         if not self.image.channels:
@@ -63,50 +65,74 @@ class ModularFrameDecoder:
         self.stopped_at = getattr(self.header, "stopped_at",
                                   len(self.image.channels))
 
-    def read_group(self, br: BitReader, group_index: int,
-                   num_dc_groups: int, num_groups: int,
-                   pass_index: int = 0) -> None:
-        """Decode this group's rectangles of the deferred channels."""
-        gd = self.group_dim
-        todo = []
+    def _group_views(self, group_index: int, gd: int,
+                     minshift: int, maxshift: int):
+        """(parent slice, rect Channel) pairs of deferred channels in
+        the given shift bucket for the group tile at group_index."""
+        gx_n = -(-self.frame_w // gd)
+        gx0 = (group_index % gx_n) * gd
+        gy0 = (group_index // gx_n) * gd
+        views = []
         for ci in range(self.stopped_at, len(self.image.channels)):
             ch = self.image.channels[ci]
             if ch.width == 0 or ch.height == 0:
                 continue
-            if ch.width <= gd and ch.height <= gd:
+            shift = min(ch.hshift, ch.vshift)
+            if shift < minshift or shift >= maxshift:
                 continue
-            todo.append(ci)
-        if not todo:
-            return
-        gx_count = -(-self.image.channels[todo[0]].width // gd) \
-            if False else None
-        # group grid is defined on frame pixels; channel rects derive
-        # from the channel's own shifts.  For round-1 all deferred
-        # channels share the frame geometry (shift 0).
-        sid = (1 + 3 * num_dc_groups + NUM_QUANT_TABLES
-               + num_groups * pass_index + group_index)
-        first = self.image.channels[todo[0]]
-        gx_n = -(-first.width // gd)
-        gx0 = (group_index % gx_n) * gd
-        gy0 = (group_index // gx_n) * gd
-        views = []
-        for ci in todo:
-            ch = self.image.channels[ci]
             ch.alloc()
             x0, y0 = gx0 >> ch.hshift, gy0 >> ch.vshift
-            rw = min(gd >> ch.hshift, ch.width - x0)
-            rh = min(gd >> ch.vshift, ch.height - y0)
+            rw = min(-(-gd >> ch.hshift), ch.width - x0)
+            rh = min(-(-gd >> ch.vshift), ch.height - y0)
             if rw <= 0 or rh <= 0:
                 continue
+            sl = ch.data[y0:y0 + rh, x0:x0 + rw]
             v = Channel(rw, rh, hshift=ch.hshift, vshift=ch.vshift)
-            v.data = ch.data[y0:y0 + rh, x0:x0 + rw]
-            views.append(v)
+            v.data = sl
+            views.append((sl, v))
+        return views
+
+    @staticmethod
+    def _decode_group_streams(br, views, sid, gtree, gcode):
+        """Decode a group stream into rect views, undoing the stream's
+        LOCAL transforms (e.g. per-group RCT) and writing results back
+        through the parent slices."""
+        sub = ModularImage([v for _, v in views], nb_meta_channels=0)
+        header = decode_modular_stream(br, sub, stream_id=sid,
+                                       global_tree=gtree,
+                                       global_code=gcode)
+        if header.transforms:
+            undo_transforms(sub, header)
+            if len(sub.channels) != len(views):
+                raise BitstreamError(
+                    "group-local transform changed channel count")
+            for (sl, _), ch in zip(views, sub.channels):
+                sl[...] = ch.data
+        return header
+
+    def read_lf_group(self, br: BitReader, group_index: int,
+                      num_dc_groups: int) -> None:
+        """ModularDC stream: deferred channels with shift >= 3,
+        rect per LF group (8x the group dimension)."""
+        views = self._group_views(group_index, self.group_dim * 8,
+                                  3, 1 << 30)
         if not views:
             return
-        sub = ModularImage(views, nb_meta_channels=0)
-        decode_modular_stream(br, sub, stream_id=sid,
-                              global_tree=self.gtree,
-                              global_code=self.gcode)
+        sid = 1 + num_dc_groups + group_index
+        self._decode_group_streams(br, views, sid, self.gtree,
+                                   self.gcode)
+
+    def read_group(self, br: BitReader, group_index: int,
+                   num_dc_groups: int, num_groups: int,
+                   pass_index: int = 0) -> None:
+        """ModularAC stream: deferred channels with shift < 3."""
+        views = self._group_views(group_index, self.group_dim, 0, 3)
+        if not views:
+            return
+        sid = (1 + 3 * num_dc_groups + NUM_QUANT_TABLES
+               + num_groups * pass_index + group_index)
+        self._decode_group_streams(br, views, sid, self.gtree,
+                                   self.gcode)
 
     def finalize(self) -> List[np.ndarray]:
         undo_transforms(self.image, self.header)

@@ -141,12 +141,17 @@ class NativeEntropy:
         PrevArr = i64p * max(1, len(prev64))
         prev_ptrs = PrevArr(*[p.ctypes.data_as(i64p) for p in prev64]) \
             if prev64 else PrevArr()
-        assert data_out.dtype == np.int32 and data_out.flags.c_contiguous
+        assert data_out.dtype == np.int32
+        target = data_out
+        if not data_out.flags.c_contiguous:
+            target = np.ascontiguousarray(data_out)
         rc = self.lib.decode_channel_native(
             self.ctx, tree_a.ctypes.data_as(i32p), len(tree.nodes),
-            data_out.ctypes.data_as(i32p), w, h, chan_index, stream_id,
+            target.ctypes.data_as(i32p), w, h, chan_index, stream_id,
             wp_a.ctypes.data_as(i32p), prev_ptrs, len(prev64),
             1 if use_wp else 0, max_prop)
+        if target is not data_out:
+            data_out[...] = target
         if rc != 0:
             from ..bitstream.reader import BitstreamError
             raise BitstreamError(f"native decode error {rc}")
