@@ -456,7 +456,8 @@ def linear_to_srgb_f32(v):
                     pw * mul + np.float32(-0.055))
 
 
-def xyb_planes_to_srgb8(X, Y, B):
+def xyb_planes_to_srgb(X, Y, B):
+    """XYB -> sRGB-encoded float32 (unclipped, sign-preserving)."""
     X = X.astype(np.float32)
     Y = Y.astype(np.float32)
     B = B.astype(np.float32)
@@ -467,8 +468,18 @@ def xyb_planes_to_srgb8(X, Y, B):
                       g_g * g_g * g_g - np.float32(_BIAS),
                       g_b * g_b * g_b - np.float32(_BIAS)], axis=-1)
     lin = mixed @ _OPSIN_INV.T.astype(np.float32)
-    srgb = linear_to_srgb_f32(lin)
+    return linear_to_srgb_f32(lin)
+
+
+def xyb_planes_to_srgb8(X, Y, B):
+    srgb = xyb_planes_to_srgb(X, Y, B)
     return np.clip(np.floor(srgb * 255.0 + 0.5), 0, 255).astype(np.uint8)
+
+
+def xyb_planes_to_srgb16(X, Y, B):
+    srgb = xyb_planes_to_srgb(X, Y, B)
+    return np.clip(np.floor(srgb * 65535.0 + 0.5), 0,
+                   65535).astype(np.uint16)
 
 
 def compute_dc_planes(lf: LfGlobal, lg: LfGroup):
@@ -773,8 +784,12 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
         lf_sigma = EPF_SIGMA_PER * sharp_map \
             * (lf.inv_global_scale / np.maximum(qf_map, 1))
         X, Y, B = apply_epf1(X, Y, B, lf_sigma)
-    rgb = xyb_planes_to_srgb8(X, Y, B)[:h, :w]
     m = hdr.metadata
+    bits = m.bit_depth.bits_per_sample
+    if bits > 8:
+        rgb = xyb_planes_to_srgb16(X, Y, B)[:h, :w]
+    else:
+        rgb = xyb_planes_to_srgb8(X, Y, B)[:h, :w]
     if m.extra_channels:
         planes = []
         ecs = None
@@ -783,17 +798,21 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
                 ecs = lf.mfd.finalize()
             except Exception:
                 ecs = None
+        out_dtype = rgb.dtype
+        out_max = 65535 if out_dtype == np.uint16 else 255
         for i, ec in enumerate(m.extra_channels):
-            bits = ec.bit_depth.bits_per_sample
+            ebits = ec.bit_depth.bits_per_sample
             if ecs is not None:
-                p = np.clip(ecs[i], 0, (1 << bits) - 1)
-                if bits > 8:
-                    p = (p >> (bits - 8))
-                p = p[:h, :w].astype(np.uint8)
+                p = np.clip(ecs[i], 0, (1 << ebits) - 1)
+                # rescale EC to the output depth
+                if (1 << ebits) - 1 != out_max:
+                    p = (p.astype(np.int64) * out_max
+                         // ((1 << ebits) - 1))
+                p = p[:h, :w].astype(out_dtype)
             else:
                 # EC entropy model not pinned for this stream shape:
                 # degrade to opaque
-                p = np.full((h, w), 255, np.uint8)
+                p = np.full((h, w), out_max, out_dtype)
             planes.append(p)
         rgb = np.concatenate([rgb] + [p[..., None] for p in planes],
                              axis=2)
