@@ -77,6 +77,8 @@ for name, restype, argtypes in [
     ("JxlColorEncodingSetToSRGB", None, [c_void_p, c_int]),
     ("JxlEncoderSetColorEncoding", c_int, [c_void_p, c_void_p]),
     ("JxlEncoderInitBasicInfo", None, [POINTER(JxlBasicInfo)]),
+    ("JxlEncoderInitFrameHeader", None, [c_void_p]),
+    ("JxlEncoderSetFrameHeader", c_int, [c_void_p, c_void_p]),
 ]:
     try:
         f = getattr(_lib, name)
@@ -193,3 +195,89 @@ if __name__ == "__main__":
     print("encoded", len(data), "bytes:", data[:32].hex())
     back, info = decode(data)
     print("decoded", back.shape, "exact:", np.array_equal(back, img))
+
+
+# ---------------------------------------------------------------------------
+# Animation encode (multi-frame with durations)
+
+class JxlAnimationHeader(ctypes.Structure):
+    _fields_ = [("tps_numerator", c_uint32), ("tps_denominator", c_uint32),
+                ("num_loops", c_uint32), ("have_timecodes", ctypes.c_int)]
+
+
+class JxlBlendInfo(ctypes.Structure):
+    _fields_ = [("blendmode", ctypes.c_int), ("source", c_uint32),
+                ("alpha", c_uint32), ("clamp", ctypes.c_int)]
+
+
+class JxlLayerInfo(ctypes.Structure):
+    _fields_ = [("have_crop", ctypes.c_int),
+                ("crop_x0", ctypes.c_int32), ("crop_y0", ctypes.c_int32),
+                ("xsize", c_uint32), ("ysize", c_uint32),
+                ("blend_info", JxlBlendInfo),
+                ("save_as_reference", c_uint32)]
+
+
+class JxlFrameHeader(ctypes.Structure):
+    _fields_ = [("duration", c_uint32), ("timecode", c_uint32),
+                ("name_length", c_uint32), ("is_last", ctypes.c_int),
+                ("layer_info", JxlLayerInfo)]
+
+
+def encode_animation(frames, lossless=True, effort=3, distance=1.0,
+                     tps_num=10, tps_den=1):
+    """frames: list of uint8 (H, W, 3); each 1 tick duration."""
+    h, w, nch = frames[0].shape
+    enc = _lib.JxlEncoderCreate(None)
+    try:
+        info = JxlBasicInfo()
+        _lib.JxlEncoderInitBasicInfo(byref(info))
+        info.xsize = w
+        info.ysize = h
+        info.bits_per_sample = 8
+        info.num_color_channels = 3
+        info.uses_original_profile = 1 if lossless else 0
+        info.have_animation = 1
+        # animation fields live in the basic info struct tail
+        # (animation.tps_numerator etc.)
+        info.animation_tps_numerator = tps_num
+        info.animation_tps_denominator = tps_den
+        info.animation_num_loops = 0
+        info.animation_have_timecodes = 0
+        assert _lib.JxlEncoderSetBasicInfo(enc, byref(info)) == 0
+        ce = ctypes.create_string_buffer(1024)
+        _lib.JxlColorEncodingSetToSRGB(ce, 0)
+        assert _lib.JxlEncoderSetColorEncoding(enc, ce) == 0
+        opts = _lib.JxlEncoderOptionsCreate(enc, None)
+        _lib.JxlEncoderOptionsSetEffort(opts, effort)
+        if lossless:
+            _lib.JxlEncoderOptionsSetLossless(opts, 1)
+        else:
+            _lib.JxlEncoderOptionsSetDistance(opts, distance)
+        fmt = JxlPixelFormat(nch, JXL_TYPE_UINT8, JXL_NATIVE_ENDIAN, 0)
+        fhdr = JxlFrameHeader()
+        for i, fr in enumerate(frames):
+            _lib.JxlEncoderInitFrameHeader(byref(fhdr))
+            fhdr.duration = 1
+            assert _lib.JxlEncoderSetFrameHeader(opts, byref(fhdr)) == 0
+            arr = np.ascontiguousarray(fr, np.uint8)
+            assert _lib.JxlEncoderAddImageFrame(
+                opts, byref(fmt), arr.ctypes.data_as(c_void_p),
+                arr.nbytes) == 0
+        _lib.JxlEncoderCloseInput(enc)
+        out = bytearray()
+        chunk = (c_uint8 * 65536)()
+        while True:
+            ptr = ctypes.cast(chunk, POINTER(c_uint8))
+            avail = c_size_t(65536)
+            status = _lib.JxlEncoderProcessOutput(enc, byref(ptr),
+                                                  byref(avail))
+            used = 65536 - avail.value
+            out += bytes(chunk[:used])
+            if status == 0:
+                break
+            if status != 2:
+                raise RuntimeError(f"encode error {status}")
+        return bytes(out)
+    finally:
+        _lib.JxlEncoderDestroy(enc)
