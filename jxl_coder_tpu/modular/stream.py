@@ -319,13 +319,12 @@ def decode_modular_stream(br: BitReader, image: ModularImage,
     chans = image.channels
     start, end = channel_range or (0, len(chans))
 
-    # native fast path (prefix-code streams).  Gated to trees whose
-    # properties the C++ implements with reference-exact semantics
-    # (props 0-7; WP and the running-gradient/FFV1/prev-channel props
-    # are Python-only until the C++ port catches up).
+    # native fast path: reference-exact C++ port of the channel decode
+    # (prefix AND ANS entropy, exact weighted predictor, full property
+    # vector including running gradient and 4-per-prev-channel props).
+    # LZ77 with a distance multiplier stays in Python.
     native = None
-    if dec.use_prefix and not tree.uses_weighted() \
-            and tree.max_property <= 7:
+    if not (dec.lz77.enabled and dec.dist_multiplier):
         try:
             from .. import native as native_mod
             if native_mod.get_lib() is not None:
@@ -360,8 +359,10 @@ def decode_modular_stream(br: BitReader, image: ModularImage,
                                   use_wp)
             decoded_planes.insert(
                 0, (chan.data, chan.hshift, chan.vshift))
-        br.pos = native.bit_pos
+        native.sync_back(dec, br)
         native.close()
+        if not dec.check_final_state():
+            raise BitstreamError("modular stream ANS checksum failed")
         return header
 
     for ci in range(start, end):

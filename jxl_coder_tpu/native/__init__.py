@@ -57,6 +57,14 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.entropy_error.argtypes = [c.c_void_p]
     lib.entropy_free.restype = None
     lib.entropy_free.argtypes = [c.c_void_p]
+    lib.entropy_set_ans.restype = None
+    lib.entropy_set_ans.argtypes = [
+        c.c_void_p, c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.c_int32, c.c_uint32]
+    lib.entropy_ans_state.restype = c.c_uint32
+    lib.entropy_ans_state.argtypes = [c.c_void_p]
     lib.decode_channel_native.restype = c.c_int
     lib.decode_channel_native.argtypes = [
         c.c_void_p, c.POINTER(c.c_int32), c.c_int32,
@@ -64,6 +72,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         c.c_int32, c.c_int32, c.POINTER(c.c_int32),
         c.POINTER(c.POINTER(c.c_int64)), c.c_int32,
         c.c_int32, c.c_int32]
+    lib.decode_ac_group_native.restype = c.c_int
+    lib.decode_ac_group_native.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int32), c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+        c.POINTER(c.c_int32)]
     return lib
 
 
@@ -79,22 +93,30 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 class NativeEntropy:
-    """Native mirror of an EntropyDecoder (prefix-code path only)."""
+    """Native mirror of an EntropyDecoder (prefix or ANS path)."""
 
     def __init__(self, dec, br):
         """dec: a parsed Python EntropyDecoder; br: its BitReader, already
-        positioned after the entropy headers."""
+        positioned after the entropy headers (and, for ANS, after the
+        initial state read)."""
         import numpy as np
         lib = get_lib()
         assert lib is not None
         self.lib = lib
         self._buf = bytes(br.data)  # keep alive
-        num_clusters = len(dec.prefix_codes)
-        lengths = []
-        offsets = [0]
-        for pc in dec.prefix_codes:
-            lengths.extend(pc.lengths)
-            offsets.append(len(lengths))
+        self.dec = dec
+        self.use_ans = not dec.use_prefix
+        if self.use_ans:
+            num_clusters = len(dec.alias_tables)
+            lengths = []
+            offsets = [0] * (num_clusters + 1)
+        else:
+            num_clusters = len(dec.prefix_codes)
+            lengths = []
+            offsets = [0]
+            for pc in dec.prefix_codes:
+                lengths.extend(pc.lengths)
+                offsets.append(len(lengths))
         cmap = np.asarray(dec.cluster_map, np.int32)
         lengths_a = np.asarray(lengths, np.int32)
         offsets_a = np.asarray(offsets, np.int32)
@@ -118,6 +140,24 @@ class NativeEntropy:
             offsets_a.ctypes.data_as(i32p),
             configs_a.ctypes.data_as(i32p),
             lz_a.ctypes.data_as(i32p))
+        if self.use_ans:
+            la = dec.log_alpha
+            n = 1 << la
+            cut = np.zeros((num_clusters, n), np.int32)
+            rgt = np.zeros((num_clusters, n), np.int32)
+            off = np.zeros((num_clusters, n), np.int32)
+            frq = np.zeros((num_clusters, n), np.int32)
+            for cl, at in enumerate(dec.alias_tables):
+                cut[cl, :len(at.cutoffs)] = at.cutoffs
+                rgt[cl, :len(at.right)] = at.right
+                off[cl, :len(at.offsets)] = at.offsets
+                frq[cl, :len(at.freq)] = at.freq
+            self._keep_ans = (cut, rgt, off, frq)
+            lib.entropy_set_ans(
+                self.ctx, la,
+                cut.ctypes.data_as(i32p), rgt.ctypes.data_as(i32p),
+                off.ctypes.data_as(i32p), frq.ctypes.data_as(i32p),
+                num_clusters, ctypes.c_uint32(dec.ans.state))
 
     def read(self, ctx_id: int) -> int:
         return self.lib.entropy_read_one(self.ctx, ctx_id)
@@ -162,6 +202,13 @@ class NativeEntropy:
 
     def error(self) -> int:
         return self.lib.entropy_error(self.ctx)
+
+    def sync_back(self, dec, br):
+        """Propagate stream position + ANS state back to the Python
+        decoder so final-state checks and subsequent reads line up."""
+        br.pos = self.bit_pos
+        if self.use_ans and dec.ans is not None:
+            dec.ans.state = int(self.lib.entropy_ans_state(self.ctx))
 
     def close(self):
         if self.ctx:

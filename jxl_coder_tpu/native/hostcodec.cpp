@@ -59,12 +59,21 @@ struct HybridConfig {
     int32_t split_exponent, msb, lsb;
 };
 
+struct AliasCluster {
+    std::vector<int32_t> cutoffs, right, offsets, freq;
+};
+
 struct EntropyCtx {
     BitReader br;
     int32_t num_contexts;
     std::vector<int32_t> cluster_map;  // size num_contexts (+1 if lz77)
     std::vector<PrefixCode> codes;
     std::vector<HybridConfig> configs;
+    // ANS path
+    int32_t use_ans = 0;
+    int32_t log_alpha = 0, log_entry = 0;
+    uint32_t ans_state = 0;
+    std::vector<AliasCluster> alias;
     // lz77
     int32_t lz_enabled, lz_min_symbol, lz_min_length;
     HybridConfig lz_len_config;
@@ -74,7 +83,30 @@ struct EntropyCtx {
     int error;  // nonzero on malformed stream
 };
 
+static inline int read_symbol_ans(EntropyCtx* ctx, int cluster) {
+    AliasCluster& ac = ctx->alias[cluster];
+    uint32_t state = ctx->ans_state;
+    uint32_t idx = state & 0xFFF;
+    uint32_t bucket = idx >> ctx->log_entry;
+    uint32_t pos = idx & ((1u << ctx->log_entry) - 1);
+    int sym;
+    uint32_t off;
+    if ((int32_t)pos < ac.cutoffs[bucket]) {
+        sym = bucket;
+        off = pos;
+    } else {
+        sym = ac.right[bucket];
+        off = ac.offsets[bucket] + (pos - ac.cutoffs[bucket]);
+    }
+    state = (uint32_t)ac.freq[sym] * (state >> 12) + off;
+    if (state < (1u << 16))
+        state = (state << 16) | (uint32_t)br_u(&ctx->br, 16);
+    ctx->ans_state = state;
+    return sym;
+}
+
 static inline int read_symbol(EntropyCtx* ctx, int cluster) {
+    if (ctx->use_ans) return read_symbol_ans(ctx, cluster);
     PrefixCode& pc = ctx->codes[cluster];
     if (pc.single >= 0) return pc.single;
     uint32_t code = 0;
@@ -222,6 +254,30 @@ void entropy_read_many(EntropyCtx* ctx, int32_t context, int64_t n,
 }
 
 size_t entropy_bit_pos(EntropyCtx* ctx) { return ctx->br.pos; }
+
+// Configure the ANS path: alias tables flattened per cluster
+// (cutoffs/right/offsets/freq, each (1<<log_alpha) entries per cluster).
+void entropy_set_ans(EntropyCtx* ctx, int32_t log_alpha,
+                     const int32_t* cutoffs, const int32_t* right,
+                     const int32_t* offsets, const int32_t* freq,
+                     int32_t num_clusters, uint32_t init_state) {
+    ctx->use_ans = 1;
+    ctx->log_alpha = log_alpha;
+    ctx->log_entry = 12 - log_alpha;
+    int n = 1 << log_alpha;
+    ctx->alias.resize(num_clusters);
+    for (int cl = 0; cl < num_clusters; cl++) {
+        AliasCluster& ac = ctx->alias[cl];
+        ac.cutoffs.assign(cutoffs + cl * n, cutoffs + (cl + 1) * n);
+        ac.right.assign(right + cl * n, right + (cl + 1) * n);
+        ac.offsets.assign(offsets + cl * n, offsets + (cl + 1) * n);
+        // freq indexed by SYMBOL (alphabet size <= 1<<log_alpha)
+        ac.freq.assign(freq + cl * n, freq + (cl + 1) * n);
+    }
+    ctx->ans_state = init_state;
+}
+
+uint32_t entropy_ans_state(EntropyCtx* ctx) { return ctx->ans_state; }
 int entropy_error(EntropyCtx* ctx) {
     return ctx->error | (ctx->br.overrun ? 16 : 0);
 }
@@ -248,11 +304,24 @@ static inline int64_t clamped_gradient(int64_t N, int64_t W, int64_t NW) {
     return grad;
 }
 
+static const uint32_t kDivLookup[64] = {
+    16777216, 8388608, 5592405, 4194304, 3355443, 2796202, 2396745, 2097152,
+    1864135, 1677721, 1525201, 1398101, 1290555, 1198372, 1118481, 1048576,
+    986895, 932067, 883011, 838860, 798915, 762600, 729444, 699050,
+    671088, 645277, 621378, 599186, 578524, 559240, 541200, 524288,
+    508400, 493447, 479349, 466033, 453438, 441505, 430185, 419430,
+    409200, 399457, 390167, 381300, 372827, 364722, 356962, 349525,
+    342392, 335544, 328965, 322638, 316551, 310689, 305040, 299593,
+    294337, 289262, 284359, 279620, 275036, 270600, 266305, 262144};
+
+// Reference-exact weighted predictor (cf. modular/predict.py WPState):
+// two row-halves swapped per row without clearing, reciprocal-table
+// division, W/WW error propagation through the prev-row x+1 slot.
 struct WPStateC {
     int64_t p1, p2, p3a, p3b, p3c, p3d, p3e, w[4];
-    std::vector<int64_t> pred_errors[4], pred_errors_prev[4];
-    std::vector<int64_t> error, error_prev;
-    int64_t pred, max_error, subpred[4];
+    std::vector<int64_t> pred_cur[4], pred_prev[4];
+    std::vector<int64_t> err_cur, err_prev;
+    int64_t pred, prop, subpred[4];
     int width;
     void init(const int32_t* params, int w_) {
         p1 = params[0]; p2 = params[1]; p3a = params[2]; p3b = params[3];
@@ -261,20 +330,17 @@ struct WPStateC {
         w[3] = params[10];
         width = w_;
         for (int k = 0; k < 4; k++) {
-            pred_errors[k].assign(w_ + 2, 0);
-            pred_errors_prev[k].assign(w_ + 2, 0);
+            pred_cur[k].assign(w_ + 2, 0);
+            pred_prev[k].assign(w_ + 2, 0);
         }
-        error.assign(w_ + 2, 0);
-        error_prev.assign(w_ + 2, 0);
-        pred = max_error = 0;
+        err_cur.assign(w_ + 2, 0);
+        err_prev.assign(w_ + 2, 0);
+        pred = prop = 0;
     }
     void new_row() {
-        for (int k = 0; k < 4; k++) {
-            std::swap(pred_errors[k], pred_errors_prev[k]);
-            std::fill(pred_errors[k].begin(), pred_errors[k].end(), 0);
-        }
-        std::swap(error, error_prev);
-        std::fill(error.begin(), error.end(), 0);
+        for (int k = 0; k < 4; k++) std::swap(pred_cur[k], pred_prev[k]);
+        std::swap(err_cur, err_prev);
+        // no clearing: cur slots are written before any read
     }
     static int floor_log2(int64_t v) {
         int r = -1;
@@ -283,63 +349,65 @@ struct WPStateC {
     }
     int64_t predict(int x, int y, int w_, int64_t W, int64_t N, int64_t NW,
                     int64_t NE, int64_t NN) {
-        int64_t W3 = W << 3, N3 = N << 3, NW3 = NW << 3, NE3 = NE << 3,
-                NN3 = NN << 3;
-        int xp = x + 1;
-        int64_t err_W = x > 0 ? error[xp - 1] : 0;
-        int64_t err_N = y > 0 ? error_prev[xp] : 0;
-        int64_t err_NW = (x > 0 && y > 0) ? error_prev[xp - 1] : err_N;
-        int64_t err_NE = (x + 1 < w_ && y > 0) ? error_prev[xp + 1] : err_N;
-        subpred[0] = W3 + NE3 - N3;
-        subpred[1] = N3 - (((err_W + err_N + err_NE) * p1) >> 5);
-        subpred[2] = W3 - (((err_W + err_N + err_NW) * p2) >> 5);
-        subpred[3] = N3 - ((err_NW * p3a + err_N * p3b + err_NE * p3c
-                            + (NN3 - N3) * p3d + (NW3 - W3) * p3e) >> 5);
-        int64_t wts[4], swt = 0;
+        int pos_ne = x < w_ - 1 ? x + 1 : x;
+        int pos_nw = x > 0 ? x - 1 : x;
+        int64_t wts[4];
         for (int k = 0; k < 4; k++) {
-            int64_t esum = pred_errors_prev[k][xp]
-                + pred_errors_prev[k][xp - 1]
-                + pred_errors_prev[k][xp + 1]
-                + (x > 0 ? pred_errors[k][xp - 1] : 0);
+            int64_t esum = pred_prev[k][x] + pred_prev[k][pos_ne]
+                + pred_prev[k][pos_nw];
             int shift = floor_log2(esum + 1) - 5;
             if (shift < 0) shift = 0;
-            int64_t weight = 4 + ((w[k] * ((1ll << 24)
-                                           / ((esum >> shift) + 1)))
-                                  >> shift);
-            wts[k] = weight;
-            swt += weight;
+            wts[k] = 4 + ((w[k] * (int64_t)kDivLookup[esum >> shift])
+                          >> shift);
         }
-        int64_t s = (swt >> 1) - 1;
+        int64_t W3 = W << 3, N3 = N << 3, NW3 = NW << 3, NE3 = NE << 3,
+                NN3 = NN << 3;
+        int64_t teW = x > 0 ? err_cur[x - 1] : 0;
+        int64_t teN = err_prev[x];
+        int64_t teNW = err_prev[pos_nw];
+        int64_t teNE = err_prev[pos_ne];
+        int64_t sumWN = teN + teW;
+        int64_t p = teW;
+        int64_t ap = p < 0 ? -p : p;
+        int64_t a = teN < 0 ? -teN : teN;
+        if (a > ap) { p = teN; ap = a; }
+        a = teNW < 0 ? -teNW : teNW;
+        if (a > ap) { p = teNW; ap = a; }
+        a = teNE < 0 ? -teNE : teNE;
+        if (a > ap) { p = teNE; ap = a; }
+        prop = p;
+        subpred[0] = W3 + NE3 - N3;
+        subpred[1] = N3 - (((sumWN + teNE) * p1) >> 5);
+        subpred[2] = W3 - (((sumWN + teNW) * p2) >> 5);
+        subpred[3] = N3 - ((teNW * p3a + teN * p3b + teNE * p3c
+                            + (NN3 - N3) * p3d + (NW3 - W3) * p3e) >> 5);
+        int64_t wsum = wts[0] + wts[1] + wts[2] + wts[3];
+        int logw = floor_log2(wsum) - 4;
+        wsum = 0;
+        for (int k = 0; k < 4; k++) { wts[k] >>= logw; wsum += wts[k]; }
+        int64_t s = (wsum >> 1) - 1;
         for (int k = 0; k < 4; k++) s += subpred[k] * wts[k];
-        int64_t p = swt ? floordiv(s * 2 + 1, swt * 2) : subpred[0];
-        if (((err_N ^ err_W) | (err_N ^ err_NW)) <= 0) {
-            int64_t lo = W3 < N3 ? W3 : N3;
-            if (NE3 < lo) lo = NE3;
-            int64_t hi = W3 > N3 ? W3 : N3;
-            if (NE3 > hi) hi = NE3;
-            if (p < lo) p = lo;
-            if (p > hi) p = hi;
+        int64_t pr = (s * (int64_t)kDivLookup[wsum - 1]) >> 24;
+        if (((teN ^ teW) | (teN ^ teNW)) <= 0) {
+            int64_t lo = W3 < NE3 ? W3 : NE3;
+            if (N3 < lo) lo = N3;
+            int64_t hi = W3 > NE3 ? W3 : NE3;
+            if (N3 > hi) hi = N3;
+            if (pr < lo) pr = lo;
+            if (pr > hi) pr = hi;
         }
-        pred = p;
-        int64_t a1 = err_W < 0 ? -err_W : err_W;
-        int64_t a2 = err_N < 0 ? -err_N : err_N;
-        int64_t a3 = err_NW < 0 ? -err_NW : err_NW;
-        int64_t a4 = err_NE < 0 ? -err_NE : err_NE;
-        max_error = a1;
-        if (a2 > max_error) max_error = a2;
-        if (a3 > max_error) max_error = a3;
-        if (a4 > max_error) max_error = a4;
-        return p;
+        pred = pr;
+        return (pr + 3) >> 3;
     }
     void update(int x, int64_t value) {
-        int xp = x + 1;
         int64_t v3 = value << 3;
-        error[xp] = v3 - pred;
+        err_cur[x] = pred - v3;
         for (int k = 0; k < 4; k++) {
             int64_t e = subpred[k] - v3;
             if (e < 0) e = -e;
             e = (e + 3) >> 3;
-            pred_errors[k][xp] += e;
+            pred_cur[k][x] = e;
+            pred_prev[k][x + 1] += e;
         }
     }
 };
@@ -360,7 +428,7 @@ static inline int64_t predict_one(int p, int64_t W, int64_t N, int64_t NW,
             return dW < dN ? W : N;  // ties go to N
         }
         case 5: return clamped_gradient(N, W, NW);
-        case 6: return (wp_pred3 + 3) >> 3;
+        case 6: return wp_pred3;  // WPStateC.predict descales
         case 7: return NE;
         case 8: return NW;
         case 9: return WW;
@@ -393,11 +461,10 @@ int decode_channel_native(
     if (use_wp) wp.init(wp_params, w);
     int errflag = 0;
 
-    std::vector<int64_t> row_props;
     for (int y = 0; y < h; y++) {
         if (use_wp && y > 0) wp.new_row();
+        int64_t prev_grad = 0;
         for (int x = 0; x < w; x++) {
-            // neighbors (same edge rules as predict.neighbors)
             int64_t W = x > 0 ? out[y * w + x - 1]
                        : (y > 0 ? out[(y - 1) * w + x] : 0);
             int64_t N = y > 0 ? out[(y - 1) * w + x] : W;
@@ -408,12 +475,12 @@ int decode_channel_native(
             int64_t WW = x > 1 ? out[y * w + x - 2] : W;
             int64_t NEE = (x + 2 < w && y > 0) ? out[(y - 1) * w + x + 2]
                                                : NE;
-            int64_t wp_pred3 = 0, max_err = 0;
+            int64_t wp_pred = 0, wp_prop = 0;
             if (use_wp) {
-                wp_pred3 = wp.predict(x, y, w, W, N, NW, NE, NN);
-                max_err = wp.max_error;
+                wp_pred = wp.predict(x, y, w, W, N, NW, NE, NN);
+                wp_prop = wp.prop;
             }
-            // tree lookup
+            int64_t grad = W + N - NW;
             int node = 0;
             if (max_prop >= 0) {
                 while (tree_flat[node * COLS + 0] >= 0) {
@@ -428,20 +495,37 @@ int decode_channel_native(
                         case 5: v = W < 0 ? -W : W; break;
                         case 6: v = N; break;
                         case 7: v = W; break;
-                        case 8: v = W + N - NW; break;
-                        case 9: v = W - NW; break;
-                        case 10: v = NW - N; break;
-                        case 11: v = N - NE; break;
-                        case 12: v = N - NN; break;
-                        case 13: v = W - WW; break;
-                        case 14: v = max_err; break;
-                        case 15: v = 0; break;
+                        case 8: v = W - prev_grad; break;
+                        case 9: v = grad; break;
+                        case 10: v = W - NW; break;
+                        case 11: v = NW - N; break;
+                        case 12: v = N - NE; break;
+                        case 13: v = N - NN; break;
+                        case 14: v = W - WW; break;
+                        case 15: v = wp_prop; break;
                         default: {
-                            int pi = (prop - 16) >> 1;
+                            int pi = (prop - 16) >> 2;
+                            int sub = (prop - 16) & 3;
                             if (pi < n_prev) {
-                                int64_t pv = prev_planes[pi][y * w + x];
-                                v = ((prop - 16) & 1)
-                                    ? pv : (pv < 0 ? -pv : pv);
+                                const int64_t* pp = prev_planes[pi];
+                                int64_t pv = pp[y * w + x];
+                                int64_t vleft = x ? pp[y * w + x - 1] : 0;
+                                int64_t vtop = y ? pp[(y - 1) * w + x]
+                                                 : vleft;
+                                int64_t vtl = (x && y)
+                                    ? pp[(y - 1) * w + x - 1] : vleft;
+                                int64_t vpred = clamped_gradient(
+                                    vtop, vleft, vtl);
+                                switch (sub) {
+                                    case 0: v = pv < 0 ? -pv : pv; break;
+                                    case 1: v = pv; break;
+                                    case 2: {
+                                        int64_t dvv = pv - vpred;
+                                        v = dvv < 0 ? -dvv : dvv;
+                                        break;
+                                    }
+                                    default: v = pv - vpred; break;
+                                }
                             } else v = 0;
                             break;
                         }
@@ -451,12 +535,13 @@ int decode_channel_native(
                         : tree_flat[node * COLS + 3];
                 }
             }
+            prev_grad = grad;
             int predictor = tree_flat[node * COLS + 4];
             int64_t offset = tree_flat[node * COLS + 5];
             int64_t multiplier = tree_flat[node * COLS + 6];
             int leaf_ctx = tree_flat[node * COLS + 7];
             int64_t pred = predict_one(predictor, W, N, NW, NE, NN, WW,
-                                       NEE, wp_pred3, &errflag);
+                                       NEE, wp_pred, &errflag);
             int64_t residual = entropy_read(ctx, leaf_ctx);
             int64_t val = pred + offset
                 + multiplier * unpack_signed(residual);
@@ -465,6 +550,91 @@ int decode_channel_native(
         }
     }
     return errflag | ctx->error | (ctx->br.overrun ? 16 : 0);
+}
+
+// ---------------------------------------------------------------------
+// VarDCT AC pass-group decode (scan-indexed quantized coefficients)
+
+static const uint16_t kCoeffFreqCtx[64] = {
+    0xBAD, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+    15, 15, 16, 16, 17, 17, 18, 18, 19, 19, 20, 20, 21, 21, 22, 22,
+    23, 23, 23, 23, 24, 24, 24, 24, 25, 25, 25, 25, 26, 26, 26, 26,
+    27, 27, 27, 27, 28, 28, 28, 28, 29, 29, 29, 29, 30, 30, 30, 30};
+static const uint16_t kCoeffNumNonzeroCtx[64] = {
+    0xBAD, 0, 31, 62, 62, 93, 93, 93, 93, 123, 123, 123, 123,
+    152, 152, 152, 152, 152, 152, 152, 152, 180, 180, 180, 180, 180,
+    180, 180, 180, 180, 180, 180, 180, 206, 206, 206, 206, 206, 206,
+    206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206,
+    206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206};
+
+// anchors_flat: per anchor 10 ints:
+//   [bx, by, cov, log2cov, size, cx, cy, out_offset, bctx0|..(see below)]
+// layout: bx, by, cov, log2cov, size, cx, cy, out_offset,
+//         bctx_x, bctx_y, bctx_b  (11 ints)
+// orders: for (bucket_used_index, channel): order_offsets lookup done in
+// Python; per anchor we get 3 offsets into orders_flat (or -1 = identity).
+int decode_ac_group_native(
+    EntropyCtx* ctx,
+    const int32_t* anchors_flat, int32_t n_anchors,
+    const int32_t* order_offsets,  // 3 per anchor (x,y,b); -1 identity
+    const int32_t* orders_flat,
+    int32_t xs_b, int32_t ys_b,
+    int32_t num_ctxs, int32_t ctx_base,
+    int32_t* out_values  // concatenated per anchor: 3 * size ints
+    ) {
+    std::vector<int32_t> nz_map(3 * ys_b * xs_b, 0);
+    const int A = 11;
+    for (int ai = 0; ai < n_anchors; ai++) {
+        const int32_t* a = anchors_flat + ai * A;
+        int bx = a[0], by = a[1], cov = a[2], log2cov = a[3], size = a[4];
+        int cx = a[5], cy = a[6];
+        int64_t out_off = a[7];
+        int bctx_c[3] = {a[8], a[9], a[10]};   // x, y, b
+        static const int corder[3] = {1, 0, 2};
+        for (int ci = 0; ci < 3; ci++) {
+            int c = corder[ci];
+            int bctx = bctx_c[c];
+            int32_t* vals = out_values + out_off + (int64_t)c * size;
+            int predicted;
+            int32_t* nzrow = nz_map.data() + c * ys_b * xs_b;
+            if (by == 0)
+                predicted = bx == 0 ? 32 : nzrow[bx - 1];
+            else if (bx == 0)
+                predicted = nzrow[(by - 1) * xs_b + bx];
+            else
+                predicted = (nzrow[(by - 1) * xs_b + bx]
+                             + nzrow[by * xs_b + bx - 1] + 1) / 2;
+            if (predicted >= 64) predicted = 64;
+            int pctx = predicted < 8 ? predicted : 4 + predicted / 2;
+            int64_t nz = entropy_read(ctx,
+                                      ctx_base + pctx * num_ctxs + bctx);
+            if (nz >= size - cov + 1) { ctx->error = 8; return 8; }
+            int spread = (int)((nz + cov - 1) >> log2cov);
+            for (int yy = 0; yy < cy; yy++)
+                for (int xx = 0; xx < cx; xx++)
+                    nzrow[(by + yy) * xs_b + bx + xx] = spread;
+            const int32_t* order = order_offsets[ai * 3 + c] >= 0
+                ? orders_flat + order_offsets[ai * 3 + c] : nullptr;
+            int ctx_off = ctx_base + num_ctxs * 37 + 458 * bctx;
+            int prev = nz > (size >> 4) ? 0 : 1;
+            int64_t nzeros = nz;
+            for (int k = cov; nzeros > 0; k++) {
+                if (k >= size) { ctx->error = 9; return 9; }
+                int nzl = (int)((nzeros + cov - 1) >> log2cov);
+                int kk = k >> log2cov;
+                int zctx = ctx_off
+                    + (kCoeffNumNonzeroCtx[nzl] + kCoeffFreqCtx[kk]) * 2
+                    + prev;
+                int64_t u = entropy_read(ctx, zctx);
+                int64_t v = unpack_signed(u);
+                int p = order ? order[k] : k;
+                vals[p] = (int32_t)v;
+                prev = v != 0;
+                nzeros -= prev;
+            }
+        }
+    }
+    return ctx->error | (ctx->br.overrun ? 16 : 0);
 }
 
 }  // extern "C"

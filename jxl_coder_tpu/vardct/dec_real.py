@@ -348,6 +348,15 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
     with scan-indexed quantized values per channel."""
     from .strategies import STRATEGIES
     dec = EntropyDecoder(br, code=hf.accodes[pass_index])
+    if not (dec.lz77.enabled and dec.dist_multiplier):
+        try:
+            from .. import native as native_mod
+            if native_mod.get_lib() is not None:
+                return _read_pass_group_native(
+                    native_mod, dec, br, lf, hf, lg, xs_b, ys_b,
+                    pass_index, histo_index, dc_q)
+        except ImportError:
+            pass
     bcm = lf.bcm
     num_ctxs = bcm.num_ctxs
     ctx_base = histo_index * num_ctxs \
@@ -407,6 +416,72 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
             blocks.append(vb)
     if not dec.check_final_state():
         raise BitstreamError("AC group checksum failed")
+    return blocks
+
+
+def _read_pass_group_native(native_mod, dec, br, lf, hf, lg, xs_b, ys_b,
+                            pass_index, histo_index, dc_q):
+    import ctypes
+    from .strategies import STRATEGIES
+    bcm = lf.bcm
+    num_ctxs = bcm.num_ctxs
+    ctx_base = histo_index * num_ctxs \
+        * (NONZERO_BUCKETS + ZERO_DENSITY_CTX_COUNT)
+    # flatten custom orders
+    orders_flat: List[int] = []
+    order_offset_by_key = {}
+    for key, perm in hf.orders.items():
+        order_offset_by_key[key] = len(orders_flat)
+        orders_flat.extend(perm)
+    anchors = []
+    order_offs = []
+    total = 0
+    blocks_meta = []
+    for by in range(ys_b):
+        for bx in range(xs_b):
+            acs = int(lg.acs_map[by, bx])
+            if acs < 0:
+                continue
+            strat = STRATEGIES.get(acs)
+            if strat is None:
+                raise BitstreamError("invalid AC strategy %d" % acs)
+            qf = int(lg.qf_map[by, bx])
+            dc_idx = dc_context_idx(
+                bcm, (dc_q[1, by, bx], dc_q[0, by, bx], dc_q[2, by, bx]))
+            bctx = [bcm.context(dc_idx, qf, strat.order_bucket, c)
+                    for c in range(3)]
+            anchors.extend([bx, by, strat.covered, strat.log2_covered,
+                            strat.num_coeffs, strat.cx, strat.cy,
+                            total, bctx[0], bctx[1], bctx[2]])
+            for c in range(3):
+                key = (strat.order_bucket, c)
+                order_offs.append(order_offset_by_key.get(key, -1))
+            blocks_meta.append((bx, by, acs, strat.num_coeffs, total))
+            total += 3 * strat.num_coeffs
+    n_anchors = len(blocks_meta)
+    out = np.zeros(max(total, 1), np.int32)
+    anchors_a = np.asarray(anchors, np.int32)
+    orders_a = np.asarray(orders_flat if orders_flat else [0], np.int32)
+    offs_a = np.asarray(order_offs if order_offs else [0], np.int32)
+    ne = native_mod.NativeEntropy(dec, br)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = ne.lib.decode_ac_group_native(
+        ne.ctx, anchors_a.ctypes.data_as(i32p), n_anchors,
+        offs_a.ctypes.data_as(i32p), orders_a.ctypes.data_as(i32p),
+        xs_b, ys_b, num_ctxs, ctx_base,
+        out.ctypes.data_as(i32p))
+    ne.sync_back(dec, br)
+    ne.close()
+    if rc != 0:
+        raise BitstreamError(f"native AC decode error {rc}")
+    if not dec.check_final_state():
+        raise BitstreamError("AC group checksum failed")
+    blocks = []
+    for (bx, by, acs, size, off) in blocks_meta:
+        vb = VarBlock(bx=bx, by=by, strategy=acs)
+        for c in range(3):
+            vb.values[c] = out[off + c * size: off + (c + 1) * size]
+        blocks.append(vb)
     return blocks
 
 # ---------------------------------------------------------------------------
@@ -548,8 +623,47 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
         compute_dc_planes(lf, lg)
 
     H, W = ys_b * 8, xs_b * 8
-    planes = {c: np.zeros((H, W)) for c in range(3)}
-    for vb in blocks:
+    planes = {c: np.zeros((H, W), np.float32) for c in range(3)}
+    # batched fast path for DCT8 varblocks (the overwhelming majority)
+    dct8 = [vb for vb in blocks if vb.strategy == 0]
+    rest = [vb for vb in blocks if vb.strategy != 0]
+    if dct8:
+        n = len(dct8)
+        bxs = np.asarray([vb.bx for vb in dct8])
+        bys = np.asarray([vb.by for vb in dct8])
+        qfv = lg.qf_map[bys, bxs].astype(np.float64)
+        inv_qac_v = igs / qfv
+        tx = bxs // 8
+        ty = bys // 8
+        xfv = lf.cfl_base_x + lg.ytox[ty, tx].astype(np.float64) * cf
+        bfv = lf.cfl_base_b + lg.ytob[ty, tx].astype(np.float64) * cf
+        order = S.scan_to_basis(0)
+        inv_order = np.empty(64, np.int64)
+        inv_order[order] = np.arange(64)
+        vals = np.empty((3, n, 64), np.float64)
+        for c in range(3):
+            vc = np.stack([vb.values[c] for vb in dct8]).astype(np.float64)
+            # scan-indexed -> basis-indexed
+            vals[c] = vc[:, inv_order]
+        tabs = np.stack([S.dequant_table(0, c).astype(np.float64)
+                         for c in range(3)])
+        deq = vals * tabs[:, None, :]
+        deq *= inv_qac_v[None, :, None]
+        deq[0] *= qm[0]
+        deq[2] *= qm[2]
+        deq[0] += xfv[:, None] * deq[1]
+        deq[2] += bfv[:, None] * deq[1]
+        A = S.cos_basis(8)
+        for c, dcp in ((0, dc_planes[0]), (1, dc_planes[1]),
+                       (2, dc_planes[2])):
+            km = deq[c].reshape(n, 8, 8)
+            km[:, 0, 0] = dcp[bys, bxs]
+            pix = np.einsum("nkl,km,ln->...", km, A, A,
+                            optimize=True) if False else                 np.einsum("nkl,km,lo->nmo", km, A, A)
+            for i, vb in enumerate(dct8):
+                planes[c][vb.by * 8:vb.by * 8 + 8,
+                          vb.bx * 8:vb.bx * 8 + 8] = pix[i]
+    for vb in rest:
         strat = STRATEGIES[vb.strategy]
         bx, by = vb.bx, vb.by
         qf = int(lg.qf_map[by, bx])
