@@ -790,6 +790,45 @@ def apply_epf1(X, Y, B, sigma_map):
     return out[0], out[1], out[2]
 
 
+def apply_epf2(X, Y, B, sigma_map, sigma_scale=6.5):
+    """EPF second stage (epf_iters >= 2): all pixels, 4-neighbour
+    cross with POINTWISE SADs.  epf_pass2_sigma_scale multiplies the
+    INVERSE sigma (pinned on noise probes: the stage barely smooths),
+    so the effective sigma is sigma / scale."""
+    H, W = Y.shape
+    planes = [X, Y, B]
+    pad = [np.pad(p, 1, mode="edge") for p in planes]
+    active = sigma_map >= 0.3
+    with np.errstate(divide="ignore"):
+        inv = np.where(active,
+                       KINV_SIGMA * sigma_scale / sigma_map, 0.0)
+    inv_px = np.repeat(np.repeat(inv, 8, 0), 8, 1)[:H, :W]
+    act_px = np.repeat(np.repeat(active, 8, 0), 8, 1)[:H, :W]
+    bx = np.arange(W) % 8
+    by = np.arange(H) % 8
+    border = (((by == 0) | (by == 7))[:, None]
+              | ((bx == 0) | (bx == 7))[None, :])
+    mul = np.where(border, 2.0 / 3.0, 1.0)
+    wsum = np.ones((H, W))
+    acc = [p.copy() for p in planes]
+    for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        sad = np.zeros((H, W))
+        for c in range(3):
+            pc = pad[c]
+            sad += EPF_CHANNEL_SCALE[c] * np.abs(
+                pc[1:1 + H, 1:1 + W]
+                - pc[1 + dy:1 + dy + H, 1 + dx:1 + dx + W])
+        w = np.maximum(0.0, 1.0 + sad * mul * inv_px)
+        wsum += w
+        for c in range(3):
+            acc[c] += w * pad[c][1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+    out = []
+    for c in range(3):
+        f = acc[c] / wsum
+        out.append(np.where(act_px, f, planes[c]))
+    return out[0], out[1], out[2]
+
+
 def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
     """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
 
@@ -897,7 +936,14 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
     if rf.epf_iters >= 1:
         lf_sigma = EPF_SIGMA_PER * sharp_map \
             * (lf.inv_global_scale / np.maximum(qf_map, 1))
+        if rf.epf_iters >= 3:
+            # best-effort: the reference applies the first stage twice
+            X, Y, B = apply_epf1(X, Y, B, lf_sigma
+                                 / rf.epf_pass0_sigma_scale)
         X, Y, B = apply_epf1(X, Y, B, lf_sigma)
+        if rf.epf_iters >= 2:
+            X, Y, B = apply_epf2(X, Y, B, lf_sigma,
+                                 rf.epf_pass2_sigma_scale)
     m = hdr.metadata
     bits = m.bit_depth.bits_per_sample
     if bits > 8:
