@@ -102,6 +102,104 @@ def pad_frame_arrays(ac, dc, qf, fx, fb, n_devices: int):
 
 
 # ---------------------------------------------------------------------------
+# Real-format (wire-exact) sharded reconstruction
+#
+# Shards the post-entropy arrays of a real VarDCT frame (dec_real layout)
+# over block rows.  Per shard: DC->XYB (+ adaptive DC smoothing with a
+# 1-block-row halo), dequant+CfL+IDCT on the MXU, then an 8-pixel-row halo
+# exchange over ICI for gaborish + EPF stage 1, and the bit-exact
+# XYB->sRGB8 conversion.  Matches the single-device
+# `tpu_real.reconstruct_dct8_frame` output exactly (block-row count must
+# be divisible by the mesh size).
+
+def _fix_global_halo(padded, halo, idx, n):
+    """Replace the halo rows of the first/last shard with edge replicas of
+    the first/last REAL row — reproducing the single-device filters' edge
+    padding semantics at the true image borders."""
+    top_fix = padded.at[:, :halo, :].set(
+        jnp.broadcast_to(padded[:, halo:halo + 1, :],
+                         padded[:, :halo, :].shape))
+    bot_fix = padded.at[:, -halo:, :].set(
+        jnp.broadcast_to(padded[:, -halo - 1:-halo, :],
+                         padded[:, -halo:, :].shape))
+    padded = jnp.where(idx == 0, top_fix, padded)
+    return jnp.where(idx == n - 1, bot_fix, padded)
+
+
+def sharded_reconstruct_real(mesh: Mesh, gab: bool = True, epf: bool = True,
+                             dc_smooth: bool = True):
+    """Build a jitted sharded decoder for real-format DCT8 frames.
+
+    Returns fn(coeffs (3,ys,xs,64), dc (3,ys,xs), qf, sharp, xf, bf
+    (ys,xs), table (3,64), igs, quant_dc, dcq (3,), qm_x, qm_b) ->
+    (H, W, 3) uint8.  `ys` must be divisible by the mesh size.
+    """
+    from ..vardct import tpu_real as tr
+    axis = mesh.axis_names[0]
+    n = int(np.prod(mesh.devices.shape))
+
+    def per_shard(coeffs, dc, qf, sharp, xf, bf, table,
+                  igs, quant_dc, dcq, qm_x, qm_b):
+        idx = jax.lax.axis_index(axis)
+        dc_steps = jnp.stack([dcq[0] * igs / quant_dc,
+                              dcq[1] * igs / quant_dc,
+                              dcq[2] * igs / quant_dc])
+        dcp = tr.dc_xyb_planes(dc, dc_steps)
+        if dc_smooth:
+            # 3x3 on the DC grid: 1-block-row halo; global borders kept.
+            ysh = dcp.shape[1]
+            p = _exchange_halo(dcp, 1, axis)
+            p = jnp.pad(p, ((0, 0), (0, 0), (1, 1)), mode="edge")
+            c = p[:, 1:-1, 1:-1]
+            w1, w2 = tr.DC_SMOOTH_W1, tr.DC_SMOOTH_W2
+            w0 = 1.0 - 4.0 * (w1 + w2)
+            sm = (w0 * c
+                  + w1 * (p[:, :-2, 1:-1] + p[:, 2:, 1:-1]
+                          + p[:, 1:-1, :-2] + p[:, 1:-1, 2:])
+                  + w2 * (p[:, :-2, :-2] + p[:, :-2, 2:]
+                          + p[:, 2:, :-2] + p[:, 2:, 2:]))
+            gap = jnp.max(jnp.abs(sm - c) / dc_steps[:, None, None], axis=0)
+            gap = jnp.maximum(0.5, gap)
+            mix = jnp.clip((0.7 - gap) / 0.2, 0.0, 1.0)
+            out = c + (sm - c) * mix[None]
+            grow = idx * ysh + jnp.arange(ysh)
+            xs = dcp.shape[2]
+            keep = ((grow == 0) | (grow == n * ysh - 1))[None, :, None] \
+                | ((jnp.arange(xs) % (xs - 1) == 0))[None, None, :]
+            dcp = jnp.where(keep, dcp, out)
+        Xp, Yp, Bp = tr.synth_from_dcp(coeffs, dcp, qf, xf, bf, table,
+                                       igs, qm_x, qm_b)
+        if gab or epf:
+            halo = 8  # 1 block row: covers gaborish(1) + EPF1 reads(3)
+            slab = _exchange_halo(jnp.stack([Xp, Yp, Bp]), halo, axis)
+            if gab:
+                w1 = np.float32(0.115169525)
+                w2 = np.float32(0.061248592)
+                slab = jnp.stack([tr.gaborish_device(slab[c], w1, w2)
+                                  for c in range(3)])
+                # in-shard symmetric padding polluted only the outermost
+                # halo row of interior shards (cropped); at the true image
+                # borders restore edge-pad semantics for EPF's reads:
+                slab = _fix_global_halo(slab, halo, idx, n)
+            if epf:
+                sigma = (tr.EPF_SIGMA_PER * sharp.astype(jnp.float32)
+                         * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
+                sigp = _exchange_halo(sigma[None], 1, axis)[0]
+                X2, Y2, B2 = tr.epf1_device(slab[0], slab[1], slab[2], sigp)
+                slab = jnp.stack([X2, Y2, B2])
+            slab = slab[:, halo:-halo, :]
+            Xp, Yp, Bp = slab[0], slab[1], slab[2]
+        return tr.xyb_to_srgb8_device(Xp, Yp, Bp)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(axis), P(axis), P(axis),
+                  P(axis), P(), P(), P(), P(), P(), P()),
+        out_specs=P(axis))
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
 # Frame-level (GOP) sharding for animation decode
 
 def sharded_frame_reconstruct(mesh: Mesh, epf_iters: int = 1,

@@ -21,6 +21,7 @@ cos(pi(2x+1)k/16) with amplitude sqrt(2); stored index k maps to basis
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -829,6 +830,55 @@ def apply_epf2(X, Y, B, sigma_map, sigma_scale=6.5):
     return out[0], out[1], out[2]
 
 
+def _apply_filters_chain(X, Y, B, rf, sigma):
+    X, Y, B = apply_gaborish(X, Y, B, rf)
+    if rf.epf_iters >= 1:
+        if rf.epf_iters >= 3:
+            X, Y, B = apply_epf1(X, Y, B, sigma
+                                 / rf.epf_pass0_sigma_scale)
+        X, Y, B = apply_epf1(X, Y, B, sigma)
+        if rf.epf_iters >= 2:
+            X, Y, B = apply_epf2(X, Y, B, sigma,
+                                 rf.epf_pass2_sigma_scale)
+    return X, Y, B
+
+
+def _apply_filters_parallel(X, Y, B, rf, sigma, band_rows=512):
+    """Run the gaborish+EPF chain over horizontal bands in threads.
+
+    Bands are 8px-aligned with a 16px halo; filters reach at most
+    7px (gaborish 1 + epf passes), so cropping the halo reproduces
+    the full-frame result exactly.  numpy ufuncs release the GIL on
+    large arrays, so this scales across cores."""
+    H, W = Y.shape
+    if not rf.gab and rf.epf_iters == 0:
+        return X, Y, B
+    if H <= band_rows * 2:
+        return _apply_filters_chain(X, Y, B, rf, sigma)
+    import concurrent.futures as _fut
+    halo = 16
+    outs = [np.empty_like(X), np.empty_like(Y), np.empty_like(B)]
+
+    def run_band(y0):
+        y1 = min(y0 + band_rows, H)
+        a = max(0, y0 - halo)
+        b = min(H, y1 + halo)
+        sg = None
+        if sigma is not None:
+            sg = sigma[a // 8:(b + 7) // 8]
+        bx, by_, bb = _apply_filters_chain(
+            X[a:b], Y[a:b], B[a:b], rf, sg)
+        outs[0][y0:y1] = bx[y0 - a:y1 - a]
+        outs[1][y0:y1] = by_[y0 - a:y1 - a]
+        outs[2][y0:y1] = bb[y0 - a:y1 - a]
+
+    starts = list(range(0, H, band_rows))
+    workers = min(len(starts), os.cpu_count() or 4)
+    with _fut.ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(run_band, starts))
+    return outs[0], outs[1], outs[2]
+
+
 def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
     """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
 
@@ -901,14 +951,13 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
         dc_glob = adaptive_dc_smoothing(dc_glob,
                                         {0: steps[0], 1: steps[1],
                                          2: steps[2]})
-    for gi in range(ng):
+    def _decode_group(gi):
         ax = (gi % gx) * gd_b
         ay = (gi // gx) * gd_b
         gw = min(gd_b, xs_b - ax)
         gh = min(gd_b, ys_b - ay)
         br_g = brs(2 + ndc + gi)
         histo_index = br_g.u(histo_bits) if histo_bits else 0
-        # parent LF group and intra-LF-group offsets
         lgi = (ay // lf_gd_b) * gx_lf + (ax // lf_gd_b)
         lx, ly, lg = lgs[lgi]
         ox, oy = ax - lx, ay - ly
@@ -917,8 +966,6 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
                          sub.dc.channels[2].data])
         blocks = read_pass_group(br_g, lf, hf, sub, gw, gh, 0,
                                  histo_index, dc_q)
-        dc_view = {c: dc_glob[c][ay:ay + gh, ax:ax + gw]
-                   for c in range(3)}
         if lf.mfd is not None:
             try:
                 lf.mfd.read_group(br_g, gi, ndc, ng)
@@ -926,24 +973,31 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
                 if single:
                     raise
                 lf.ec_failed = True
+        dc_view = {c: dc_glob[c][ay:ay + gh, ax:ax + gw]
+                   for c in range(3)}
         gX, gY, gB = reconstruct_group(lf, sub, blocks, fh, dc_view)
         X[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gX
         Y[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gY
         B[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gB
 
+    if single or ng == 1:
+        for gi in range(ng):
+            _decode_group(gi)
+    else:
+        # groups are fully independent; the native entropy loops and
+        # large numpy ops release the GIL, so a thread pool gives real
+        # multi-core host decode
+        import concurrent.futures as _fut
+        workers = min(ng, os.cpu_count() or 4)
+        with _fut.ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_decode_group, range(ng)))
+
     rf = fh.restoration_filter
-    X, Y, B = apply_gaborish(X, Y, B, rf)
+    lf_sigma = None
     if rf.epf_iters >= 1:
         lf_sigma = EPF_SIGMA_PER * sharp_map \
             * (lf.inv_global_scale / np.maximum(qf_map, 1))
-        if rf.epf_iters >= 3:
-            # best-effort: the reference applies the first stage twice
-            X, Y, B = apply_epf1(X, Y, B, lf_sigma
-                                 / rf.epf_pass0_sigma_scale)
-        X, Y, B = apply_epf1(X, Y, B, lf_sigma)
-        if rf.epf_iters >= 2:
-            X, Y, B = apply_epf2(X, Y, B, lf_sigma,
-                                 rf.epf_pass2_sigma_scale)
+    X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
     m = hdr.metadata
     bits = m.bit_depth.bits_per_sample
     if bits > 8:

@@ -23,13 +23,19 @@ from .dec_real import (DC_SMOOTH_W1, DC_SMOOTH_W2, KINV_SIGMA,
 
 
 @functools.lru_cache(maxsize=None)
-def _idct8_basis():
+def _idct8_basis_np():
     A = np.zeros((8, 8), np.float32)
     for k in range(8):
         for x in range(8):
             a = 1.0 if k == 0 else np.sqrt(2.0)
             A[k, x] = a * np.cos(np.pi * (2 * x + 1) * k / 16)
-    return jnp.asarray(A)
+    return A
+
+
+def _idct8_basis():
+    # constant folded by XLA; never cache the jnp array (a first call under
+    # a shard_map/jit trace would leak a tracer into later traces)
+    return jnp.asarray(_idct8_basis_np())
 
 
 def dc_smoothing_device(dc, steps):
@@ -138,27 +144,17 @@ def xyb_to_srgb8_device(X, Y, B):
         jnp.uint8)
 
 
-def reconstruct_dct8_frame(coeffs, dc, qf, sharp, xf, bf, table,
-                           igs, quant_dc, dcq, qm_x, qm_b,
-                           gab, epf, skip_dc_smooth):
-    """All-DCT8 frame reconstruction on device.
-
-    coeffs: (3, ys, xs, 64) float32 scan->basis ALREADY applied
-    (basis-indexed); dc: (3, ys, xs) int32 (y, x, b channel order);
-    qf/sharp: (ys, xs); xf/bf: per-block cfl factor maps (ys, xs).
-    """
-    _, ys, xs, _ = coeffs.shape
-    dc_steps = jnp.asarray([dcq[0] * igs / quant_dc,
-                            dcq[1] * igs / quant_dc,
-                            dcq[2] * igs / quant_dc], jnp.float32)
+def dc_xyb_planes(dc, dc_steps):
+    """Raw int DC (3, ys, xs) channel order (y, x, b) -> XYB DC planes."""
     dcY = dc[0].astype(jnp.float32) * dc_steps[1]
     dcX = dc[1].astype(jnp.float32) * dc_steps[0] + 0.0 * dcY
     dcB = dc[2].astype(jnp.float32) * dc_steps[2] + 1.0 * dcY
-    dcp = jnp.stack([dcX, dcY, dcB])          # (x, y, b) order
-    if not skip_dc_smooth:
-        steps_xyb = jnp.stack([dc_steps[0], dc_steps[1], dc_steps[2]])
-        dcp = dc_smoothing_device(dcp, steps_xyb)
+    return jnp.stack([dcX, dcY, dcB])
 
+
+def synth_from_dcp(coeffs, dcp, qf, xf, bf, table, igs, qm_x, qm_b):
+    """Dequant + CfL + IDCT given already-smoothed XYB DC planes."""
+    _, ys, xs, _ = coeffs.shape
     inv_qac = (igs / qf.astype(jnp.float32))[None, :, :, None]
     qm = jnp.asarray([qm_x, 1.0, qm_b], jnp.float32)[:, None, None, None]
     deq = coeffs * table[:, None, None, :] * inv_qac * qm
@@ -168,16 +164,28 @@ def reconstruct_dct8_frame(coeffs, dc, qf, sharp, xf, bf, table,
     A = _idct8_basis()
 
     def synth(dq, dcplane):
-        # input is basis-indexed: [ky][kx]
         km = dq.reshape(ys, xs, 8, 8)
         km = km.at[:, :, 0, 0].set(dcplane)
         pix = jnp.einsum("yxkl,km,ln->yxmn", km, A, A,
                          precision=jax.lax.Precision.HIGHEST)
         return jnp.transpose(pix, (0, 2, 1, 3)).reshape(ys * 8, xs * 8)
 
-    Xp = synth(deqX, dcp[0])
-    Yp = synth(deqY, dcp[1])
-    Bp = synth(deqB, dcp[2])
+    return synth(deqX, dcp[0]), synth(deqY, dcp[1]), synth(deqB, dcp[2])
+
+
+def synth_dct8_planes(coeffs, dc, qf, xf, bf, table,
+                      igs, quant_dc, dcq, qm_x, qm_b, skip_dc_smooth):
+    """Dequant + CfL + IDCT only -> (X, Y, B) planes (no filters)."""
+    dc_steps = jnp.asarray([dcq[0] * igs / quant_dc,
+                            dcq[1] * igs / quant_dc,
+                            dcq[2] * igs / quant_dc], jnp.float32)
+    dcp = dc_xyb_planes(dc, dc_steps)
+    if not skip_dc_smooth:
+        dcp = dc_smoothing_device(dcp, dc_steps)
+    return synth_from_dcp(coeffs, dcp, qf, xf, bf, table, igs, qm_x, qm_b)
+
+
+def apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab, epf):
     if gab:
         w1, w2 = np.float32(0.115169525), np.float32(0.061248592)
         Xp = gaborish_device(Xp, w1, w2)
@@ -187,4 +195,21 @@ def reconstruct_dct8_frame(coeffs, dc, qf, sharp, xf, bf, table,
         sigma = (EPF_SIGMA_PER * sharp.astype(jnp.float32)
                  * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
         Xp, Yp, Bp = epf1_device(Xp, Yp, Bp, sigma)
+    return Xp, Yp, Bp
+
+
+def reconstruct_dct8_frame(coeffs, dc, qf, sharp, xf, bf, table,
+                           igs, quant_dc, dcq, qm_x, qm_b,
+                           gab, epf, skip_dc_smooth):
+    """All-DCT8 frame reconstruction on device.
+
+    coeffs: (3, ys, xs, 64) float32 scan->basis ALREADY applied
+    (basis-indexed); dc: (3, ys, xs) int32 (y, x, b channel order);
+    qf/sharp: (ys, xs); xf/bf: per-block cfl factor maps (ys, xs).
+    """
+    Xp, Yp, Bp = synth_dct8_planes(coeffs, dc, qf, xf, bf, table, igs,
+                                   quant_dc, dcq, qm_x, qm_b,
+                                   skip_dc_smooth)
+    Xp, Yp, Bp = apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab,
+                                      epf)
     return xyb_to_srgb8_device(Xp, Yp, Bp)

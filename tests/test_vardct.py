@@ -127,3 +127,45 @@ def test_vardct_odd_size_crop():
     out, _ = api.decode(data)
     assert out.shape == (41, 53, 3)
     assert _psnr(out, img) > 30.0
+
+
+def test_sharded_real_reconstruct_matches_single_device():
+    """Real-format sharded reconstruction (8-device mesh, halo exchange)
+    matches the single-device device pipeline (ref: libjxl decodes groups
+    independently with cross-group filter borders; here the equivalent is
+    block-row sharding + ppermute halos)."""
+    import jax
+    from jxl_coder_tpu.parallel import groups as G
+    from jxl_coder_tpu.vardct import tpu_real as tr
+    from jxl_coder_tpu.vardct import synthesis as S
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(7)
+    ys, xs = 16, 24
+    co = rng.normal(0, 20, (3, ys, xs, 64)).astype(np.float32)
+    dc = rng.integers(-200, 200, (3, ys, xs)).astype(np.int32)
+    qf = rng.integers(4, 40, (ys, xs)).astype(np.int32)
+    sh = rng.integers(0, 8, (ys, xs)).astype(np.int32)
+    xf = rng.normal(0, 0.3, (ys, xs)).astype(np.float32)
+    bf = rng.normal(1.0, 0.3, (ys, xs)).astype(np.float32)
+    tb = np.stack([S.dequant_table(0, c) for c in range(3)]).astype(
+        np.float32)
+    igs = np.float32(1.2)
+    qdc = np.float32(0.8)
+    dcq = np.asarray([0.6, 1.0, 1.5], np.float32)
+    one = np.float32(1.0)
+    mesh = G.make_mesh(8)
+    for gab, epf, dcs in [(True, True, True), (False, True, False)]:
+        ref = np.asarray(tr.reconstruct_dct8_frame(
+            co, dc, qf, sh, xf, bf, tb, igs, qdc, dcq, one, one,
+            gab, epf, not dcs))
+        fn = G.sharded_reconstruct_real(mesh, gab=gab, epf=epf,
+                                        dc_smooth=dcs)
+        out = np.asarray(fn(co, dc, qf, sh, xf, bf, tb, igs, qdc, dcq,
+                            one, one))
+        # different XLA fusion may flip a pixel on a 0.5 rounding boundary
+        d = np.abs(ref.astype(int) - out.astype(int))
+        assert d.max() <= 1 and (d > 0).sum() <= ref.size // 10000, (
+            gab, epf, dcs, d.max(), int((d > 0).sum()))
