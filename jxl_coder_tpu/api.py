@@ -343,12 +343,109 @@ def _decode_one_frame(cs, hdr, fh, toc):
     return np.stack(arrs, axis=-1).astype(dtype)
 
 
+def _compose_frame(canvas, pix, fh, m):
+    """Blend the decoded frame rect onto the full-size canvas in place.
+
+    Implements the FrameHeader blending semantics used by animations
+    (dec_frame blending; reference coordinator composes per-frame the
+    same way through libjxl): crop offsets clip against the canvas,
+    REPLACE/ADD/BLEND/ALPHA_WEIGHTED_ADD/MUL per colour channel, extra
+    channels follow ec_blending_info."""
+    import numpy as np
+    x0, y0 = fh.x0, fh.y0
+    h, w = pix.shape[:2]
+    sx, sy = max(0, -x0), max(0, -y0)
+    dx, dy = max(0, x0), max(0, y0)
+    cw = min(w - sx, canvas.shape[1] - dx)
+    ch = min(h - sy, canvas.shape[0] - dy)
+    if cw <= 0 or ch <= 0:
+        return
+    src = pix[sy:sy + ch, sx:sx + cw]
+    dst = canvas[dy:dy + ch, dx:dx + cw]
+    nch = pix.shape[2]
+    ncolor = 1 if nch - len(m.extra_channels) == 1 else 3
+    maxv = float(np.iinfo(canvas.dtype).max)
+
+    def _alpha_planes(bi):
+        ai = ncolor + bi.alpha_channel
+        fa = src[..., ai].astype(np.float64) / maxv
+        ba = dst[..., ai].astype(np.float64) / maxv
+        premult = (bi.alpha_channel < len(m.extra_channels)
+                   and m.extra_channels[bi.alpha_channel].alpha_associated)
+        return fa, ba, premult
+
+    def _blend_channels(chans, bi):
+        mode = fh.blending_info.mode if bi is fh.blending_info else bi.mode
+        if mode == 0:           # REPLACE
+            dst[..., chans] = src[..., chans]
+            return
+        s = src[..., chans].astype(np.float64)
+        d = dst[..., chans].astype(np.float64)
+        if mode == 1:           # ADD
+            out = s + d
+        elif mode == 2:         # BLEND (source-over)
+            fa, ba, premult = _alpha_planes(bi)
+            if bi.clamp:
+                fa = np.clip(fa, 0.0, 1.0)
+            if premult:
+                out = s + d * (1.0 - fa)[..., None]
+                na = fa + ba * (1.0 - fa)
+            else:
+                na = fa + ba * (1.0 - fa)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out = np.where(
+                        na[..., None] > 0,
+                        (s * fa[..., None]
+                         + d * (ba * (1.0 - fa))[..., None])
+                        / np.where(na[..., None] > 0, na[..., None], 1.0),
+                        0.0)
+            ai = ncolor + bi.alpha_channel
+            dst[..., ai] = np.clip(np.rint(na * maxv), 0,
+                                   maxv).astype(canvas.dtype)
+        elif mode == 3:         # ALPHA_WEIGHTED_ADD
+            fa, _, _ = _alpha_planes(bi)
+            if bi.clamp:
+                fa = np.clip(fa, 0.0, 1.0)
+            out = d + s * fa[..., None]
+        elif mode == 4:         # MUL
+            if bi.clamp:
+                s = np.clip(s, 0.0, maxv)
+            out = s * d / maxv
+        else:
+            raise InvalidJXLError(f"unknown blend mode {mode}")
+        dst[..., chans] = np.clip(np.rint(out), 0, maxv).astype(canvas.dtype)
+
+    _blend_channels(list(range(ncolor)), fh.blending_info)
+    for i, bi in enumerate(fh.ec_blending_info):
+        ei = ncolor + i
+        if (fh.blending_info.mode == 2
+                and fh.blending_info.alpha_channel == i
+                and bi.mode == 2):
+            continue  # already written by the colour blend above
+        if bi.mode == 0:
+            dst[..., ei] = src[..., ei]
+        elif bi.mode == 1:
+            out = (src[..., ei].astype(np.float64)
+                   + dst[..., ei].astype(np.float64))
+            dst[..., ei] = np.clip(np.rint(out), 0,
+                                   maxv).astype(canvas.dtype)
+        elif bi.mode == 2:
+            fa, ba, _ = _alpha_planes(bi)
+            na = fa + ba * (1.0 - fa)
+            dst[..., ei] = np.clip(np.rint(na * maxv), 0,
+                                   maxv).astype(canvas.dtype)
+        else:
+            raise InvalidJXLError(
+                f"extra-channel blend mode {bi.mode} not supported")
+
+
 def decode_frames(data: bytes):
     """Decode ALL frames of a (possibly animated) codestream.
 
     Returns (frames, durations, info): frames are (H, W, C) arrays in
-    display order (REPLACE blending composed over the canvas),
-    durations in animation ticks (empty header -> [0]).
+    display order (cropped frames composed over the blending source's
+    reference canvas, saved back per save_as_reference), durations in
+    animation ticks (empty header -> [0]).
     """
     import numpy as np
     try:
@@ -361,7 +458,7 @@ def decode_frames(data: bytes):
             raise InvalidJXLError("ICC streams not yet supported")
         frames = []
         durations = []
-        canvas = None
+        ref_slots = {}
         while True:
             fh = read_frame_header(br, hdr)
             ng, ndc = fh.counts(hdr)
@@ -369,16 +466,33 @@ def decode_frames(data: bytes):
                 2 + ndc + ng * fh.passes.num_passes)
             toc = read_toc(br, n)
             pix = _decode_one_frame(cs, hdr, fh, toc)
-            pix = apply_orientation(pix, m.orientation)
-            if canvas is None or fh.blending_info.mode == 0:
-                canvas = pix
+            if fh.frame_type == 2:  # REFERENCE_ONLY: stored raw, not shown
+                ref_slots[fh.save_as_reference] = pix
+                if fh.is_last:
+                    break
+                br.pos = toc.end_offset * 8
+                continue
+            full = (not fh.have_crop
+                    and pix.shape[0] >= hdr.ysize
+                    and pix.shape[1] >= hdr.xsize
+                    and fh.blending_info.mode == 0)
+            if full:
+                canvas = pix[:hdr.ysize, :hdr.xsize]
             else:
-                # non-REPLACE blending: naive source-over for mode 2
-                canvas = pix  # refine with alpha blending as needed
-            if fh.frame_type == 0 and (fh.duration > 0
-                                       or m.animation is None
-                                       or fh.is_last):
-                frames.append(canvas.copy())
+                base = ref_slots.get(fh.blending_info.source)
+                if base is None:
+                    canvas = np.zeros((hdr.ysize, hdr.xsize, pix.shape[2]),
+                                      pix.dtype)
+                else:
+                    canvas = base.copy()
+                _compose_frame(canvas, pix, fh, m)
+            if not fh.is_last:
+                ref_slots[fh.save_as_reference] = canvas
+            if fh.frame_type in (0, 3) and (fh.duration > 0
+                                            or m.animation is None
+                                            or fh.is_last):
+                frames.append(apply_orientation(canvas.copy(),
+                                                m.orientation))
                 durations.append(fh.duration)
             if fh.is_last:
                 break

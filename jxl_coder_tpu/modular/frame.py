@@ -64,6 +64,11 @@ class ModularFrameDecoder:
             global_code=self.gcode, max_chan_size=self.group_dim)
         self.stopped_at = getattr(self.header, "stopped_at",
                                   len(self.image.channels))
+        # pre-allocate deferred channels: per-group streams decode into
+        # disjoint rect views from worker threads, and a lazy alloc()
+        # there would race (two threads both seeing data=None)
+        for ci in range(self.stopped_at, len(self.image.channels)):
+            self.image.channels[ci].alloc()
 
     def _group_views(self, group_index: int, gd: int,
                      minshift: int, maxshift: int):

@@ -310,9 +310,13 @@ def _squeeze_1d(data: np.ndarray):
 
 def default_squeeze_params(image: ModularImage) -> list:
     """Default squeeze sequence (squeeze.cc DefaultSqueezeParameters):
-    optional first chroma squeeze when >=3 same-sized channels, then
+    optional first chroma squeeze when >=3 same-sized channels, one
+    vertical halving first on tall/square images (h >= w), then
     alternating horizontal/vertical halvings while either dimension
-    exceeds 8."""
+    exceeds 8.  The vertical-first rule was pinned empirically with
+    zero-bit probe streams (leaf offsets reveal libjxl's channel
+    indices/order); getting it wrong transposes every squeezed channel
+    on square images."""
     mc = image.nb_meta_channels
     nb = len(image.channels) - mc
     w = image.channels[mc].width
@@ -324,6 +328,10 @@ def default_squeeze_params(image: ModularImage) -> list:
                                  begin_c=mc + 1, num_c=2))
         out.append(SqueezeParams(horizontal=False, in_place=False,
                                  begin_c=mc + 1, num_c=2))
+    if h >= w and h > 8:
+        out.append(SqueezeParams(horizontal=False, in_place=True,
+                                 begin_c=mc, num_c=nb))
+        h = (h + 1) // 2
     while w > 8 or h > 8:
         if w > 8:
             out.append(SqueezeParams(horizontal=True, in_place=True,

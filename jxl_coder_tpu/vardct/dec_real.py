@@ -907,7 +907,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
     else:
         brs = section
 
-    lf = read_lf_global(brs(0), fh, hdr, xs_b * 8, ys_b * 8,
+    lf = read_lf_global(brs(0), fh, hdr, w, h,
                         allow_ec_failure=not single)
 
     # LF groups: 2048x2048 px tiles (256x256 blocks)

@@ -73,3 +73,105 @@ def test_lossy_libjxl_to_ours_e3():
     theirs, _ = refjxl.decode(data)
     d = np.abs(ours.astype(int) - theirs.astype(int))
     assert d.mean() < 1.0  # EPF/DC-smoothing still pending
+
+
+# ---------------------------------------------------------------------------
+# Lossy extra channels (squeezed, quantized via MA-tree multipliers) and
+# animated composition.  These pin the DefaultSqueezeParameters
+# vertical-first rule (h >= w) and the unpadded EC frame size.
+
+def _rgba(seed, size):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., :3] = rng.integers(0, 255, (size, size, 3))
+    img[..., 3] = 255
+    img[size // 4:3 * size // 4, size // 4:3 * size // 4, 3] = 128
+    return img
+
+
+@pytest.mark.parametrize("size", [64, 77, 300])
+def test_lossy_alpha_bit_exact(size):
+    """Alpha of lossy VarDCT streams decodes bit-exactly vs libjxl
+    (square images exercise the V-first default squeeze; 77/300
+    exercise the unpadded EC size)."""
+    img = _rgba(3, size)
+    data = refjxl.encode(img, lossless=False, effort=3, distance=1.0)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    assert ours.shape == theirs.shape
+    assert np.array_equal(ours[..., 3], theirs[..., 3])
+
+
+def _decode_all_frames_libjxl(data):
+    import ctypes
+    from refjxl import (_lib, JxlBasicInfo, JxlPixelFormat, byref,
+                        c_size_t, c_uint8, JXL_DEC_BASIC_INFO,
+                        JXL_DEC_FULL_IMAGE, JXL_TYPE_UINT8,
+                        JXL_NATIVE_ENDIAN)
+    dec = _lib.JxlDecoderCreate(None)
+    frames = []
+    try:
+        assert _lib.JxlDecoderSubscribeEvents(
+            dec, JXL_DEC_BASIC_INFO | JXL_DEC_FULL_IMAGE) == 0
+        buf = ctypes.create_string_buffer(data, len(data))
+        assert _lib.JxlDecoderSetInput(dec, buf, len(data)) == 0
+        info = JxlBasicInfo()
+        pixels = None
+        fmt = None
+        while True:
+            st = _lib.JxlDecoderProcessInput(dec)
+            if st == JXL_DEC_BASIC_INFO:
+                assert _lib.JxlDecoderGetBasicInfo(dec, byref(info)) == 0
+            elif st == 5:
+                nch = 3 + (1 if info.alpha_bits else 0)
+                fmt = JxlPixelFormat(nch, JXL_TYPE_UINT8,
+                                     JXL_NATIVE_ENDIAN, 0)
+                size = c_size_t()
+                _lib.JxlDecoderImageOutBufferSize(dec, byref(fmt),
+                                                  byref(size))
+                pixels = (c_uint8 * size.value)()
+                _lib.JxlDecoderSetImageOutBuffer(dec, byref(fmt), pixels,
+                                                 size.value)
+            elif st == JXL_DEC_FULL_IMAGE:
+                frames.append(np.ctypeslib.as_array(pixels).reshape(
+                    info.ysize, info.xsize, fmt.num_channels).copy())
+            elif st == 0:
+                break
+            else:
+                raise RuntimeError(f"decoder status {st}")
+        return frames
+    finally:
+        _lib.JxlDecoderDestroy(dec)
+
+
+def test_animated_lossy_frames_match_libjxl():
+    base = (np.fromfunction(
+        lambda y, x, c: 100 + 80 * np.sin(x / 11 + c)
+        + 60 * np.cos(y / 13), (96, 96, 3))).clip(0, 255).astype(np.uint8)
+    frames_in = [base, np.roll(base, 7, axis=1), np.roll(base, 14, axis=0)]
+    data = refjxl.encode_animation(frames_in, lossless=False, effort=3,
+                                   distance=1.0)
+    refs = _decode_all_frames_libjxl(data)
+    ours, durs, _ = api.decode_frames(data)
+    assert len(ours) == len(refs) == 3
+    for o, r in zip(ours, refs):
+        assert o.shape == r.shape
+        d = np.abs(o[..., :3].astype(int) - r[..., :3].astype(int))
+        assert d.max() <= 4, d.max()
+
+
+def test_animated_corpus_composition():
+    """animated_jxl.jxl: 48 cropped/blended frames compose to libjxl's
+    coalesced output (alpha bit-exact; colour within the EPF-stage-2/3
+    residual)."""
+    path = "/root/reference/app/src/main/assets/animated_jxl.jxl"
+    if not os.path.exists(path):
+        pytest.skip("corpus not available")
+    data = open(path, "rb").read()
+    refs = _decode_all_frames_libjxl(data)
+    ours, durs, _ = api.decode_frames(data)
+    assert len(ours) == len(refs) == 48
+    for i in (0, 1, 17, 47):
+        d = np.abs(ours[i].astype(int) - refs[i].astype(int))
+        assert d[..., 3].max() == 0          # alpha bit-exact
+        assert d.mean() < 1.0 and d.max() < 32
