@@ -193,6 +193,74 @@ class DecodedFrame:
     end_offset: int = 0
 
 
+def _finalize_modular_planes(planes: List[np.ndarray], hdr: ImageHeader,
+                             fh, dc_quant) -> List[np.ndarray]:
+    """Post-process raw modular channels into displayable planes:
+
+    - XYB mode: channels are stored as (Y, X, B-Y) scaled by the
+      LfGlobal dc dequant factors (dec_modular FinalizeDecoding:
+      x = c1*dcq_x, y = c0*dcq_y, b = (c0+c2)*dcq_b; pinned
+      numerically against libjxl float decode), converted to sRGB.
+    - upsampling: the coded frame is 1/upsampling of the signalled
+      size; the Upsampler stage scales it back (XYB space for xyb
+      streams, channel space otherwise).  Extra channels upsample by
+      their own ec_upsampling << dim_shift."""
+    import numpy as np
+    m = hdr.metadata
+    ncolor = 1 if (m.colour_encoding.colour_space == 1
+                   and not m.xyb_encoded) else 3
+    if len(planes) < ncolor:
+        return planes
+    full_w = fh.frame_width or hdr.xsize
+    full_h = fh.frame_height or hdr.ysize
+    up = fh.upsampling
+    weights = None
+    if up > 1:
+        uw = m.transform_data
+        weights = {2: uw.up2_weights, 4: uw.up4_weights,
+                   8: uw.up8_weights}.get(up)
+    bits = m.bit_depth.bits_per_sample
+    if m.xyb_encoded:
+        from .vardct.dec_real import (xyb_planes_to_srgb8,
+                                      xyb_planes_to_srgb16)
+        cy = planes[0].astype(np.float32)
+        cx = planes[1].astype(np.float32)
+        cb = planes[2].astype(np.float32)
+        X = cx * np.float32(dc_quant[0])
+        Y = cy * np.float32(dc_quant[1])
+        B = (cy + cb) * np.float32(dc_quant[2])
+        if up > 1:
+            from .ops.upsample import upsample_plane
+            X = upsample_plane(X, up, weights)
+            Y = upsample_plane(Y, up, weights)
+            B = upsample_plane(B, up, weights)
+        rgb = xyb_planes_to_srgb8(X, Y, B) if bits <= 8 \
+            else xyb_planes_to_srgb16(X, Y, B)
+        rgb = rgb[:full_h, :full_w]
+        color = [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+    else:
+        color = [p for p in planes[:ncolor]]
+        if up > 1:
+            from .ops.upsample import upsample_plane
+            color = [np.rint(upsample_plane(
+                p.astype(np.float32), up, weights)).astype(np.int64)
+                for p in color]
+        color = [p[:full_h, :full_w] for p in color]
+    ecs = []
+    for i, ec in enumerate(m.extra_channels):
+        if ncolor + i >= len(planes):
+            break
+        p = planes[ncolor + i]
+        ec_up = (fh.ec_upsampling[i]
+                 if i < len(fh.ec_upsampling) else 1) << ec.dim_shift
+        if ec_up > 1:
+            from .ops.upsample import upsample_plane
+            p = np.rint(upsample_plane(
+                p.astype(np.float32), ec_up)).astype(np.int64)
+        ecs.append(p[:full_h, :full_w])
+    return color + ecs
+
+
 def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
                          toc) -> List[np.ndarray]:
     image = frame_channel_layout(hdr, fh)
@@ -216,7 +284,8 @@ def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
                                        global_tree=global_tree,
                                        global_code=global_code)
         undo_transforms(image, header)
-        return [c.data for c in image.channels]
+        planes = [c.data for c in image.channels]
+        return _finalize_modular_planes(planes, hdr, fh, dc_quant)
     # multi-section layout: LfGlobal (dc-quant, global tree, global
     # modular stream) | LfGroup* (shift>=3 channel rects) | HfGlobal
     # (empty for modular frames) | PassGroup* (shift<3 channel rects)
@@ -226,7 +295,7 @@ def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
 
     sec = toc.section(0)
     br = BitReader(cs[sec.offset:sec.offset + sec.size])
-    read_dc_quant(br)
+    dc_quant = read_dc_quant(br)
     gtree = gcode = None
     if br.bool():
         gtree = decode_tree(br, 1 << 22)
@@ -242,7 +311,8 @@ def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
         sec = toc.section(2 + ndc + gi)
         gbr = BitReader(cs[sec.offset:sec.offset + sec.size])
         mfd.read_group(gbr, gi, ndc, ng)
-    return mfd.finalize()
+    planes = mfd.finalize()
+    return _finalize_modular_planes(planes, hdr, fh, dc_quant)
 
 
 def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,

@@ -37,8 +37,14 @@ class ModularFrameDecoder:
 
     @staticmethod
     def for_frame(hdr, fh, gtree, gcode, include_color: bool,
-                  w: int, h: int) -> "ModularFrameDecoder":
+                  w: int, h: int, full_w: int = None,
+                  full_h: int = None) -> "ModularFrameDecoder":
+        """w/h: coded frame size (drives the modular group grid);
+        full_w/full_h: pre-upsampling signalled size — extra-channel
+        planes are sized DivCeil(full, ec_upsampling << dim_shift)."""
         m = hdr.metadata
+        fw = full_w if full_w is not None else w
+        fhh = full_h if full_h is not None else h
         chans: List[Channel] = []
         if include_color:
             n_color = 1 if (m.colour_encoding.colour_space == 1
@@ -48,8 +54,8 @@ class ModularFrameDecoder:
         for i, ec in enumerate(m.extra_channels):
             ds = ec.dim_shift
             up = fh.ec_upsampling[i] if i < len(fh.ec_upsampling) else 1
-            cw = -(-w // (up << ds)) if (up << ds) > 1 else w
-            ch = -(-h // (up << ds)) if (up << ds) > 1 else h
+            cw = -(-fw // (up << ds)) if (up << ds) > 1 else fw
+            ch = -(-fhh // (up << ds)) if (up << ds) > 1 else fhh
             chans.append(Channel(cw, ch, hshift=ds, vshift=ds))
         return ModularFrameDecoder(
             image=ModularImage(chans), gtree=gtree, gcode=gcode,

@@ -375,12 +375,15 @@ def _apply_one_squeeze_meta(image: ModularImage, s: SqueezeParams) -> None:
 
 def squeeze_inverse(image: ModularImage, t: Transform) -> None:
     for s in reversed(t.squeezes):
+        # non-in-place residuals form a contiguous tail block; fix its
+        # base BEFORE deleting (deletions above base don't move base+i)
+        base = len(image.channels) - s.num_c
         for i in reversed(range(s.num_c)):
             c = s.begin_c + i
             if s.in_place:
                 res_idx = s.begin_c + s.num_c + i
             else:
-                res_idx = len(image.channels) - s.num_c + i
+                res_idx = base + i
             avg = image.channels[c]
             res = image.channels[res_idx]
             if s.horizontal:

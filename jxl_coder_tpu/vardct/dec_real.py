@@ -171,8 +171,11 @@ def read_lf_global(br: BitReader, fh, hdr=None, frame_w=None,
     lf.ec_failed = False
     if hdr is not None and hdr.metadata.extra_channels:
         from ..modular.frame import ModularFrameDecoder
+        full_w = (fh.frame_width or hdr.xsize) if fh is not None else None
+        full_h = (fh.frame_height or hdr.ysize) if fh is not None else None
         lf.mfd = ModularFrameDecoder.for_frame(
-            hdr, fh, lf.gtree, lf.gcode, False, frame_w, frame_h)
+            hdr, fh, lf.gtree, lf.gcode, False, frame_w, frame_h,
+            full_w, full_h)
         try:
             lf.mfd.read_global(br)
         except BitstreamError:
@@ -999,11 +1002,23 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
             * (lf.inv_global_scale / np.maximum(qf_map, 1))
     X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
     m = hdr.metadata
+    # final frame size after upsampling (the coded frame is 1/upsampling
+    # of the signalled size; the Upsampler stage scales XYB back up)
+    full_w = fh.frame_width or hdr.xsize
+    full_h = fh.frame_height or hdr.ysize
+    if fh.upsampling > 1:
+        from ..ops.upsample import upsample_plane
+        uw = m.transform_data
+        weights = {2: uw.up2_weights, 4: uw.up4_weights,
+                   8: uw.up8_weights}.get(fh.upsampling)
+        X = upsample_plane(X[:h, :w], fh.upsampling, weights)
+        Y = upsample_plane(Y[:h, :w], fh.upsampling, weights)
+        B = upsample_plane(B[:h, :w], fh.upsampling, weights)
     bits = m.bit_depth.bits_per_sample
     if bits > 8:
-        rgb = xyb_planes_to_srgb16(X, Y, B)[:h, :w]
+        rgb = xyb_planes_to_srgb16(X, Y, B)[:full_h, :full_w]
     else:
-        rgb = xyb_planes_to_srgb8(X, Y, B)[:h, :w]
+        rgb = xyb_planes_to_srgb8(X, Y, B)[:full_h, :full_w]
     if m.extra_channels:
         planes = []
         ecs = None
@@ -1017,16 +1032,24 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
         for i, ec in enumerate(m.extra_channels):
             ebits = ec.bit_depth.bits_per_sample
             if ecs is not None:
-                p = np.clip(ecs[i], 0, (1 << ebits) - 1)
+                ec_up = (fh.ec_upsampling[i]
+                         if i < len(fh.ec_upsampling) else 1)
+                ec_up <<= ec.dim_shift
+                p = ecs[i]
+                if ec_up > 1:
+                    from ..ops.upsample import upsample_plane
+                    p = np.rint(upsample_plane(
+                        p.astype(np.float32), ec_up)).astype(np.int64)
+                p = np.clip(p, 0, (1 << ebits) - 1)
                 # rescale EC to the output depth
                 if (1 << ebits) - 1 != out_max:
                     p = (p.astype(np.int64) * out_max
                          // ((1 << ebits) - 1))
-                p = p[:h, :w].astype(out_dtype)
+                p = p[:full_h, :full_w].astype(out_dtype)
             else:
                 # EC entropy model not pinned for this stream shape:
                 # degrade to opaque
-                p = np.full((h, w), out_max, out_dtype)
+                p = np.full((full_h, full_w), out_max, out_dtype)
             planes.append(p)
         rgb = np.concatenate([rgb] + [p[..., None] for p in planes],
                              axis=2)

@@ -175,3 +175,51 @@ def test_animated_corpus_composition():
         d = np.abs(ours[i].astype(int) - refs[i].astype(int))
         assert d[..., 3].max() == 0          # alpha bit-exact
         assert d.mean() < 1.0 and d.max() < 32
+
+
+# ---------------------------------------------------------------------------
+# Lossy modular (XYB) mode and frame upsampling (RESAMPLING streams).
+
+def _set_option_encode(img, opts, **kw):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "research"))
+    from encopts import encode_opts
+    return encode_opts(img, opts, **kw)
+
+
+def _smooth(size):
+    return (np.fromfunction(
+        lambda y, x, c: 100 + 80 * np.sin(x / 17 + c)
+        + 60 * np.cos(y / 23), (size, size, 3))).clip(0, 255).astype(np.uint8)
+
+
+def test_lossy_modular_xyb():
+    """cjxl -m with a distance: quantized squeezed XYB channels
+    ((Y, X, B-Y) * dc_quant), non-in-place chroma squeeze."""
+    img = _smooth(128)
+    data = _set_option_encode(img, {11: 1}, lossless=False, distance=1.0)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 1
+
+
+@pytest.mark.parametrize("factor", [2, 4, 8])
+def test_resampling_lossless(factor):
+    img = _smooth(40 * factor)
+    data = _set_option_encode(img, {2: factor}, lossless=True)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    assert ours.shape == theirs.shape
+    d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 1, d.max()
+
+
+def test_resampling_lossy_vardct():
+    img = _smooth(96)
+    data = _set_option_encode(img, {2: 2}, lossless=False, distance=1.0)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    assert ours.shape == theirs.shape
+    d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 4, d.max()
