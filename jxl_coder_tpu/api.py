@@ -303,14 +303,25 @@ def decode(data: bytes):
         m = hdr.metadata
         if m.colour_encoding.want_icc:
             raise InvalidJXLError("ICC streams not yet supported in decode")
-        fh = read_frame_header(br, hdr)
-        ng, ndc = fh.counts(hdr)
-        n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
-            2 + ndc + ng * fh.passes.num_passes)
-        toc = read_toc(br, n)
+        # skip LF (progressive-DC) frames, stashing their XYB output as
+        # the DC source for the frame that references them
+        dc_frames = {}
+        while True:
+            fh = read_frame_header(br, hdr)
+            ng, ndc = fh.counts(hdr)
+            n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+                2 + ndc + ng * fh.passes.num_passes)
+            toc = read_toc(br, n)
+            if fh.frame_type != 1:
+                break
+            dc_frames[fh.lf_level] = _decode_lf_frame(
+                cs, hdr, fh, toc, dc_frames)
+            br.pos = toc.end_offset * 8
         if fh.encoding != Encoding.MODULAR:
             from .vardct.dec_real import decode_vardct_frame
-            out = decode_vardct_frame(cs, hdr, fh, toc)
+            out = decode_vardct_frame(
+                cs, hdr, fh, toc,
+                dc_frame=dc_frames.get(fh.lf_level + 1))
             out = apply_orientation(out, m.orientation)
             return out, basic_info(data)
         planes = codec.decode_modular_frame(cs, hdr, fh, toc)
@@ -327,14 +338,30 @@ def decode(data: bytes):
     return out, info
 
 
-def _decode_one_frame(cs, hdr, fh, toc):
+def _decode_lf_frame(cs, hdr, fh, toc, dc_frames):
+    """Decode an LF (progressive-DC) frame to {0: X, 1: Y, 2: B} planes.
+
+    LF frames are ordinary frames of the 8^lf_level-downsampled image;
+    modular-coded ones carry quantized (Y, X, B-Y) channels, VarDCT
+    ones reconstruct in XYB directly."""
+    from . import codec
+    if fh.encoding == Encoding.MODULAR:
+        return codec.decode_modular_frame(cs, hdr, fh, toc,
+                                          as_xyb_dc=True)
+    from .vardct.dec_real import decode_vardct_frame
+    return decode_vardct_frame(cs, hdr, fh, toc,
+                               dc_frame=dc_frames.get(fh.lf_level + 1),
+                               return_xyb=True)
+
+
+def _decode_one_frame(cs, hdr, fh, toc, dc_frame=None):
     """Decode one frame's pixels (no orientation)."""
     from . import codec
     import numpy as np
     m = hdr.metadata
     if fh.encoding != Encoding.MODULAR:
         from .vardct.dec_real import decode_vardct_frame
-        return decode_vardct_frame(cs, hdr, fh, toc)
+        return decode_vardct_frame(cs, hdr, fh, toc, dc_frame=dc_frame)
     planes = codec.decode_modular_frame(cs, hdr, fh, toc)
     bits = m.bit_depth.bits_per_sample
     maxval = (1 << bits) - 1
@@ -459,13 +486,20 @@ def decode_frames(data: bytes):
         frames = []
         durations = []
         ref_slots = {}
+        dc_frames = {}
         while True:
             fh = read_frame_header(br, hdr)
             ng, ndc = fh.counts(hdr)
             n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
                 2 + ndc + ng * fh.passes.num_passes)
             toc = read_toc(br, n)
-            pix = _decode_one_frame(cs, hdr, fh, toc)
+            if fh.frame_type == 1:  # LF frame: XYB for the next frame's DC
+                dc_frames[fh.lf_level] = _decode_lf_frame(
+                    cs, hdr, fh, toc, dc_frames)
+                br.pos = toc.end_offset * 8
+                continue
+            pix = _decode_one_frame(cs, hdr, fh, toc,
+                                    dc_frame=dc_frames.get(fh.lf_level + 1))
             if fh.frame_type == 2:  # REFERENCE_ONLY: stored raw, not shown
                 ref_slots[fh.save_as_reference] = pix
                 if fh.is_last:

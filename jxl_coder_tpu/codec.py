@@ -261,8 +261,19 @@ def _finalize_modular_planes(planes: List[np.ndarray], hdr: ImageHeader,
     return color + ecs
 
 
+def _modular_planes_to_xyb_dc(planes, dc_quant):
+    """(Y, X, B-Y) integer channels -> {0: X, 1: Y, 2: B} float planes
+    (the representation LF/DC frames hand to the next frame)."""
+    cy = planes[0].astype(np.float32)
+    cx = planes[1].astype(np.float32)
+    cb = planes[2].astype(np.float32)
+    return {0: cx * np.float32(dc_quant[0]),
+            1: cy * np.float32(dc_quant[1]),
+            2: (cy + cb) * np.float32(dc_quant[2])}
+
+
 def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
-                         toc) -> List[np.ndarray]:
+                         toc, as_xyb_dc: bool = False) -> List[np.ndarray]:
     image = frame_channel_layout(hdr, fh)
     ng, ndc = fh.counts(hdr)
     gd = fh.group_dim()
@@ -285,6 +296,8 @@ def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
                                        global_code=global_code)
         undo_transforms(image, header)
         planes = [c.data for c in image.channels]
+        if as_xyb_dc:
+            return _modular_planes_to_xyb_dc(planes, dc_quant)
         return _finalize_modular_planes(planes, hdr, fh, dc_quant)
     # multi-section layout: LfGlobal (dc-quant, global tree, global
     # modular stream) | LfGroup* (shift>=3 channel rects) | HfGlobal
@@ -312,6 +325,8 @@ def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
         gbr = BitReader(cs[sec.offset:sec.offset + sec.size])
         mfd.read_group(gbr, gi, ndc, ng)
     planes = mfd.finalize()
+    if as_xyb_dc:
+        return _modular_planes_to_xyb_dc(planes, dc_quant)
     return _finalize_modular_planes(planes, hdr, fh, dc_quant)
 
 

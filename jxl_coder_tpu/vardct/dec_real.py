@@ -144,7 +144,7 @@ class LfGlobal:
 
 def read_lf_global(br: BitReader, fh, hdr=None, frame_w=None,
                    frame_h=None, allow_ec_failure=False) -> LfGlobal:
-    if fh.flags & ~0x80:
+    if fh.flags & ~0xA0:  # allowed: kUseDcFrame (0x20), kSkipSmoothing (0x80)
         raise BitstreamError(
             "frame flags %#x not supported (patches/splines/noise)"
             % fh.flags)
@@ -205,11 +205,19 @@ def _strategies():
 
 
 def read_lf_group(br: BitReader, lf: LfGlobal, xs_b: int, ys_b: int,
-                  group_index: int, num_dc_groups: int) -> LfGroup:
-    ep = br.u(2)
-    dc_img = ModularImage([Channel(xs_b, ys_b) for _ in range(3)])
-    decode_modular_stream(br, dc_img, stream_id=1 + group_index,
-                          global_tree=lf.gtree, global_code=lf.gcode)
+                  group_index: int, num_dc_groups: int,
+                  use_dc_frame: bool = False) -> LfGroup:
+    if use_dc_frame:
+        # flags & kUseDcFrame: DC comes from the preceding LF frame;
+        # the DcGroup part (extra_precision + modular DC) is absent
+        ep = 0
+        dc_img = ModularImage([Channel(xs_b, ys_b).alloc()
+                               for _ in range(3)])
+    else:
+        ep = br.u(2)
+        dc_img = ModularImage([Channel(xs_b, ys_b) for _ in range(3)])
+        decode_modular_stream(br, dc_img, stream_id=1 + group_index,
+                              global_tree=lf.gtree, global_code=lf.gcode)
     upper = xs_b * ys_b
     nbits = (upper - 1).bit_length() if upper > 1 else 0
     count = br.u(nbits) + 1
@@ -882,8 +890,15 @@ def _apply_filters_parallel(X, Y, B, rf, sigma, band_rows=512):
     return outs[0], outs[1], outs[2]
 
 
-def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
+def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
+                        return_xyb: bool = False) -> np.ndarray:
     """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
+
+    dc_frame: {0: X, 1: Y, 2: B} planes from a previously decoded LF
+    frame, consumed when fh.flags & kUseDcFrame (progressive DC).
+    return_xyb: skip the colour transform and return the XYB planes —
+    used to decode LF frames themselves (their output IS the next
+    frame's DC).
 
     Section layout (multi-entry TOC): LfGlobal | LfGroup[0..ndc) |
     HfGlobal | PassGroup[pass][0..ng); single-entry TOC concatenates
@@ -912,6 +927,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
 
     lf = read_lf_global(brs(0), fh, hdr, w, h,
                         allow_ec_failure=not single)
+    use_dc_frame = bool(fh.flags & 0x20)
 
     # LF groups: 2048x2048 px tiles (256x256 blocks)
     lf_gd_b = 256
@@ -924,7 +940,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
         gw = min(lf_gd_b, xs_b - lx)
         gh = min(lf_gd_b, ys_b - ly)
         lgs.append((lx, ly, read_lf_group(brs(1 + gi), lf, gw, gh,
-                                          gi, ndc)))
+                                          gi, ndc,
+                                          use_dc_frame=use_dc_frame)))
 
     hf = read_hf_global(brs(1 + ndc), lf, ng, npasses)
     histo_bits = (hf.num_histograms - 1).bit_length() \
@@ -943,10 +960,27 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
         gh_, gw_ = lg.qf_map.shape
         qf_map[ly:ly + gh_, lx:lx + gw_] = lg.qf_map
         sharp_map[ly:ly + gh_, lx:lx + gw_] = lg.sharp_map
-        dcp = compute_dc_planes(lf, lg)
+        if not use_dc_frame:
+            dcp = compute_dc_planes(lf, lg)
+            for c in range(3):
+                dc_glob[c][ly:ly + gh_, lx:lx + gw_] = dcp[c]
+    if use_dc_frame:
+        if dc_frame is None:
+            raise BitstreamError(
+                "frame uses a DC frame but none was decoded before it")
         for c in range(3):
-            dc_glob[c][ly:ly + gh_, lx:lx + gw_] = dcp[c]
-    if not (fh.flags & 0x80):
+            src = dc_frame[c]
+            dc_glob[c][:src.shape[0], :src.shape[1]] = \
+                src[:ys_b, :xs_b]
+            # block grid may be one sample wider than the LF frame
+            # (ceil rounding): replicate the edge
+            if src.shape[1] < xs_b:
+                dc_glob[c][:, src.shape[1]:] = \
+                    dc_glob[c][:, src.shape[1] - 1:src.shape[1]]
+            if src.shape[0] < ys_b:
+                dc_glob[c][src.shape[0]:, :] = \
+                    dc_glob[c][src.shape[0] - 1:src.shape[0], :]
+    elif not (fh.flags & 0x80):
         igs0 = lf.inv_global_scale
         ep0 = lgs[0][2].extra_precision
         steps = [lf.dcq[c] * igs0 / lf.quant_dc / (1 << ep0)
@@ -1002,6 +1036,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc) -> np.ndarray:
             * (lf.inv_global_scale / np.maximum(qf_map, 1))
     X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
     m = hdr.metadata
+    if return_xyb:
+        return {0: X[:h, :w], 1: Y[:h, :w], 2: B[:h, :w]}
     # final frame size after upsampling (the coded frame is 1/upsampling
     # of the signalled size; the Upsampler stage scales XYB back up)
     full_w = fh.frame_width or hdr.xsize

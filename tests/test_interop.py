@@ -223,3 +223,14 @@ def test_resampling_lossy_vardct():
     assert ours.shape == theirs.shape
     d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
     assert d.max() <= 4, d.max()
+
+
+def test_progressive_dc():
+    """PROGRESSIVE_DC=1: a modular-coded LF frame carries the 8x-down
+    DC image; the VarDCT frame references it via kUseDcFrame."""
+    img = _smooth(128)
+    data = _set_option_encode(img, {19: 1}, lossless=False, distance=1.0)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 2, d.max()
