@@ -144,16 +144,22 @@ class LfGlobal:
 
 def read_lf_global(br: BitReader, fh, hdr=None, frame_w=None,
                    frame_h=None, allow_ec_failure=False) -> LfGlobal:
-    if fh.flags & ~0xA0:  # allowed: kUseDcFrame (0x20), kSkipSmoothing (0x80)
+    # allowed: kNoise (0x1), kUseDcFrame (0x20), kSkipSmoothing (0x80)
+    if fh.flags & ~0xA1:
         raise BitstreamError(
-            "frame flags %#x not supported (patches/splines/noise)"
+            "frame flags %#x not supported (patches/splines)"
             % fh.flags)
+    noise_lut = None
+    if fh.flags & 0x1:
+        from .noise import read_noise_lut
+        noise_lut = read_noise_lut(br)
     from ..codec import read_dc_quant
     dcq = read_dc_quant(br)
     gs = br.u32((11, 1), (11, 2049), (12, 4097), (16, 8193))
     qdc = br.u32(16, (5, 1), (8, 1), (16, 1))
     bcm = BlockCtxMap.read(br)
     lf = LfGlobal(dcq=dcq, global_scale=gs, quant_dc=qdc, bcm=bcm)
+    lf.noise_lut = noise_lut
     if not br.bool():
         lf.cfl_color_factor = br.u32(84, 256, (8, 2), (16, 258))
         lf.cfl_base_x = br.f16()
@@ -1035,6 +1041,13 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         lf_sigma = EPF_SIGMA_PER * sharp_map \
             * (lf.inv_global_scale / np.maximum(qf_map, 1))
     X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
+    if getattr(lf, "noise_lut", None) is not None:
+        from .noise import add_noise
+        Xc, Yc, Bc = (np.ascontiguousarray(p[:h, :w], np.float32)
+                      for p in (X, Y, B))
+        add_noise(Xc, Yc, Bc, lf.noise_lut)
+        X = np.zeros_like(X); Y = np.zeros_like(Y); B = np.zeros_like(B)
+        X[:h, :w], Y[:h, :w], B[:h, :w] = Xc, Yc, Bc
     m = hdr.metadata
     if return_xyb:
         return {0: X[:h, :w], 1: Y[:h, :w], 2: B[:h, :w]}

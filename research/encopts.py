@@ -5,6 +5,8 @@ import refjxl
 from refjxl import _lib, JxlBasicInfo, JxlPixelFormat, JXL_TYPE_UINT8, JXL_NATIVE_ENDIAN
 _lib.JxlEncoderFrameSettingsSetOption.restype = c_int
 _lib.JxlEncoderFrameSettingsSetOption.argtypes = [c_void_p, c_int, c_int64]
+_lib.JxlEncoderFrameSettingsSetFloatOption.restype = c_int
+_lib.JxlEncoderFrameSettingsSetFloatOption.argtypes = [c_void_p, c_int, ctypes.c_float]
 
 def encode_opts(pixels, opts, lossless=False, distance=1.0, effort=7):
     h, w, nch = pixels.shape
@@ -27,7 +29,10 @@ def encode_opts(pixels, opts, lossless=False, distance=1.0, effort=7):
         if lossless: _lib.JxlEncoderOptionsSetLossless(o, 1)
         else: _lib.JxlEncoderOptionsSetDistance(o, ctypes.c_float(distance))
         for k, v in opts.items():
-            rc = _lib.JxlEncoderFrameSettingsSetOption(o, k, v)
+            if isinstance(v, float):
+                rc = _lib.JxlEncoderFrameSettingsSetFloatOption(o, k, v)
+            else:
+                rc = _lib.JxlEncoderFrameSettingsSetOption(o, k, v)
             assert rc == 0, (k, v)
         fmt = JxlPixelFormat(nch, JXL_TYPE_UINT8, JXL_NATIVE_ENDIAN, 0)
         arr = np.ascontiguousarray(pixels, np.uint8)

@@ -234,3 +234,28 @@ def test_progressive_dc():
     theirs, _ = refjxl.decode(data)
     d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
     assert d.max() <= 2, d.max()
+
+
+def test_noise_synthesis():
+    """kNoise streams: Xorshift128Plus planes, subtract-box convolution,
+    intensity-lut strength — matches libjxl within the decoder's float
+    floor."""
+    rng = np.random.default_rng(4)
+    img = (np.full((128, 128, 3), 128.0)
+           + rng.normal(0, 6, (128, 128, 3))).clip(0, 255).astype(np.uint8)
+    data = _set_option_encode(img, {6: 1}, lossless=False, distance=1.0)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 3, d.max()
+
+
+def test_photon_noise_multigroup():
+    y, x = np.mgrid[0:200, 0:300]
+    img = np.repeat(((y + x) // 3).clip(0, 255).astype(np.uint8)[:, :, None],
+                    3, 2)
+    data = _set_option_encode(img, {5: 1600.0}, lossless=False, distance=1.0)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 2, d.max()
