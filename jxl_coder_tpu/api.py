@@ -301,8 +301,6 @@ def decode(data: bytes):
         br = BitReader(cs)
         hdr = read_image_header(br)
         m = hdr.metadata
-        if m.colour_encoding.want_icc:
-            raise InvalidJXLError("ICC streams not yet supported in decode")
         # skip LF (progressive-DC) frames, stashing their XYB output as
         # the DC source for the frame that references them
         dc_frames = {}
@@ -333,6 +331,11 @@ def decode(data: bytes):
     arrs = [np.clip(p, 0, maxval) for p in planes]
     dtype = np.uint8 if bits <= 8 else np.uint16
     out = np.stack(arrs, axis=-1).astype(dtype)
+    if m.icc_profile is not None:
+        # reference behaviour: lcms transform to sRGB on decode
+        # (convertUseDefinedColorSpace, colorspaces/colorspace.cpp:38-86)
+        from .ops.icc_apply import icc_to_srgb
+        out = icc_to_srgb(out, m.icc_profile)
     out = apply_orientation(out, m.orientation)
     info = basic_info(data)
     return out, info
@@ -481,8 +484,6 @@ def decode_frames(data: bytes):
         br = BitReader(cs)
         hdr = read_image_header(br)
         m = hdr.metadata
-        if m.colour_encoding.want_icc:
-            raise InvalidJXLError("ICC streams not yet supported")
         frames = []
         durations = []
         ref_slots = {}

@@ -379,6 +379,7 @@ class ImageMetadata:
     extensions: dict = dataclasses.field(default_factory=dict)
     transform_data: CustomTransformData = dataclasses.field(
         default_factory=CustomTransformData)
+    icc_profile: Optional[bytes] = None  # decoded want_icc payload
 
     @staticmethod
     def read(br: BitReader) -> "ImageMetadata":
@@ -455,4 +456,8 @@ def read_image_header(br: BitReader) -> ImageHeader:
     if size.xsize == 0 or size.ysize == 0:
         raise BitstreamError("zero image dimension")
     metadata = ImageMetadata.read(br)
+    if metadata.colour_encoding.want_icc:
+        # the compressed ICC profile immediately follows the metadata
+        from .icc import read_icc_profile
+        metadata.icc_profile = read_icc_profile(br)
     return ImageHeader(size=size, metadata=metadata)

@@ -259,3 +259,45 @@ def test_photon_noise_multigroup():
     theirs, _ = refjxl.decode(data)
     d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
     assert d.max() <= 2, d.max()
+
+
+# ---------------------------------------------------------------------------
+# ICC profile streams (want_icc): the JXL ICC codec + lcms apply.
+
+def _encode_icc_stream(img, icc):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "research"))
+    from encopts import encode_icc, decode_icc
+    data = encode_icc(img, icc)
+    return data, decode_icc(data)
+
+
+def _srgb_icc():
+    import io
+    from PIL import ImageCms
+    return ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB")).tobytes()
+
+
+def test_icc_codec_byte_exact():
+    """Our ICC codec (entropy layer + unpredict commands) reproduces the
+    profile libjxl reports, byte for byte."""
+    from jxl_coder_tpu.bitstream.container import extract_codestream
+    from jxl_coder_tpu.bitstream.reader import BitReader
+    from jxl_coder_tpu.bitstream.headers import read_image_header
+    img = np.full((16, 16, 3), 100, np.uint8)
+    icc = _srgb_icc()
+    data, true = _encode_icc_stream(img, icc)
+    cs = extract_codestream(data).codestream
+    br = BitReader(cs)
+    hdr = read_image_header(br)
+    assert hdr.metadata.icc_profile == true == icc
+
+
+def test_want_icc_decode():
+    """want_icc lossless streams decode; an sRGB embedded profile is an
+    identity transform."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    data, _ = _encode_icc_stream(img, _srgb_icc())
+    out, info = api.decode(data)
+    assert np.array_equal(out, img)
