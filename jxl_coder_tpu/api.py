@@ -301,25 +301,33 @@ def decode(data: bytes):
         br = BitReader(cs)
         hdr = read_image_header(br)
         m = hdr.metadata
-        # skip LF (progressive-DC) frames, stashing their XYB output as
-        # the DC source for the frame that references them
+        # skip LF (progressive-DC) and reference-only frames, stashing
+        # their XYB output for the frame that references them
         dc_frames = {}
+        ref_frames = {}
         while True:
             fh = read_frame_header(br, hdr)
             ng, ndc = fh.counts(hdr)
             n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
                 2 + ndc + ng * fh.passes.num_passes)
             toc = read_toc(br, n)
-            if fh.frame_type != 1:
-                break
-            dc_frames[fh.lf_level] = _decode_lf_frame(
-                cs, hdr, fh, toc, dc_frames)
-            br.pos = toc.end_offset * 8
+            if fh.frame_type == 1:
+                dc_frames[fh.lf_level] = _decode_lf_frame(
+                    cs, hdr, fh, toc, dc_frames)
+                br.pos = toc.end_offset * 8
+                continue
+            if fh.frame_type == 2:  # REFERENCE_ONLY (e.g. patch source)
+                ref_frames[fh.save_as_reference] = _decode_reference_frame(
+                    cs, hdr, fh, toc, dc_frames)
+                br.pos = toc.end_offset * 8
+                continue
+            break
         if fh.encoding != Encoding.MODULAR:
             from .vardct.dec_real import decode_vardct_frame
             out = decode_vardct_frame(
                 cs, hdr, fh, toc,
-                dc_frame=dc_frames.get(fh.lf_level + 1))
+                dc_frame=dc_frames.get(fh.lf_level + 1),
+                ref_frames=ref_frames if ref_frames else None)
             out = apply_orientation(out, m.orientation)
             return out, basic_info(data)
         planes = codec.decode_modular_frame(cs, hdr, fh, toc)
@@ -341,6 +349,20 @@ def decode(data: bytes):
     return out, info
 
 
+def _decode_reference_frame(cs, hdr, fh, toc, dc_frames):
+    """Decode a kReferenceOnly frame to per-channel float planes in the
+    saved (pre-color-transform, i.e. XYB) space for patches."""
+    from . import codec
+    if fh.encoding == Encoding.MODULAR:
+        xyb = codec.decode_modular_frame(cs, hdr, fh, toc, as_xyb_dc=True)
+        return [xyb[0], xyb[1], xyb[2]]
+    from .vardct.dec_real import decode_vardct_frame
+    xyb = decode_vardct_frame(cs, hdr, fh, toc,
+                              dc_frame=dc_frames.get(fh.lf_level + 1),
+                              return_xyb=True)
+    return [xyb[0], xyb[1], xyb[2]]
+
+
 def _decode_lf_frame(cs, hdr, fh, toc, dc_frames):
     """Decode an LF (progressive-DC) frame to {0: X, 1: Y, 2: B} planes.
 
@@ -357,14 +379,15 @@ def _decode_lf_frame(cs, hdr, fh, toc, dc_frames):
                                return_xyb=True)
 
 
-def _decode_one_frame(cs, hdr, fh, toc, dc_frame=None):
+def _decode_one_frame(cs, hdr, fh, toc, dc_frame=None, ref_frames=None):
     """Decode one frame's pixels (no orientation)."""
     from . import codec
     import numpy as np
     m = hdr.metadata
     if fh.encoding != Encoding.MODULAR:
         from .vardct.dec_real import decode_vardct_frame
-        return decode_vardct_frame(cs, hdr, fh, toc, dc_frame=dc_frame)
+        return decode_vardct_frame(cs, hdr, fh, toc, dc_frame=dc_frame,
+                                   ref_frames=ref_frames)
     planes = codec.decode_modular_frame(cs, hdr, fh, toc)
     bits = m.bit_depth.bits_per_sample
     maxval = (1 << bits) - 1
@@ -488,6 +511,7 @@ def decode_frames(data: bytes):
         durations = []
         ref_slots = {}
         dc_frames = {}
+        ref_frames_xyb = {}
         while True:
             fh = read_frame_header(br, hdr)
             ng, ndc = fh.counts(hdr)
@@ -499,8 +523,17 @@ def decode_frames(data: bytes):
                     cs, hdr, fh, toc, dc_frames)
                 br.pos = toc.end_offset * 8
                 continue
-            pix = _decode_one_frame(cs, hdr, fh, toc,
-                                    dc_frame=dc_frames.get(fh.lf_level + 1))
+            if fh.frame_type == 2 and fh.save_before_color_transform:
+                # patch source: stored pre-color-transform (XYB)
+                ref_frames_xyb[fh.save_as_reference] =                     _decode_reference_frame(cs, hdr, fh, toc, dc_frames)
+                if fh.is_last:
+                    break
+                br.pos = toc.end_offset * 8
+                continue
+            pix = _decode_one_frame(
+                cs, hdr, fh, toc,
+                dc_frame=dc_frames.get(fh.lf_level + 1),
+                ref_frames=ref_frames_xyb if ref_frames_xyb else None)
             if fh.frame_type == 2:  # REFERENCE_ONLY: stored raw, not shown
                 ref_slots[fh.save_as_reference] = pix
                 if fh.is_last:

@@ -144,11 +144,18 @@ class LfGlobal:
 
 def read_lf_global(br: BitReader, fh, hdr=None, frame_w=None,
                    frame_h=None, allow_ec_failure=False) -> LfGlobal:
-    # allowed: kNoise (0x1), kUseDcFrame (0x20), kSkipSmoothing (0x80)
-    if fh.flags & ~0xA1:
+    # allowed: kNoise (0x1), kPatches (0x2), kUseDcFrame (0x20),
+    # kSkipSmoothing (0x80)
+    if fh.flags & ~0xA3:
         raise BitstreamError(
-            "frame flags %#x not supported (patches/splines)"
-            % fh.flags)
+            "frame flags %#x not supported (splines)" % fh.flags)
+    patches = None
+    if fh.flags & 0x2:
+        from .patches import PatchDictionary
+        w_full = fh.frame_width or (hdr.xsize if hdr else 0)
+        h_full = fh.frame_height or (hdr.ysize if hdr else 0)
+        n_ec = len(hdr.metadata.extra_channels) if hdr else 0
+        patches = PatchDictionary.read(br, w_full, h_full, n_ec)
     noise_lut = None
     if fh.flags & 0x1:
         from .noise import read_noise_lut
@@ -160,6 +167,7 @@ def read_lf_global(br: BitReader, fh, hdr=None, frame_w=None,
     bcm = BlockCtxMap.read(br)
     lf = LfGlobal(dcq=dcq, global_scale=gs, quant_dc=qdc, bcm=bcm)
     lf.noise_lut = noise_lut
+    lf.patches = patches
     if not br.bool():
         lf.cfl_color_factor = br.u32(84, 256, (8, 2), (16, 258))
         lf.cfl_base_x = br.f16()
@@ -897,7 +905,8 @@ def _apply_filters_parallel(X, Y, B, rf, sigma, band_rows=512):
 
 
 def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
-                        return_xyb: bool = False) -> np.ndarray:
+                        return_xyb: bool = False,
+                        ref_frames=None) -> np.ndarray:
     """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
 
     dc_frame: {0: X, 1: Y, 2: B} planes from a previously decoded LF
@@ -1041,6 +1050,15 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         lf_sigma = EPF_SIGMA_PER * sharp_map \
             * (lf.inv_global_scale / np.maximum(qf_map, 1))
     X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
+    if getattr(lf, "patches", None) is not None:
+        if ref_frames is None:
+            raise BitstreamError(
+                "frame uses patches but no reference frames were decoded")
+        planes = [np.ascontiguousarray(p[:h, :w], np.float64)
+                  for p in (X, Y, B)]
+        lf.patches.apply(planes, ref_frames)
+        for dstp, srcp in zip((X, Y, B), planes):
+            dstp[:h, :w] = srcp
     if getattr(lf, "noise_lut", None) is not None:
         from .noise import add_noise
         Xc, Yc, Bc = (np.ascontiguousarray(p[:h, :w], np.float32)

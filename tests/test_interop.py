@@ -301,3 +301,22 @@ def test_want_icc_decode():
     data, _ = _encode_icc_stream(img, _srgb_icc())
     out, info = api.decode(data)
     assert np.array_equal(out, img)
+
+
+def test_patches_decode():
+    """Text-like content at high effort: a kReferenceOnly patch-source
+    frame + kPatches dictionary in the main frame."""
+    rng = np.random.default_rng(3)
+    img = np.full((256, 256, 3), 245, np.uint8)
+    glyph = np.array([[0, 1, 1, 1, 0], [1, 0, 0, 0, 1], [1, 1, 1, 1, 1],
+                      [1, 0, 0, 0, 1], [1, 0, 0, 0, 1], [1, 0, 0, 0, 1],
+                      [0, 0, 0, 0, 0]], bool)
+    for _ in range(120):
+        y, x = rng.integers(0, 248), rng.integers(0, 250)
+        img[y:y + 7, x:x + 5][glyph] = 20
+    data = _set_option_encode(img, {8: 1}, lossless=False, distance=1.0,
+                              effort=8)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 4, d.max()
