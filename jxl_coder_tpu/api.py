@@ -213,7 +213,8 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
         q = quality if quality is not None else 90
         distance = quality_to_distance(int(q))
         from .vardct.enc_real import encode_vardct_real
-        return encode_vardct_real(pixels, distance=distance)
+        return encode_vardct_real(pixels, distance=distance,
+                                  decoding_speed=decoding_speed)
 
     m = ImageMetadata()
     m.xyb_encoded = False

@@ -147,13 +147,86 @@ def read_cluster_map(br: BitReader, num_contexts: int) -> List[int]:
 def write_cluster_map(bw: BitWriter, cmap: List[int]) -> None:
     if len(cmap) == 1:
         return
-    nbits = max(v.bit_length() for v in cmap)
-    if nbits > 3:
-        raise ValueError("simple cluster map supports <= 8 clusters")
-    bw.bool(True)  # simple
-    bw.u(nbits, 2)
+    num_clusters = max(cmap) + 1
+    if num_clusters <= 8:
+        nbits = max(v.bit_length() for v in cmap)
+        bw.bool(True)  # simple
+        bw.u(nbits, 2)
+        for v in cmap:
+            bw.u(v, nbits)
+        return
+    # complex form: move-to-front transformed ids in a nested
+    # single-context entropy stream (the inverse of read_cluster_map)
+    bw.bool(False)
+    bw.bool(True)   # use_mtf
+    mtf = list(range(256))
+    ids = []
     for v in cmap:
-        bw.u(v, nbits)
+        j = mtf.index(v)
+        ids.append(j)
+        mtf.pop(j)
+        mtf.insert(0, v)
+    nested = TokenStream(1)
+    for j in ids:
+        nested.add(0, j)
+    nested.write(bw)
+
+
+def _hist_cost(h: dict) -> float:
+    """Shannon cost (bits) of coding h with its own distribution."""
+    import math
+    total = sum(h.values())
+    if total == 0:
+        return 0.0
+    return sum(-c * math.log2(c / total) for c in h.values() if c)
+
+
+def cluster_histograms(hists: List[dict], max_clusters: int = 24):
+    """Greedy seeded clustering (FastClusterHistograms-style): pick the
+    histograms that are most expensive to merge as seeds, assign the
+    rest to the cheapest seed by cross-entropy increase."""
+    import math
+    n = len(hists)
+    totals = [sum(h.values()) for h in hists]
+    selfc = [_hist_cost(h) for h in hists]
+
+    def merge_extra(i, seed_h, seed_total, seed_cost):
+        """extra bits of coding hist i with (seed ∪ i) vs separately."""
+        m = dict(seed_h)
+        for s, c in hists[i].items():
+            m[s] = m.get(s, 0) + c
+        return _hist_cost(m) - seed_cost - selfc[i]
+
+    order = sorted(range(n), key=lambda i: -totals[i])
+    seeds = []
+    seed_h = []
+    seed_cost = []
+    assign = [0] * n
+    for i in order:
+        if not totals[i]:
+            continue
+        best, bestc = -1, math.inf
+        for si in range(len(seeds)):
+            c = merge_extra(i, seed_h[si], 0, seed_cost[si])
+            if c < bestc:
+                best, bestc = si, c
+        if (best < 0 or bestc > 60.0) and len(seeds) < max_clusters:
+            seeds.append(i)
+            seed_h.append(dict(hists[i]))
+            seed_cost.append(selfc[i])
+            assign[i] = len(seeds) - 1
+        else:
+            assign[i] = best
+            for s, c in hists[i].items():
+                seed_h[best][s] = seed_h[best].get(s, 0) + c
+            seed_cost[best] = _hist_cost(seed_h[best])
+    if not seeds:
+        return [0] * n, 1
+    # empty contexts join cluster 0
+    for i in range(n):
+        if not totals[i]:
+            assign[i] = 0
+    return assign, len(seeds)
 
 
 # --------------------------------------------------------------------------
@@ -347,24 +420,16 @@ class TokenStream:
         histograms) can emit just their symbols."""
         # lz77 disabled: a plain Bool field, 0 bit (no all_default)
         bw.bool(False)
-        # cluster contexts: map all contexts with data to shared
-        # clusters by identity capped at 8 (simple cluster-map form).
-        used = sorted({c for c, _ in self.tokens})
+        # cluster contexts by histogram similarity (greedy seeded
+        # clustering); >8 clusters use the complex MTF cluster map
         cmap = [0] * self.num_contexts
         if self.num_contexts > 1:
-            next_id = 0
-            assign = {}
-            for c in used:
-                if next_id < 8:
-                    assign[c] = next_id
-                    next_id += 1
-                else:
-                    assign[c] = 7
-            for c in range(self.num_contexts):
-                cmap[c] = assign.get(c, assign[used[0]] if used else 0)
-            dense = sorted(set(cmap))
-            remap = {v: i for i, v in enumerate(dense)}
-            cmap = [remap[v] for v in cmap]
+            per_ctx = [dict() for _ in range(self.num_contexts)]
+            for ctx, value in self.tokens:
+                token, _, _ = config.tokenize(value)
+                h = per_ctx[ctx]
+                h[token] = h.get(token, 0) + 1
+            cmap, _nc = cluster_histograms(per_ctx)
         num_clusters = (max(cmap) + 1) if cmap else 1
         write_cluster_map(bw, cmap if self.num_contexts > 1 else [0])
         bw.bool(True)  # use_prefix_code

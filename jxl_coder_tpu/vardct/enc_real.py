@@ -36,6 +36,7 @@ _OPSIN = np.array([[0.30, 0.622, 0.078],
                     0.5518098665095536]])
 
 NUM_CTXS = 15
+LAMBDA_MULT = 1.5
 DC_STEPS = (0.000244140625, 0.001953125, 0.00390625)  # x, y, b
 
 
@@ -50,18 +51,259 @@ def srgb8_to_xyb(pix: np.ndarray):
             g[..., 2])
 
 
-def _modular_substream(channels) -> BitWriter:
+def _modular_substream(channels, predictor: int = 5) -> BitWriter:
     bw = BitWriter()
     encode_modular_stream(bw, ModularImage(list(channels)),
-                          GroupHeader(), Tree.single_leaf(predictor=0))
+                          GroupHeader(), Tree.single_leaf(predictor=predictor))
     return bw
 
 
-def _write_ac_tokens(ts, vals_by_anchor, xs_b, ys_b, qf):
+def _gaborish_sharpen(plane: np.ndarray, w1: float = 0.115169525,
+                      w2: float = 0.061248592,
+                      iters: int = 4) -> np.ndarray:
+    """Approximate inverse of the decoder's 3x3 gaborish smoothing via a
+    Neumann series: x ~= sum (I-K)^k y.  K is near identity so four
+    terms leave a residual far below a quant step."""
+    from .dec_real import gaborish
+    out = plane.copy()
+    err = plane
+    for _ in range(iters):
+        err = err - gaborish(err, w1, w2)
+        out = out + err
+    return out
+
+
+def _adaptive_qf(Y: np.ndarray, base_qf: int, ys_b: int, xs_b: int
+                 ) -> np.ndarray:
+    """Per-block quant field from local activity of the (sharpened)
+    luma plane.  Smooth/gradient blocks get finer quantization (banding
+    is visible there), busy blocks rely on contrast masking and give
+    bits back.  Encoder-side heuristic only — any field is
+    wire-conformant."""
+    gy, gx = np.gradient(Y)
+    act = np.sqrt(gy * gy + gx * gx)
+    blk = act.reshape(ys_b, 8, xs_b, 8).mean(axis=(1, 3))
+    med = max(np.median(blk), 1e-6)
+    ratio = np.clip(blk / med, 0.05, 20.0)
+    mult = np.clip(ratio ** -0.25, 0.7, 1.5)
+    qf = np.clip(np.rint(base_qf * mult), 1, 255).astype(np.int32)
+    return qf
+
+
+def _estimate_cfl(coY, coX, coB, ys_b: int, xs_b: int):
+    """Per-64x64-tile chroma-from-luma factors on AC coefficients:
+    minimize |X - tx*Y| and |(B-Y) - tb_delta*Y|.  Stored as the
+    decoder's signed tags (factor = tag / 84)."""
+    ty, tx_ = -(-ys_b // 8), -(-xs_b // 8)
+    ytox = np.zeros((ty, tx_), np.int32)
+    ytob = np.zeros((ty, tx_), np.int32)
+    for t_y in range(ty):
+        for t_x in range(tx_):
+            ys = slice(t_y * 8, min((t_y + 1) * 8, ys_b))
+            xs = slice(t_x * 8, min((t_x + 1) * 8, xs_b))
+            y_ac = coY[ys, xs].reshape(-1, 64)[:, 1:].ravel()
+            den = float(y_ac @ y_ac)
+            if den < 1e-9:
+                continue
+            x_ac = coX[ys, xs].reshape(-1, 64)[:, 1:].ravel()
+            b_ac = coB[ys, xs].reshape(-1, 64)[:, 1:].ravel()
+            fx = float(x_ac @ y_ac) / den
+            fb = float(b_ac @ y_ac) / den
+            ytox[t_y, t_x] = int(np.clip(round(fx * 84.0), -128, 127))
+            ytob[t_y, t_x] = int(np.clip(round(fb * 84.0), -128, 127))
+    return ytox, ytob
+
+
+def _token_cost(vals: np.ndarray, cov: int) -> float:
+    """Rate proxy (bits) for one channel of a varblock's scan-ordered
+    quantized values: tokens run from cov to the last nonzero."""
+    nzpos = np.nonzero(vals[cov:])[0]
+    if len(nzpos) == 0:
+        return 2.0
+    last = nzpos[-1] + 1
+    seg = vals[cov:cov + last]
+    mag = np.abs(seg[seg != 0]).astype(np.float64)
+    return 2.0 + 1.1 * last + np.sum(np.log2(1.0 + mag)) + 1.0 * len(mag)
+
+
+_D_WEIGHTS = (8.0, 1.0, 0.35)   # X, Y, B distortion weights (XYB space)
+
+
+def _quantize_block(coeff: np.ndarray, strategy: int, qf: int, igs: float,
+                    fx: float, fb: float, tabs_cache: dict,
+                    dq_dc=None):
+    """coeff: (3, bh, bw) float analysis coefficients indexed X=0, Y=1,
+    B=2; returns (values dict, distortion).  Chroma-from-luma is
+    subtracted against the dequantized Y; distortion includes the
+    LLF-from-quantized-DC reconstruction error when dq_dc (3, cy, cx)
+    dequantized DC means are given."""
+    from . import synthesis as S
+    key = strategy
+    if key not in tabs_cache:
+        tabs_cache[key] = (S.scan_to_basis(strategy),
+                           [S.dequant_table(strategy, c).astype(np.float64)
+                            for c in range(3)])
+    order, tabs = tabs_cache[key]
+    st = STRATEGIES[strategy]
+    cov = st.covered
+    size = st.num_coeffs
+    inv_qac = igs / qf
+    idx = order[cov:]
+    out = {}
+    dist = 0.0
+    # Parseval: pixel SSE = (block area) * coefficient SSE for this
+    # basis (row norm^2 = n per dimension) — without this factor the
+    # comparison across transform sizes is biased toward big blocks
+    area = float(st.covered * 64)
+    flatY = coeff[1].ravel()
+    stepY = tabs[1][idx] * inv_qac
+    qy = np.round(flatY[idx] / stepY).astype(np.int64)
+    vy = np.zeros(size, np.int64)
+    vy[cov:] = qy
+    out[1] = vy
+    dqY = qy.astype(np.float64) * stepY
+    dist += area * _D_WEIGHTS[1] * float(np.sum((dqY - flatY[idx]) ** 2))
+    recon = {1: dqY}
+    for c, f in ((0, fx), (2, fb)):
+        flat = coeff[c].ravel()[idx] - f * dqY
+        step = tabs[c][idx] * inv_qac
+        q = np.round(flat / step).astype(np.int64)
+        v = np.zeros(size, np.int64)
+        v[cov:] = q
+        out[c] = v
+        rec = q.astype(np.float64) * step + f * dqY
+        dist += area * _D_WEIGHTS[c] * float(
+            np.sum((rec - coeff[c].ravel()[idx]) ** 2))
+    if dq_dc is not None:
+        # low-frequency reconstruction error: decoder rebuilds the LLF
+        # from the quantized DC means
+        low = order[:cov]
+        bw_ = st.cx * 8
+        for c in range(3):
+            llf = S.llf_from_dc(dq_dc[c]).ravel()
+            true_low = coeff[c].ravel()[low]
+            # llf is raster (cy, cx) -> basis positions ky*bw + kx
+            pos = [(j // st.cx) * bw_ + (j % st.cx) for j in range(cov)]
+            tl = coeff[c].reshape(st.cy * 8, bw_).ravel()[pos]
+            dist += area * _D_WEIGHTS[c] * float(np.sum((llf - tl) ** 2))
+    return out, dist
+
+
+def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
+                       ys_b, xs_b, dq_dc, lam):
+    """Greedy varblock rate+distortion selection: try DCT16X16 on
+    aligned 2x2 quads, then DCT16X8 / DCT8X16 pairs, else DCT8.
+    Returns (acs_map, values per anchor, qf per anchor)."""
+    from . import synthesis as S
+    tabs_cache = {}
+    acs_map = np.full((ys_b, xs_b), -1, np.int32)
+    vals_map = {}
+    qf_sel = np.array(qf_map, np.int32)
+
+    def dct8_vals(by, bx):
+        coeff = np.stack([co8[c][by, bx] for c in range(3)])
+        return _quantize_block(coeff, 0, int(qf_map[by, bx]), igs,
+                               fx_blk[by, bx], fb_blk[by, bx], tabs_cache,
+                               dq_dc[:, by:by + 1, bx:bx + 1])
+
+    def region_coeffs(by, bx, cy, cx):
+        h, w = cy * 8, cx * 8
+        region = np.stack([p[by * 8:by * 8 + h, bx * 8:bx * 8 + w]
+                           for p in (X, Y, B)])
+        anaH = S.ana_basis(h)
+        anaW = S.ana_basis(w)
+        return np.einsum("ky,cyx,lx->ckl", anaH, region, anaW)
+
+    def cost_of(cand, cov):
+        vals, dist = cand
+        rate = sum(_token_cost(np.asarray(vals[c]), cov)
+                   for c in (1, 0, 2))
+        return rate + lam * dist
+
+    cand8 = {}
+
+    def get8(by, bx):
+        if (by, bx) not in cand8:
+            cand8[(by, bx)] = dct8_vals(by, bx)
+        return cand8[(by, bx)]
+
+    for by in range(0, ys_b):
+        for bx in range(0, xs_b):
+            if acs_map[by, bx] != -1:
+                continue
+            placed = False
+            # try 16x16 on even-aligned quads
+            if (by % 2 == 0 and bx % 2 == 0 and by + 1 < ys_b
+                    and bx + 1 < xs_b
+                    and np.all(acs_map[by:by + 2, bx:bx + 2] == -1)):
+                qf16 = int(qf_map[by:by + 2, bx:bx + 2].min())
+                coeff = region_coeffs(by, bx, 2, 2)
+                v16 = _quantize_block(coeff, 4, qf16, igs,
+                                      fx_blk[by, bx], fb_blk[by, bx],
+                                      tabs_cache,
+                                      dq_dc[:, by:by + 2, bx:bx + 2])
+                c16 = cost_of(v16, 4)
+                c8 = sum(cost_of(get8(by + dy, bx + dx), 1)
+                         for dy in (0, 1) for dx in (0, 1))
+                if c16 < c8 * 0.98:
+                    acs_map[by:by + 2, bx:bx + 2] = -2
+                    acs_map[by, bx] = 4
+                    vals_map[(by, bx)] = v16[0]
+                    qf_sel[by:by + 2, bx:bx + 2] = qf16
+                    placed = True
+            # try vertical pair (DCT16X8: cx=1, cy=2)
+            if not placed and by % 2 == 0 and by + 1 < ys_b                     and acs_map[by + 1, bx] == -1:
+                qfp = int(min(qf_map[by, bx], qf_map[by + 1, bx]))
+                coeff = region_coeffs(by, bx, 2, 1)
+                vp = _quantize_block(coeff, 6, qfp, igs,
+                                     fx_blk[by, bx], fb_blk[by, bx],
+                                     tabs_cache,
+                                     dq_dc[:, by:by + 2, bx:bx + 1])
+                cp = cost_of(vp, 2)
+                c8 = cost_of(get8(by, bx), 1) + cost_of(get8(by + 1, bx), 1)
+                if cp < c8 * 0.98:
+                    acs_map[by + 1, bx] = -2
+                    acs_map[by, bx] = 6
+                    vals_map[(by, bx)] = vp[0]
+                    qf_sel[by:by + 2, bx] = qfp
+                    placed = True
+            # try horizontal pair (DCT8X16: cx=2, cy=1)
+            if not placed and bx % 2 == 0 and bx + 1 < xs_b                     and acs_map[by, bx + 1] == -1:
+                qfp = int(min(qf_map[by, bx], qf_map[by, bx + 1]))
+                coeff = region_coeffs(by, bx, 1, 2)
+                vp = _quantize_block(coeff, 7, qfp, igs,
+                                     fx_blk[by, bx], fb_blk[by, bx],
+                                     tabs_cache,
+                                     dq_dc[:, by:by + 1, bx:bx + 2])
+                cp = cost_of(vp, 2)
+                c8 = cost_of(get8(by, bx), 1) + cost_of(get8(by, bx + 1), 1)
+                if cp < c8 * 0.98:
+                    acs_map[by, bx + 1] = -2
+                    acs_map[by, bx] = 7
+                    vals_map[(by, bx)] = vp[0]
+                    qf_sel[by, bx:bx + 2] = qfp
+                    placed = True
+            if not placed:
+                acs_map[by, bx] = 0
+                vals_map[(by, bx)] = get8(by, bx)[0]
+    return acs_map, vals_map, qf_sel
+
+
+def _write_ac_tokens(ts, acs_map, vals_map, xs_b, ys_b):
+    """Mirror of read_pass_group's varblock walk: nonzero counts with
+    spread prediction, zero-density contexts with covered/log2cov."""
     nz_map = np.zeros((3, ys_b, xs_b), np.int32)
     for by in range(ys_b):
         for bx in range(xs_b):
-            chans = vals_by_anchor[(by, bx)]
+            acs = int(acs_map[by, bx])
+            if acs < 0:
+                continue
+            strat = STRATEGIES[acs]
+            cov = strat.covered
+            log2cov = strat.log2_covered
+            size = strat.num_coeffs
+            ord_b = strat.order_bucket
+            chans = vals_map[(by, bx)]
             for c in (1, 0, 2):
                 vals = chans[c]
                 if by == 0:
@@ -71,27 +313,29 @@ def _write_ac_tokens(ts, vals_by_anchor, xs_b, ys_b, qf):
                 else:
                     predicted = (int(nz_map[c, by - 1, bx])
                                  + int(nz_map[c, by, bx - 1]) + 1) // 2
-                idx = ((c ^ 1) if c < 2 else 2) * 13
+                idx = ((c ^ 1) if c < 2 else 2) * 13 + ord_b
                 bctx = DEFAULT_CTX_MAP[idx]
-                nz = int(np.count_nonzero(vals[1:]))
-                nz_map[c, by, bx] = nz
+                nz = int(np.count_nonzero(vals[cov:]))
+                spread = (nz + cov - 1) >> log2cov
+                nz_map[c, by:by + strat.cy, bx:bx + strat.cx] = spread
                 ts.add(nonzero_ctx(predicted, bctx, NUM_CTXS), nz)
                 ctx_off = NUM_CTXS * NONZERO_BUCKETS \
                     + ZERO_DENSITY_CTX_COUNT * bctx
-                prev = 0 if nz > 4 else 1
+                prev = 0 if nz > (size >> 4) else 1
                 nzeros = nz
-                k = 1
+                k = cov
                 while nzeros > 0:
                     v = int(vals[k])
-                    ctx = ctx_off + zero_density_ctx(nzeros, k, 1, 0, prev)
+                    ctx = ctx_off + zero_density_ctx(nzeros, k, cov,
+                                                     log2cov, prev)
                     ts.add(ctx, pack_signed(v))
                     prev = 1 if v else 0
                     nzeros -= prev
                     k += 1
 
 
-def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0
-                       ) -> bytes:
+def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
+                       decoding_speed: int = 0) -> bytes:
     """uint8 (H, W, 3) sRGB -> real-format VarDCT codestream."""
     H, W, _ = pixels.shape
     xs_b, ys_b = -(-W // 8), -(-H // 8)
@@ -99,17 +343,24 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0
     pad = np.pad(pixels, ((0, ph - H), (0, pw - W), (0, 0)), mode="edge")
     X, Y, B = srgb8_to_xyb(pad)
     B = B - Y                 # CfL base factor 1.0
+    # decoding-speed tiers drop decode-side filters (the reference's
+    # JxlDecodingSpeed semantics); gaborish costs a 3x3 conv at decode
+    use_gab = decoding_speed < 2
+    if use_gab:
+        X = _gaborish_sharpen(X)
+        Y = _gaborish_sharpen(Y)
+        B = _gaborish_sharpen(B)
 
     gs = 7340
     igs = 65536.0 / gs
-    qf = int(np.clip(round(7.0 / distance), 1, 255))
+    base_qf = int(np.clip(round(7.0 / distance), 1, 255))
     qdc = int(np.clip(round(10.0 / distance), 1, 1024))
-    inv_qac = igs / qf
     dc_steps = [d * igs / qdc for d in DC_STEPS]
+    qf_map = _adaptive_qf(Y, base_qf, ys_b, xs_b)
 
     order = S.scan_to_basis(0)
-    tabs = [S.dequant_table(0, c).astype(np.float64) * inv_qac
-            for c in range(3)]
+    tabs = [S.dequant_table(0, c).astype(np.float64) * igs
+            for c in range(3)]   # divided by the per-block qf below
     ANA = S.ana_basis(8)
 
     # per-block coefficients (vectorised analysis)
@@ -123,21 +374,27 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0
     dc_int[1] = np.round(co[0][:, :, 0, 0] / dc_steps[0])
     dc_int[2] = np.round(co[2][:, :, 0, 0] / dc_steps[2])
 
-    vals_all = {}
-    for c in range(3):
-        flat = co[c].reshape(ys_b, xs_b, 64)
-        q = np.zeros((ys_b, xs_b, 64), np.int64)
-        idx = order[1:]
-        steps = tabs[c][idx]
-        q[:, :, 1:] = np.round(flat[:, :, idx] / steps)
-        vals_all[c] = q  # scan-indexed
+    ytox, ytob = _estimate_cfl(co[1], co[0], co[2], ys_b, xs_b)
+    fx_blk = np.repeat(np.repeat(ytox, 8, 0), 8, 1)[:ys_b, :xs_b] / 84.0
+    fb_blk = np.repeat(np.repeat(ytob, 8, 0), 8, 1)[:ys_b, :xs_b] / 84.0
+    # dequantized DC means per channel (X, Y, B) for LLF distortion
+    dq_dc = np.stack([dc_int[1].astype(np.float64) * dc_steps[0],
+                      dc_int[0].astype(np.float64) * dc_steps[1],
+                      dc_int[2].astype(np.float64) * dc_steps[2]])
+    # lambda: bits per unit squared XYB error, anchored to the actual
+    # median luma quant step so rate and distortion are commensurate
+    step_ref = (igs / max(base_qf, 1)) * float(
+        np.median(S.dequant_table(0, 1)))
+    lam = LAMBDA_MULT / (step_ref * step_ref)
+    acs_map, vals_map, qf_map = _select_strategies(
+        co, X, Y, B, qf_map, igs, fx_blk, fb_blk, ys_b, xs_b, dq_dc, lam)
 
     # ---- frame assembly
     m = ImageMetadata()
     hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
     fh = FrameHeader(encoding=Encoding.VARDCT, flags=128,
                      x_qm_scale=2, b_qm_scale=2)
-    fh.restoration_filter.gab = False
+    fh.restoration_filter.gab = use_gab
     fh.restoration_filter.epf_iters = 0
 
     gd_b = 32                     # AC group: 32x32 blocks
@@ -170,18 +427,26 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0
             Channel(gw, gh, data=np.ascontiguousarray(
                 dc_int[i, ly:ly + gh, lx:lx + gw], np.int32))
             for i in range(3)]))
-        nb = gw * gh
+        sub_acs = acs_map[ly:ly + gh, lx:lx + gw]
+        sub_qf = qf_map[ly:ly + gh, lx:lx + gw]
+        anchors = [(by, bx) for by in range(gh) for bx in range(gw)
+                   if sub_acs[by, bx] >= 0]
+        nb = len(anchors)
         upper = gw * gh
         cb = (upper - 1).bit_length() if upper > 1 else 0
         w_.u(nb - 1, cb)
         blockinfo = np.zeros((2, nb), np.int32)
-        blockinfo[1, :] = qf - 1
+        blockinfo[0, :] = [int(sub_acs[a]) for a in anchors]
+        blockinfo[1, :] = [int(sub_qf[a]) - 1 for a in anchors]
         cw, ch = -(-gw // 8), -(-gh // 8)
+        tx0, ty0 = lx // 8, ly // 8
         w_.append_writer(_modular_substream([
             Channel(cw, ch, hshift=3, vshift=3,
-                    data=np.zeros((ch, cw), np.int32)),
+                    data=np.ascontiguousarray(
+                        ytox[ty0:ty0 + ch, tx0:tx0 + cw], np.int32)),
             Channel(cw, ch, hshift=3, vshift=3,
-                    data=np.zeros((ch, cw), np.int32)),
+                    data=np.ascontiguousarray(
+                        ytob[ty0:ty0 + ch, tx0:tx0 + cw], np.int32)),
             Channel(nb, 2, data=blockinfo),
             Channel(gw, gh, data=np.zeros((gh, gw), np.int32))]))
         return w_
@@ -200,10 +465,11 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0
         ay = (gi // gx) * gd_b
         gw = min(gd_b, xs_b - ax)
         gh = min(gd_b, ys_b - ay)
-        vals = {(by, bx): {c: vals_all[c][ay + by, ax + bx]
-                           for c in range(3)}
-                for by in range(gh) for bx in range(gw)}
-        _write_ac_tokens(ts, vals, gw, gh, qf)
+        sub_acs = acs_map[ay:ay + gh, ax:ax + gw]
+        sub_vals = {(by, bx): vals_map[(ay + by, ax + bx)]
+                    for by in range(gh) for bx in range(gw)
+                    if sub_acs[by, bx] >= 0}
+        _write_ac_tokens(ts, sub_acs, sub_vals, gw, gh)
 
     if ng == 1 and ndc == 1:
         sec = lf_global_bits()

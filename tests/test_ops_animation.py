@@ -224,20 +224,20 @@ def test_effort_levels_lossless(effort):
 
 
 def test_decoding_speed_drops_filters():
-    # The real-format encoder currently always writes filters off (the
-    # stream decodes identically everywhere); decoding_speed remains an
-    # accepted API knob.  Assert the written header stays consistent.
+    # decoding_speed >= 2 turns decode-side gaborish off (the
+    # reference's JxlDecodingSpeed semantics: faster decode, fewer
+    # filters); the default encodes with gaborish on.
     r = rng()
     img = r.integers(0, 255, (32, 32, 3)).astype(np.uint8)
     from jxl_coder_tpu.bitstream.reader import BitReader
     from jxl_coder_tpu.bitstream.container import extract_codestream
     from jxl_coder_tpu.bitstream.headers import read_image_header
     from jxl_coder_tpu.bitstream.frame_header import read_frame_header
-    for ds in (0, 2, 4):
+    for ds, gab in ((0, True), (2, False), (4, False)):
         data = api.encode(img, lossless=False, quality=90,
                           decoding_speed=ds)
         br = BitReader(extract_codestream(data).codestream)
         hdr = read_image_header(br)
         fh = read_frame_header(br, hdr)
         assert fh.restoration_filter.epf_iters == 0
-        assert fh.restoration_filter.gab is False
+        assert fh.restoration_filter.gab is gab
