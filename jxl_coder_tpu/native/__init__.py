@@ -27,8 +27,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     so_path = os.path.join(_DIR, f"libhostcodec-{digest}.so")
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-               "-o", tmp]
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+               "-ffp-contract=off", "-pthread", _SRC, "-o", tmp]
         try:
             subprocess.run(cmd, check=True, capture_output=True,
                            timeout=120)
@@ -65,6 +65,18 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         c.c_int32, c.c_uint32]
     lib.entropy_ans_state.restype = c.c_uint32
     lib.entropy_ans_state.argtypes = [c.c_void_p]
+    lib.xyb_to_srgb.restype = None
+    lib.xyb_to_srgb.argtypes = [
+        c.POINTER(c.c_double), c.POINTER(c.c_double), c.POINTER(c.c_double),
+        c.c_int64, c.POINTER(c.c_double), c.c_double, c.c_double,
+        c.c_int, c.c_void_p]
+    lib.filter_chain.restype = None
+    lib.filter_chain.argtypes = [
+        c.POINTER(c.c_double), c.POINTER(c.c_double), c.POINTER(c.c_double),
+        c.c_int, c.c_int, c.c_int,
+        c.c_double, c.c_double, c.c_double, c.c_double, c.c_double,
+        c.c_double, c.c_int, c.POINTER(c.c_double), c.c_int, c.c_int,
+        c.c_double, c.c_double]
     lib.decode_channel_native.restype = c.c_int
     lib.decode_channel_native.argtypes = [
         c.c_void_p, c.POINTER(c.c_int32), c.c_int32,

@@ -13,6 +13,8 @@
 // Build: g++ -O3 -shared -fPIC -std=c++17 hostcodec.cpp -o libhostcodec.so
 
 #include <cstdint>
+#include <cmath>
+#include <thread>
 #include <cstring>
 #include <cstdlib>
 #include <vector>
@@ -635,6 +637,311 @@ int decode_ac_group_native(
         }
     }
     return ctx->error | (ctx->br.overrun ? 16 : 0);
+}
+
+}  // extern "C"
+
+
+// ---------------------------------------------------------------------------
+// Pixel pipeline kernels: fused XYB->sRGB conversion and the
+// gaborish + EPF restoration chain.  These mirror the numpy reference
+// implementations in vardct/dec_real.py (which remain the oracle);
+// the colour transform reproduces the float32 FastLinearToSRGB bit
+// tricks exactly (compile with -ffp-contract=off so no FMA creeps in).
+
+extern "C" {
+
+static const uint32_t kPow25to18[16] = {
+    0x0, 0xa, 0x19, 0x26, 0x32, 0x41, 0x4d, 0x5c,
+    0x68, 0x75, 0x83, 0x8f, 0xa0, 0xaa, 0xb9, 0xc6};
+static const uint32_t kPow17to10[16] = {
+    0x0, 0xb7, 0x4, 0xd, 0xcb, 0xe7, 0x41, 0x68,
+    0x51, 0xd1, 0xeb, 0xf2, 0x0, 0xb7, 0x4, 0xd};
+
+static inline float linear_to_srgb_f32(float v) {
+    uint32_t vb;
+    memcpy(&vb, &v, 4);
+    uint32_t ub = (vb | 0x3e800000u) & 0x3effffffu;
+    float v025;
+    memcpy(&v025, &ub, 4);
+    float d1 = v025 * 0.059914046f + -0.108894556f;
+    float d2 = d1 * v025 + 0.107963754f;
+    float pw = d2 * v025 + 0.018092343f;
+    uint32_t exp = ((vb >> 23) - 118u) & 0xfu;
+    uint32_t mb = (kPow25to18[exp] << 18) | (kPow17to10[exp] << 10)
+        | 0x40000000u;
+    float mul;
+    memcpy(&mul, &mb, 4);
+    if (v < 0.0031308f) return v * 12.92f;
+    return pw * mul + -0.055f;
+}
+
+// X/Y/B: row-major (h, w) float64 planes; out: interleaved RGB
+// uint8 (bits<=8) or uint16.  opsin_inv: 9 float64 (row-major 3x3).
+static void xyb_to_srgb_range(const double* X, const double* Y,
+                              const double* B, int64_t i0, int64_t i1,
+                              const float* inv, float fb, float fcb,
+                              int bits, void* out) {
+    uint8_t* o8 = (uint8_t*)out;
+    uint16_t* o16 = (uint16_t*)out;
+    for (int64_t i = i0; i < i1; i++) {
+        float x = (float)X[i], y = (float)Y[i], b = (float)B[i];
+        float gr = y + x + fcb;
+        float gg = y - x + fcb;
+        float gb = b + fcb;
+        float m0 = gr * gr * gr - fb;
+        float m1 = gg * gg * gg - fb;
+        float m2 = gb * gb * gb - fb;
+        for (int c = 0; c < 3; c++) {
+            float lin = m0 * inv[c * 3 + 0] + m1 * inv[c * 3 + 1]
+                + m2 * inv[c * 3 + 2];
+            float s = linear_to_srgb_f32(lin);
+            if (bits <= 8) {
+                float q = floorf(s * 255.0f + 0.5f);
+                o8[i * 3 + c] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
+            } else {
+                float q = floorf(s * 65535.0f + 0.5f);
+                o16[i * 3 + c] =
+                    (uint16_t)(q < 0 ? 0 : (q > 65535 ? 65535 : q));
+            }
+        }
+    }
+}
+
+void xyb_to_srgb(const double* X, const double* Y, const double* B,
+                 int64_t n, const double* opsin_inv, double bias,
+                 double cbrt_bias, int bits, void* out) {
+    float inv[9];
+    for (int i = 0; i < 9; i++) inv[i] = (float)opsin_inv[i];
+    const float fb = (float)bias;
+    const float fcb = (float)cbrt_bias;
+    unsigned nt = std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > 8) nt = 8;
+    if (n < 262144 || nt == 1) {
+        xyb_to_srgb_range(X, Y, B, 0, n, inv, fb, fcb, bits, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; t++) {
+        int64_t i0 = t * chunk;
+        int64_t i1 = i0 + chunk < n ? i0 + chunk : n;
+        if (i0 >= i1) break;
+        ts.emplace_back(xyb_to_srgb_range, X, Y, B, i0, i1, inv, fb,
+                        fcb, bits, out);
+    }
+    for (auto& th : ts) th.join();
+}
+
+static inline double edge_at(const double* p, int H, int W, int y, int x) {
+    if (y < 0) y = 0;
+    if (y >= H) y = H - 1;
+    if (x < 0) x = 0;
+    if (x >= W) x = W - 1;
+    return p[(int64_t)y * W + x];
+}
+
+static void gaborish_rows(const double* in, double* out, int H, int W,
+                          double w1, double w2, int ya, int yb) {
+    double norm = 1.0 + 4.0 * (w1 + w2);
+    for (int y = ya; y < yb; y++) {
+        // mirror (symmetric) padding: index -1 -> 0, H -> H-1
+        int ym = y > 0 ? y - 1 : 0;
+        int yp = y < H - 1 ? y + 1 : H - 1;
+        const double* r0 = in + (int64_t)ym * W;
+        const double* r1 = in + (int64_t)y * W;
+        const double* r2 = in + (int64_t)yp * W;
+        double* dst = out + (int64_t)y * W;
+        for (int x = 0; x < W; x++) {
+            int xm = x > 0 ? x - 1 : 0;
+            int xp = x < W - 1 ? x + 1 : W - 1;
+            double v = r1[x]
+                + w1 * (r0[x] + r2[x] + r1[xm] + r1[xp])
+                + w2 * (r0[xm] + r0[xp] + r2[xm] + r2[xp]);
+            dst[x] = v / norm;
+        }
+    }
+}
+
+static const double kEpfScale[3] = {40.0, 5.0, 3.5};
+static const double kInvSigmaNum = -1.1715728752538099024;
+
+// EPF pass 1: block-border pixels, 4-neighbour cross, 5-tap patch SAD.
+static void epf1_rows(const double* const in[3], double* const out[3],
+                      int H, int W, const double* sigma, int sh, int sw,
+                      double sigma_div, int ya, int yb) {
+    static const int offs[4][2] = {{0,1},{0,-1},{1,0},{-1,0}};
+    static const int taps[5][2] = {{0,0},{0,1},{0,-1},{1,0},{-1,0}};
+    for (int y = ya; y < yb; y++) {
+        int border_y = (y % 8 == 0) || (y % 8 == 7);
+        for (int x = 0; x < W; x++) {
+            double sg = sigma[(int64_t)(y / 8) * sw + (x / 8)] / sigma_div;
+            int border = border_y || (x % 8 == 0) || (x % 8 == 7);
+            if (!border || sg < 0.3) {
+                for (int c = 0; c < 3; c++)
+                    out[c][(int64_t)y * W + x] = in[c][(int64_t)y * W + x];
+                continue;
+            }
+            double invs = kInvSigmaNum / sg;
+            double wsum = 1.0;
+            double acc[3];
+            for (int c = 0; c < 3; c++)
+                acc[c] = in[c][(int64_t)y * W + x];
+            for (int o = 0; o < 4; o++) {
+                int dy = offs[o][0], dx = offs[o][1];
+                double sad = 0.0;
+                for (int c = 0; c < 3; c++) {
+                    double s = 0.0;
+                    for (int t = 0; t < 5; t++) {
+                        double a = edge_at(in[c], H, W, y + taps[t][0],
+                                           x + taps[t][1]);
+                        double b = edge_at(in[c], H, W, y + dy + taps[t][0],
+                                           x + dx + taps[t][1]);
+                        s += a > b ? a - b : b - a;
+                    }
+                    sad += kEpfScale[c] * s;
+                }
+                double w = 1.0 + sad * invs;
+                if (w < 0.0) w = 0.0;
+                wsum += w;
+                for (int c = 0; c < 3; c++)
+                    acc[c] += w * edge_at(in[c], H, W, y + dy, x + dx);
+            }
+            for (int c = 0; c < 3; c++)
+                out[c][(int64_t)y * W + x] = acc[c] / wsum;
+        }
+    }
+}
+
+// EPF pass 2: every pixel, pointwise SADs, border multiplier 2/3.
+static void epf2_rows(const double* const in[3], double* const out[3],
+                      int H, int W, const double* sigma, int sh, int sw,
+                      double sigma_scale, int ya, int yb) {
+    static const int offs[4][2] = {{0,1},{0,-1},{1,0},{-1,0}};
+    for (int y = ya; y < yb; y++) {
+        int border_y = (y % 8 == 0) || (y % 8 == 7);
+        for (int x = 0; x < W; x++) {
+            double sg = sigma[(int64_t)(y / 8) * sw + (x / 8)];
+            if (sg < 0.3) {
+                for (int c = 0; c < 3; c++)
+                    out[c][(int64_t)y * W + x] = in[c][(int64_t)y * W + x];
+                continue;
+            }
+            int border = border_y || (x % 8 == 0) || (x % 8 == 7);
+            double mul = border ? (2.0 / 3.0) : 1.0;
+            double invs = kInvSigmaNum * sigma_scale / sg;
+            double wsum = 1.0;
+            double acc[3];
+            double ctr[3];
+            for (int c = 0; c < 3; c++) {
+                ctr[c] = in[c][(int64_t)y * W + x];
+                acc[c] = ctr[c];
+            }
+            for (int o = 0; o < 4; o++) {
+                int dy = offs[o][0], dx = offs[o][1];
+                double sad = 0.0;
+                double nb[3];
+                for (int c = 0; c < 3; c++) {
+                    nb[c] = edge_at(in[c], H, W, y + dy, x + dx);
+                    double d = ctr[c] - nb[c];
+                    sad += kEpfScale[c] * (d > 0 ? d : -d);
+                }
+                double w = 1.0 + sad * mul * invs;
+                if (w < 0.0) w = 0.0;
+                wsum += w;
+                for (int c = 0; c < 3; c++) acc[c] += w * nb[c];
+            }
+            for (int c = 0; c < 3; c++)
+                out[c][(int64_t)y * W + x] = acc[c] / wsum;
+        }
+    }
+}
+
+}  // extern "C" (pause for the template helper)
+
+template <typename F>
+static void parallel_rows(int H, F fn) {
+    unsigned nt = std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > 8) nt = 8;
+    if (H < 64 || nt == 1) { fn(0, H); return; }
+    std::vector<std::thread> ts;
+    int chunk = (H + (int)nt - 1) / (int)nt;
+    for (unsigned t = 0; t < nt; t++) {
+        int y0 = (int)t * chunk;
+        int y1 = y0 + chunk < H ? y0 + chunk : H;
+        if (y0 >= y1) break;
+        ts.emplace_back([&fn, y0, y1]() { fn(y0, y1); });
+    }
+    for (auto& th : ts) th.join();
+}
+
+extern "C" {
+
+static void gaborish_plane(const double* in, double* out, int H, int W,
+                           double w1, double w2) {
+    parallel_rows(H, [&](int ya, int yb) {
+        gaborish_rows(in, out, H, W, w1, w2, ya, yb);
+    });
+}
+
+static void epf1_pass(const double* const in[3], double* const out[3],
+                      int H, int W, const double* sigma, int sh, int sw,
+                      double sigma_div) {
+    parallel_rows(H, [&](int ya, int yb) {
+        epf1_rows(in, out, H, W, sigma, sh, sw, sigma_div, ya, yb);
+    });
+}
+
+static void epf2_pass(const double* const in[3], double* const out[3],
+                      int H, int W, const double* sigma, int sh, int sw,
+                      double sigma_scale) {
+    parallel_rows(H, [&](int ya, int yb) {
+        epf2_rows(in, out, H, W, sigma, sh, sw, sigma_scale, ya, yb);
+    });
+}
+
+// Full restoration chain in place on (H, W) float64 planes.
+void filter_chain(double* X, double* Y, double* B, int H, int W,
+                  int gab, double w1x, double w2x, double w1y, double w2y,
+                  double w1b, double w2b, int epf_iters,
+                  const double* sigma, int sh, int sw,
+                  double pass0_scale, double pass2_scale) {
+    int64_t n = (int64_t)H * W;
+    double* tmpX = (double*)malloc(n * 8);
+    double* tmpY = (double*)malloc(n * 8);
+    double* tmpB = (double*)malloc(n * 8);
+    if (!tmpX || !tmpY || !tmpB) { free(tmpX); free(tmpY); free(tmpB); return; }
+    double* cur[3] = {X, Y, B};
+    double* alt[3] = {tmpX, tmpY, tmpB};
+    if (gab) {
+        gaborish_plane(cur[0], alt[0], H, W, w1x, w2x);
+        gaborish_plane(cur[1], alt[1], H, W, w1y, w2y);
+        gaborish_plane(cur[2], alt[2], H, W, w1b, w2b);
+        for (int c = 0; c < 3; c++) { double* t = cur[c]; cur[c] = alt[c]; alt[c] = t; }
+    }
+    if (epf_iters >= 1 && sigma != nullptr) {
+        const double* cin[3];
+        if (epf_iters >= 3) {
+            for (int c = 0; c < 3; c++) cin[c] = cur[c];
+            epf1_pass(cin, alt, H, W, sigma, sh, sw, pass0_scale);
+            for (int c = 0; c < 3; c++) { double* t = cur[c]; cur[c] = alt[c]; alt[c] = t; }
+        }
+        for (int c = 0; c < 3; c++) cin[c] = cur[c];
+        epf1_pass(cin, alt, H, W, sigma, sh, sw, 1.0);
+        for (int c = 0; c < 3; c++) { double* t = cur[c]; cur[c] = alt[c]; alt[c] = t; }
+        if (epf_iters >= 2) {
+            for (int c = 0; c < 3; c++) cin[c] = cur[c];
+            epf2_pass(cin, alt, H, W, sigma, sh, sw, pass2_scale);
+            for (int c = 0; c < 3; c++) { double* t = cur[c]; cur[c] = alt[c]; alt[c] = t; }
+        }
+    }
+    double* dst[3] = {X, Y, B};
+    for (int c = 0; c < 3; c++) {
+        if (cur[c] != dst[c]) memcpy(dst[c], cur[c], n * 8);
+    }
+    free(tmpX); free(tmpY); free(tmpB);
 }
 
 }  // extern "C"

@@ -572,12 +572,41 @@ def xyb_planes_to_srgb(X, Y, B):
     return linear_to_srgb_f32(lin)
 
 
+def _native_xyb_to_srgb(X, Y, B, bits):
+    try:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+        if lib is None or not hasattr(lib, "xyb_to_srgb"):
+            return None
+    except Exception:
+        return None
+    import ctypes as c
+    h, w = np.asarray(X).shape
+    Xd = np.ascontiguousarray(X, np.float64)
+    Yd = np.ascontiguousarray(Y, np.float64)
+    Bd = np.ascontiguousarray(B, np.float64)
+    inv = np.ascontiguousarray(_OPSIN_INV, np.float64)
+    out = np.empty((h, w, 3), np.uint8 if bits <= 8 else np.uint16)
+    dp = c.POINTER(c.c_double)
+    lib.xyb_to_srgb(Xd.ctypes.data_as(dp), Yd.ctypes.data_as(dp),
+                    Bd.ctypes.data_as(dp), h * w,
+                    inv.ctypes.data_as(dp), _BIAS, _CBRT_BIAS, bits,
+                    out.ctypes.data_as(c.c_void_p))
+    return out
+
+
 def xyb_planes_to_srgb8(X, Y, B):
+    out = _native_xyb_to_srgb(X, Y, B, 8)
+    if out is not None:
+        return out
     srgb = xyb_planes_to_srgb(X, Y, B)
     return np.clip(np.floor(srgb * 255.0 + 0.5), 0, 255).astype(np.uint8)
 
 
 def xyb_planes_to_srgb16(X, Y, B):
+    out = _native_xyb_to_srgb(X, Y, B, 16)
+    if out is not None:
+        return out
     srgb = xyb_planes_to_srgb(X, Y, B)
     return np.clip(np.floor(srgb * 65535.0 + 0.5), 0,
                    65535).astype(np.uint16)
@@ -868,6 +897,44 @@ def _apply_filters_chain(X, Y, B, rf, sigma):
     return X, Y, B
 
 
+def _native_filter_chain(X, Y, B, rf, sigma):
+    try:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+        if lib is None or not hasattr(lib, "filter_chain"):
+            return None
+    except Exception:
+        return None
+    if rf.gab and rf.gab_custom and rf.gab_weights is not None:
+        wx1, wx2, wy1, wy2, wb1, wb2 = rf.gab_weights
+    else:
+        wx1 = wy1 = wb1 = 0.115169525
+        wx2 = wy2 = wb2 = 0.061248592
+    import ctypes as c
+    H, W = Y.shape
+    Xd = np.ascontiguousarray(X, np.float64)
+    Yd = np.ascontiguousarray(Y, np.float64)
+    Bd = np.ascontiguousarray(B, np.float64)
+    dp = c.POINTER(c.c_double)
+    if sigma is not None and rf.epf_iters >= 1:
+        sg = np.ascontiguousarray(sigma, np.float64)
+        sh, sw = sg.shape
+        sgp = sg.ctypes.data_as(dp)
+        epf = int(rf.epf_iters)
+    else:
+        sg = None
+        sh = sw = 0
+        sgp = None
+        epf = 0
+    lib.filter_chain(Xd.ctypes.data_as(dp), Yd.ctypes.data_as(dp),
+                     Bd.ctypes.data_as(dp), H, W,
+                     1 if rf.gab else 0, wx1, wx2, wy1, wy2, wb1, wb2,
+                     epf, sgp, sh, sw,
+                     float(rf.epf_pass0_sigma_scale),
+                     float(rf.epf_pass2_sigma_scale))
+    return Xd, Yd, Bd
+
+
 def _apply_filters_parallel(X, Y, B, rf, sigma, band_rows=512):
     """Run the gaborish+EPF chain over horizontal bands in threads.
 
@@ -878,6 +945,9 @@ def _apply_filters_parallel(X, Y, B, rf, sigma, band_rows=512):
     H, W = Y.shape
     if not rf.gab and rf.epf_iters == 0:
         return X, Y, B
+    nat = _native_filter_chain(X, Y, B, rf, sigma)
+    if nat is not None:
+        return nat
     if H <= band_rows * 2:
         return _apply_filters_chain(X, Y, B, rf, sigma)
     import concurrent.futures as _fut
@@ -965,9 +1035,11 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     # AC groups: 256x256 px (32x32 blocks)
     gd_b = 32
     gx = -(-xs_b // gd_b)
-    X = np.zeros((ys_b * 8, xs_b * 8))
-    Y = np.zeros_like(X)
-    B = np.zeros_like(X)
+    # every pixel of the padded block grid is written by some group's
+    # reconstruction, so skip the (expensive) zero fill
+    X = np.empty((ys_b * 8, xs_b * 8))
+    Y = np.empty_like(X)
+    B = np.empty_like(X)
     qf_map = np.zeros((ys_b, xs_b), np.int64)
     sharp_map = np.zeros((ys_b, xs_b), np.int64)
     dc_glob = {c: np.zeros((ys_b, xs_b)) for c in range(3)}
