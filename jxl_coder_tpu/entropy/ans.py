@@ -193,7 +193,86 @@ def write_ans_distribution(bw: BitWriter, counts: List[int]) -> None:
         bw.u(1, 1)
         write_u8(bw, len(counts) - 1)
         return
-    raise ValueError("only simple/flat ANS histograms supported for writing")
+    write_ans_distribution_complex(bw, counts)
+
+
+def normalize_counts(hist: List[int]) -> List[int]:
+    """Largest-remainder normalization to ANS_TAB_SIZE keeping every
+    observed symbol at count >= 1."""
+    total = sum(hist)
+    if total == 0:
+        return [ANS_TAB_SIZE] + [0] * (len(hist) - 1)
+    raw = [c * ANS_TAB_SIZE / total for c in hist]
+    out = [0] * len(hist)
+    for i, (c, r) in enumerate(zip(hist, raw)):
+        if c > 0:
+            out[i] = max(1, int(r))
+    diff = ANS_TAB_SIZE - sum(out)
+    if diff > 0:
+        order = sorted(range(len(hist)),
+                       key=lambda i: -(raw[i] - out[i]))
+        k = 0
+        while diff > 0:
+            i = order[k % len(order)]
+            if hist[i] > 0:
+                out[i] += 1
+                diff -= 1
+            k += 1
+    elif diff < 0:
+        order = sorted(range(len(hist)), key=lambda i: -out[i])
+        k = 0
+        while diff < 0:
+            i = order[k % len(order)]
+            if out[i] > 1:
+                out[i] -= 1
+                diff += 1
+            k += 1
+    return out
+
+
+def write_ans_distribution_complex(bw: BitWriter, counts: List[int]) -> None:
+    """Full 'complex' histogram form: logcounts via the static prefix
+    code + precision bits at shift 13 (exact for any counts summing to
+    ANS_TAB_SIZE).  No RLE runs are emitted."""
+    if sum(counts) != ANS_TAB_SIZE:
+        raise ValueError("counts must sum to ANS_TAB_SIZE")
+    alphabet_size = len(counts)
+    while alphabet_size > 3 and counts[alphabet_size - 1] == 0:
+        alphabet_size -= 1
+    if alphabet_size < 3:
+        alphabet_size = 3
+    counts = list(counts[:alphabet_size]) + [0] * (alphabet_size
+                                                   - len(counts))
+    shift = 13
+    logcounts = []
+    for c in counts:
+        if c == 0:
+            logcounts.append(0)
+        elif c == 1:
+            logcounts.append(1)
+        else:
+            logcounts.append(c.bit_length())
+    omit_pos = max(range(alphabet_size), key=lambda i: (logcounts[i], -i))
+    bw.u(0, 1)   # not simple
+    bw.u(0, 1)   # not flat
+    # shift 13: three 1-continuation bits then 3 value bits (14-1)
+    bw.u(1, 1)
+    bw.u(1, 1)
+    bw.u(1, 1)
+    bw.u(14 - (1 << 3), 3)
+    write_u8(bw, alphabet_size - 3)
+    for lc in logcounts:
+        ln, word = LOGCOUNT_CODE[lc]
+        bw.u(word, ln)
+    for i, c in enumerate(counts):
+        code = logcounts[i]
+        if i == omit_pos or code <= 1:
+            continue
+        bitcount = _population_count_precision(code - 1, shift)
+        rem = c - (1 << (code - 1))
+        if rem & ((1 << (code - 1 - bitcount)) - 1):
+            raise ValueError("count not representable at this shift")
+        bw.u(rem >> (code - 1 - bitcount), bitcount)
 
 
 def counts_items(counts):

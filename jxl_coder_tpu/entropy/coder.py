@@ -393,9 +393,11 @@ class TokenStream:
     greedy merge into <=8 clusters so the simple cluster-map form applies).
     """
 
-    def __init__(self, num_contexts: int, lz77: bool = False):
+    def __init__(self, num_contexts: int, lz77: bool = False,
+                 use_ans: bool = False):
         self.num_contexts = num_contexts
         self.lz77 = lz77
+        self.use_ans = use_ans
         self.tokens: List[tuple] = []
 
     def add(self, ctx: int, value: int) -> None:
@@ -432,16 +434,34 @@ class TokenStream:
             cmap, _nc = cluster_histograms(per_ctx)
         num_clusters = (max(cmap) + 1) if cmap else 1
         write_cluster_map(bw, cmap if self.num_contexts > 1 else [0])
-        bw.bool(True)  # use_prefix_code
-        log_alpha = 15
-        for _ in range(num_clusters):
-            config.write(bw, log_alpha)
         per_cluster_hist = [dict() for _ in range(num_clusters)]
         for ctx, value in self.tokens:
             cl = cmap[ctx] if self.num_contexts > 1 else 0
             token, extra, nbits = config.tokenize(value)
             h = per_cluster_hist[cl]
             h[token] = h.get(token, 0) + 1
+        if self.use_ans:
+            from . import ans as _ans
+            bw.bool(False)  # ANS backend
+            log_alpha = 8
+            bw.u(log_alpha - 5, 2)
+            for _ in range(num_clusters):
+                config.write(bw, log_alpha)
+            tables = []
+            for cl in range(num_clusters):
+                h = per_cluster_hist[cl]
+                alpha = (max(h) + 1) if h else 1
+                if alpha > (1 << log_alpha):
+                    raise ValueError("token exceeds ANS alphabet")
+                hist = [h.get(s, 0) for s in range(alpha)]
+                counts = _ans.normalize_counts(hist)
+                _ans.write_ans_distribution(bw, counts)
+                tables.append(_ans.AliasTable(counts, log_alpha))
+            return (cmap, config, tables)
+        bw.bool(True)  # use_prefix_code
+        log_alpha = 15
+        for _ in range(num_clusters):
+            config.write(bw, log_alpha)
         # all alphabet sizes first, then all codes (decoder order)
         alphas = []
         for cl in range(num_clusters):
@@ -470,10 +490,32 @@ class TokenStream:
 
     def write_symbols(self, bw: BitWriter, shared) -> None:
         cmap, config, codes = shared
+        if self.use_ans:
+            self._write_symbols_ans(bw, shared)
+            return
         for ctx, value in self.tokens:
             cl = cmap[ctx] if self.num_contexts > 1 else 0
             token, extra, nbits = config.tokenize(value)
             codes[cl].write(bw, token)
+            if nbits:
+                bw.u(extra, nbits)
+
+    def _write_symbols_ans(self, bw: BitWriter, shared) -> None:
+        """LIFO rANS emission: push all symbols, then interleave the
+        decoder's refill words with the hybrid-uint extra bits."""
+        cmap, config, tables = shared
+        enc = AnsEncoder()
+        toks = []
+        for ctx, value in self.tokens:
+            cl = cmap[ctx] if self.num_contexts > 1 else 0
+            token, extra, nbits = config.tokenize(value)
+            toks.append((token, extra, nbits))
+            enc.push(tables[cl], token)
+        state, words = enc.encode()
+        bw.u(state, 32)
+        for i, (token, extra, nbits) in enumerate(toks):
+            if words[i] is not None:
+                bw.u(words[i], 16)
             if nbits:
                 bw.u(extra, nbits)
 

@@ -389,7 +389,7 @@ def encode_modular_stream(bw: BitWriter, image: ModularImage,
     header.write(bw)
     if not header.use_global_tree:
         encode_tree(bw, tree)
-    ts = TokenStream(tree.num_leaves, lz77=lz77)
+    ts = TokenStream(tree.num_leaves, lz77=lz77, use_ans=not lz77)
     chans = image.channels
     start, end = channel_range or (0, len(chans))
     planes: List[np.ndarray] = []

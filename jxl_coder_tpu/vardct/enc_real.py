@@ -227,62 +227,40 @@ def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
             cand8[(by, bx)] = dct8_vals(by, bx)
         return cand8[(by, bx)]
 
+    # candidate strategies, largest first (strategy id, cy, cx)
+    cands = [(5, 4, 4), (10, 4, 2), (11, 2, 4), (4, 2, 2), (6, 2, 1),
+             (7, 1, 2)]
     for by in range(0, ys_b):
         for bx in range(0, xs_b):
             if acs_map[by, bx] != -1:
                 continue
             placed = False
-            # try 16x16 on even-aligned quads
-            if (by % 2 == 0 and bx % 2 == 0 and by + 1 < ys_b
-                    and bx + 1 < xs_b
-                    and np.all(acs_map[by:by + 2, bx:bx + 2] == -1)):
-                qf16 = int(qf_map[by:by + 2, bx:bx + 2].min())
-                coeff = region_coeffs(by, bx, 2, 2)
-                v16 = _quantize_block(coeff, 4, qf16, igs,
-                                      fx_blk[by, bx], fb_blk[by, bx],
-                                      tabs_cache,
-                                      dq_dc[:, by:by + 2, bx:bx + 2])
-                c16 = cost_of(v16, 4)
+            for sid, cy, cx in cands:
+                if by % cy or bx % cx:
+                    continue
+                if by + cy > ys_b or bx + cx > xs_b:
+                    continue
+                if not np.all(acs_map[by:by + cy, bx:bx + cx] == -1):
+                    continue
+                qfm = int(qf_map[by:by + cy, bx:bx + cx].min())
+                coeff = region_coeffs(by, bx, cy, cx)
+                vm = _quantize_block(coeff, sid, qfm, igs,
+                                     fx_blk[by, bx], fb_blk[by, bx],
+                                     tabs_cache,
+                                     dq_dc[:, by:by + cy, bx:bx + cx])
+                cm = cost_of(vm, cy * cx)
                 c8 = sum(cost_of(get8(by + dy, bx + dx), 1)
-                         for dy in (0, 1) for dx in (0, 1))
-                if c16 < c8 * 0.98:
-                    acs_map[by:by + 2, bx:bx + 2] = -2
-                    acs_map[by, bx] = 4
-                    vals_map[(by, bx)] = v16[0]
-                    qf_sel[by:by + 2, bx:bx + 2] = qf16
+                         for dy in range(cy) for dx in range(cx))
+                # big transforms must clear a stronger bar: greedy
+                # largest-first can otherwise beat 4 smaller merges
+                thresh = 0.90 if cy * cx > 4 else 0.98
+                if cm < c8 * thresh:
+                    acs_map[by:by + cy, bx:bx + cx] = -2
+                    acs_map[by, bx] = sid
+                    vals_map[(by, bx)] = vm[0]
+                    qf_sel[by:by + cy, bx:bx + cx] = qfm
                     placed = True
-            # try vertical pair (DCT16X8: cx=1, cy=2)
-            if not placed and by % 2 == 0 and by + 1 < ys_b                     and acs_map[by + 1, bx] == -1:
-                qfp = int(min(qf_map[by, bx], qf_map[by + 1, bx]))
-                coeff = region_coeffs(by, bx, 2, 1)
-                vp = _quantize_block(coeff, 6, qfp, igs,
-                                     fx_blk[by, bx], fb_blk[by, bx],
-                                     tabs_cache,
-                                     dq_dc[:, by:by + 2, bx:bx + 1])
-                cp = cost_of(vp, 2)
-                c8 = cost_of(get8(by, bx), 1) + cost_of(get8(by + 1, bx), 1)
-                if cp < c8 * 0.98:
-                    acs_map[by + 1, bx] = -2
-                    acs_map[by, bx] = 6
-                    vals_map[(by, bx)] = vp[0]
-                    qf_sel[by:by + 2, bx] = qfp
-                    placed = True
-            # try horizontal pair (DCT8X16: cx=2, cy=1)
-            if not placed and bx % 2 == 0 and bx + 1 < xs_b                     and acs_map[by, bx + 1] == -1:
-                qfp = int(min(qf_map[by, bx], qf_map[by, bx + 1]))
-                coeff = region_coeffs(by, bx, 1, 2)
-                vp = _quantize_block(coeff, 7, qfp, igs,
-                                     fx_blk[by, bx], fb_blk[by, bx],
-                                     tabs_cache,
-                                     dq_dc[:, by:by + 1, bx:bx + 2])
-                cp = cost_of(vp, 2)
-                c8 = cost_of(get8(by, bx), 1) + cost_of(get8(by, bx + 1), 1)
-                if cp < c8 * 0.98:
-                    acs_map[by, bx + 1] = -2
-                    acs_map[by, bx] = 7
-                    vals_map[(by, bx)] = vp[0]
-                    qf_sel[by, bx:bx + 2] = qfp
-                    placed = True
+                    break
             if not placed:
                 acs_map[by, bx] = 0
                 vals_map[(by, bx)] = get8(by, bx)[0]
@@ -426,7 +404,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         w_.append_writer(_modular_substream([
             Channel(gw, gh, data=np.ascontiguousarray(
                 dc_int[i, ly:ly + gh, lx:lx + gw], np.int32))
-            for i in range(3)]))
+            for i in range(3)], predictor=6))
         sub_acs = acs_map[ly:ly + gh, lx:lx + gw]
         sub_qf = qf_map[ly:ly + gh, lx:lx + gw]
         anchors = [(by, bx) for by in range(gh) for bx in range(gw)
@@ -476,7 +454,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         sec.append_writer(lf_group_bits(0))
         sec.append_writer(hf_global_bits())
         ts = TokenStream(NUM_CTXS * (NONZERO_BUCKETS
-                                     + ZERO_DENSITY_CTX_COUNT))
+                                     + ZERO_DENSITY_CTX_COUNT), use_ans=True)
         group_tokens(0, ts)
         ts.write(sec)
         sec.zero_pad_to_byte()
@@ -488,12 +466,14 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         # so emit a joint histogram over all groups' tokens, then write
         # each group with the shared code.
         all_ts = [TokenStream(NUM_CTXS * (NONZERO_BUCKETS
-                                          + ZERO_DENSITY_CTX_COUNT))
+                                          + ZERO_DENSITY_CTX_COUNT),
+                              use_ans=True)
                   for _ in range(ng)]
         for gi in range(ng):
             group_tokens(gi, all_ts[gi])
         joint = TokenStream(NUM_CTXS * (NONZERO_BUCKETS
-                                        + ZERO_DENSITY_CTX_COUNT))
+                                        + ZERO_DENSITY_CTX_COUNT),
+                            use_ans=True)
         for t in all_ts:
             joint.tokens.extend(t.tokens)
         hf = hf_global_bits()
