@@ -316,9 +316,20 @@ BUCKET_GEOM = {0: (1, 64), 1: (1, 64), 2: (4, 256), 3: (16, 1024),
 
 
 def read_hf_global(br: BitReader, lf: LfGlobal, num_groups: int,
-                   num_passes: int) -> HfGlobal:
+                   num_passes: int, num_dc_groups: int = 1) -> HfGlobal:
+    lf.quant_encodings = None
+    lf.quant_cache = {}
     if not br.bool():
-        raise BitstreamError("non-default dequant matrices not supported")
+        from . import quant_tables as QTab
+        def read_modular(idx, xsize, ysize):
+            img = ModularImage([Channel(xsize, ysize) for _ in range(3)])
+            decode_modular_stream(
+                br, img, stream_id=1 + 3 * num_dc_groups + idx,
+                global_tree=lf.gtree, global_code=lf.gcode)
+            return np.stack([ch.data for ch in img.channels])
+        lf.quant_encodings = [
+            QTab.read_quant_encoding(br, i, read_modular)
+            for i in range(QTab.NUM_QUANT_TABLES)]
     nb = (num_groups - 1).bit_length() if num_groups > 1 else 0
     num_histograms = 1 + br.u(nb)
     orders: Dict[Tuple[int, int], List[int]] = {}
@@ -677,6 +688,15 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
     dc_planes = dc_view if dc_view is not None else \
         compute_dc_planes(lf, lg)
 
+    def dq_table(strategy, c):
+        if getattr(lf, "quant_encodings", None) is not None:
+            from . import quant_tables as QTab
+            t = QTab.dequant_table_for(lf.quant_encodings, strategy, c,
+                                       lf.quant_cache)
+            if t is not None:
+                return t
+        return S.dequant_table(strategy, c)
+
     H, W = ys_b * 8, xs_b * 8
     planes = {c: np.zeros((H, W), np.float32) for c in range(3)}
     # batched fast path for DCT8 varblocks (the overwhelming majority)
@@ -700,7 +720,7 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
             vc = np.stack([vb.values[c] for vb in dct8]).astype(np.float64)
             # scan-indexed -> basis-indexed
             vals[c] = vc[:, inv_order]
-        tabs = np.stack([S.dequant_table(0, c).astype(np.float64)
+        tabs = np.stack([dq_table(0, c).astype(np.float64)
                          for c in range(3)])
         deq = vals * tabs[:, None, :]
         deq *= inv_qac_v[None, :, None]
@@ -732,6 +752,24 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
             # non-separable 8x8 transforms: measured response matrices
             for c in (1, 0, 2):
                 resp = S.response_matrix(vb.strategy, c)
+                if getattr(lf, "quant_encodings", None) is not None:
+                    from . import quant_tables as QTab
+                    try:
+                        ct = QTab.dequant_table_for(
+                            lf.quant_encodings, vb.strategy, c,
+                            lf.quant_cache)
+                        dt = S.dequant_table(vb.strategy, c)
+                        order_ = S.scan_to_basis(vb.strategy)
+                    except (KeyError, BitstreamError):
+                        # special transforms without calibrated default
+                        # step tables: keep the default response (the
+                        # custom-table delta is not representable here)
+                        ct = None
+                    if ct is not None:
+                        ratio = np.ones(len(resp))
+                        ratio[1:] = (ct[order_[1:]]
+                                     / np.maximum(dt[order_[1:]], 1e-12))
+                        resp = resp * ratio[:, None, None]
                 ints = vb.values[c].astype(np.float64)
                 pix = np.tensordot(ints[1:], resp[1:], axes=1) \
                     * (inv_qac * qm[c])
@@ -748,7 +786,7 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
             cov = strat.covered
             acY_mat = None
             for c in (1, 0, 2):
-                tab = S.dequant_table(vb.strategy, c)
+                tab = dq_table(vb.strategy, c)
                 cvec = np.zeros(bh * bw)
                 idx = order[cov:]
                 cvec[idx] = vb.values[c][cov:].astype(np.float64) \
@@ -1028,7 +1066,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                                           gi, ndc,
                                           use_dc_frame=use_dc_frame)))
 
-    hf = read_hf_global(brs(1 + ndc), lf, ng, npasses)
+    hf = read_hf_global(brs(1 + ndc), lf, ng, npasses, ndc)
     histo_bits = (hf.num_histograms - 1).bit_length() \
         if hf.num_histograms > 1 else 0
 

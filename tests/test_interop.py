@@ -320,3 +320,15 @@ def test_patches_decode():
     theirs, _ = refjxl.decode(data)
     d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
     assert d.max() <= 4, d.max()
+
+
+def test_progressive_dc_level2_custom_quant():
+    """Two-level LF frame chains carry custom (distance-band DCT mode)
+    dequant matrices; smooth content decodes to libjxl parity."""
+    img = np.repeat(np.linspace(40, 200, 520)[None, :, None], 300,
+                    0).astype(np.uint8).repeat(3, 2).reshape(300, 520, 3)
+    data = _set_option_encode(img, {19: 2}, lossless=False, distance=1.0)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 2, d.max()
