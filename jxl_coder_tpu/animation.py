@@ -325,3 +325,152 @@ def iter_frames(img: "AnimatedImage"):
     (animation/AnimatedDrawable.kt:128-167)."""
     for i in range(img.frames_count):
         yield img.get_frame(i), img.frame_duration_ms(i)
+
+
+# ---- Playback (AnimatedDrawable / FrameSequenceDrawable parity) ----------
+
+class FrameStore:
+    """Abstract frame source for playback (the reference's
+    AnimatedFrameStore, animation/AnimatedFrameStore.kt): width/height,
+    frames count, per-frame pixels + duration."""
+
+    @property
+    def width(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def height(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def frames_count(self) -> int:
+        raise NotImplementedError
+
+    def get_frame(self, i: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def frame_duration_ms(self, i: int) -> int:
+        raise NotImplementedError
+
+
+class AnimatedStore(FrameStore):
+    """Adapts AnimatedImage to a target display size with FIT/FILL
+    factor math (the reference's JxlAnimatedStore,
+    animation/JxlAnimatedStore.kt:48-60)."""
+
+    def __init__(self, image: AnimatedImage, target_width: int = 0,
+                 target_height: int = 0, fill: bool = False):
+        self._image = image
+        w, h = image.width, image.height
+        if target_width > 0 and target_height > 0:
+            sx = target_width / w
+            sy = target_height / h
+            f = max(sx, sy) if fill else min(sx, sy)
+            self._w = max(1, int(round(w * f)))
+            self._h = max(1, int(round(h * f)))
+        else:
+            self._w, self._h = w, h
+
+    @property
+    def width(self) -> int:
+        return self._w
+
+    @property
+    def height(self) -> int:
+        return self._h
+
+    @property
+    def frames_count(self) -> int:
+        return self._image.frames_count
+
+    def get_frame(self, i: int) -> np.ndarray:
+        return self._image.get_frame(i, self._w if self._w
+                                     != self._image.width else 0,
+                                     self._h if self._h
+                                     != self._image.height else 0)
+
+    def frame_duration_ms(self, i: int) -> int:
+        return self._image.frame_duration_ms(i)
+
+
+class AnimationPlayer:
+    """Decode-ahead playback driver mirroring the reference's
+    AnimatedDrawable (animation/AnimatedDrawable.kt:64-167): a worker
+    thread prefetches `preheat` frames ahead of the consumer while
+    `current()`/`advance()` serve decoded frames from the cache.
+
+    The reference decodes on a HandlerThread and keeps a synced frame
+    list; here a daemon thread fills an LRU dict guarded by a lock."""
+
+    def __init__(self, store: FrameStore, preheat: int = 6):
+        import threading
+        self._store = store
+        self._preheat = max(1, preheat)
+        self._cache = {}
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._pos = 0
+        self._want = 0
+        self._stop = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+        self._request(0)
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                while not self._stop:
+                    n = self._store.frames_count
+                    missing = [k % n for k in range(self._want,
+                                                    self._want
+                                                    + self._preheat)
+                               if (k % n) not in self._cache]
+                    if missing:
+                        target = missing[0]
+                        break
+                    self._cv.wait()
+                if self._stop:
+                    return
+            frame = self._store.get_frame(target)
+            with self._cv:
+                self._cache[target] = frame
+                # evict frames far behind the playhead
+                n = self._store.frames_count
+                keep = {k % n for k in range(self._pos - 1,
+                                             self._pos + self._preheat + 1)}
+                for k in list(self._cache):
+                    if k not in keep:
+                        del self._cache[k]
+                self._cv.notify_all()
+
+    def _request(self, pos: int):
+        with self._cv:
+            self._pos = pos
+            self._want = pos
+            self._cv.notify_all()
+
+    def current(self, timeout: float = 30.0):
+        """Pixels of the frame at the playhead (blocking until decoded)."""
+        import time as _t
+        deadline = _t.monotonic() + timeout
+        i = self._pos % self._store.frames_count
+        with self._cv:
+            while i not in self._cache:
+                remaining = deadline - _t.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError("frame decode timed out")
+                self._cv.wait(remaining)
+            return self._cache[i]
+
+    def current_duration_ms(self) -> int:
+        return self._store.frame_duration_ms(
+            self._pos % self._store.frames_count)
+
+    def advance(self):
+        self._request(self._pos + 1)
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)

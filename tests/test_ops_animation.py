@@ -241,3 +241,46 @@ def test_decoding_speed_drops_filters():
         fh = read_frame_header(br, hdr)
         assert fh.restoration_filter.epf_iters == 0
         assert fh.restoration_filter.gab is gab
+
+
+def test_animation_player_prefetch():
+    from jxl_coder_tpu.animation import (AnimatedEncoder, AnimatedImage,
+                                         AnimatedStore, AnimationPlayer)
+    enc = AnimatedEncoder(48, 32, lossless=True)
+    frames = []
+    for i in range(4):
+        f = np.full((32, 48, 3), 50 * i, np.uint8)
+        frames.append(f)
+        enc.add_frame(f, 100)
+    img = AnimatedImage(enc.encode())
+    p = AnimationPlayer(AnimatedStore(img), preheat=2)
+    try:
+        for i in range(6):
+            assert np.array_equal(p.current()[..., :3], frames[i % 4])
+            assert p.current_duration_ms() == 100
+            p.advance()
+    finally:
+        p.close()
+
+
+def test_trace_spans_and_config():
+    from jxl_coder_tpu.utils import trace
+    from jxl_coder_tpu import config as cfg
+    trace.enable(True)
+    try:
+        with trace.span("outer"):
+            with trace.span("inner"):
+                pass
+        rep = trace.report()
+        assert "outer" in rep and "outer.inner" in rep
+    finally:
+        trace.enable(False)
+        trace.reset()
+    r = rng()
+    img = r.integers(0, 255, (24, 24, 3)).astype(np.uint8)
+    data = cfg.encode(img, compression=cfg.CompressionOption.LOSSLESS)
+    out, _ = api.decode(data)
+    assert np.array_equal(out, img)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cfg.encode(img, quality=130)
