@@ -764,7 +764,7 @@ static void gaborish_rows(const double* in, double* out, int H, int W,
     }
 }
 
-static const double kEpfScale[3] = {40.0, 5.0, 3.5};
+static const double kEpfScale[3] = {23.512, 5.0, 2.057};
 static const double kInvSigmaNum = -1.1715728752538099024;
 
 // EPF pass 1: block-border pixels, 4-neighbour cross, 5-tap patch SAD.
@@ -778,12 +778,14 @@ static void epf1_rows(const double* const in[3], double* const out[3],
         for (int x = 0; x < W; x++) {
             double sg = sigma[(int64_t)(y / 8) * sw + (x / 8)] / sigma_div;
             int border = border_y || (x % 8 == 0) || (x % 8 == 7);
-            if (!border || sg < 0.3) {
+            if (sg < 0.3) {
                 for (int c = 0; c < 3; c++)
                     out[c][(int64_t)y * W + x] = in[c][(int64_t)y * W + x];
                 continue;
             }
-            double invs = kInvSigmaNum / sg;
+            // slope 2.53x kInv/sigma interior, 2/3 of that on borders
+            double invs = kInvSigmaNum * 2.530 / sg;
+            if (border) invs *= (2.0 / 3.0);
             double wsum = 1.0;
             double acc[3];
             for (int c = 0; c < 3; c++)

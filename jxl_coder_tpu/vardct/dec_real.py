@@ -832,34 +832,40 @@ def apply_gaborish(X, Y, B, rf):
 
 
 KINV_SIGMA = -1.1715728752538099024
-EPF_CHANNEL_SCALE = (40.0, 5.0, 3.5)
+EPF_CHANNEL_SCALE = (23.512, 5.0, 2.057)
 # measured: sigma = EPF_SIGMA_PER * sharpness * (inv_global_scale / qf)
 EPF_SIGMA_PER = 0.05921
+# stage-1 weight slope: IDENTITY-painted step probes fit the weight
+# decay at 2.53x kInv/sigma at interior pixels and 2/3 of that on 8x8
+# block borders (epf_border_sad_mul); the activity gate stays on the
+# EPF_SIGMA_PER scale (rmse 3e-4 across sharpness/qf configs)
+EPF1_INV_SCALE = 2.530
 
 
 def apply_epf1(X, Y, B, sigma_map):
-    """EPF first stage (epf_iters >= 1): filters only pixels on 8x8
-    block borders with a 4-neighbour cross; the per-pair distance is a
-    5-tap (cross-shaped) patch SAD over all three channels with scales
-    (40, 5, 3.5).  Pinned empirically against libjxl step/impulse
-    probes (border-only behaviour, linear sharpness lut, sigma
-    proportional to the quant step, skip below sigma 0.3)."""
+    """EPF first stage (epf_iters >= 1): every pixel, 4-neighbour cross
+    with 5-tap (cross-shaped) patch SADs over all three channels with
+    scales (40, 5, 3.5).  The weight slope is kInv * 2.53 / sigma at
+    interior pixels and 2/3 of that on 8x8 block borders
+    (= epf_border_sad_mul); the stage is skipped below sigma 0.3.
+    Pinned with IDENTITY-block painted step probes against libjxl
+    (border AND interior responses, sharpness lut exactly linear)."""
     H, W = Y.shape
     planes = [X, Y, B]
     pad = [np.pad(p, 2, mode="edge") for p in planes]
     offs = ((0, 1), (0, -1), (1, 0), (-1, 0))
     taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
-    with np.errstate(divide="ignore"):
-        inv = np.where(sigma_map >= 0.3, KINV_SIGMA / sigma_map, 0.0)
     active = sigma_map >= 0.3
-    # per-pixel maps
+    with np.errstate(divide="ignore"):
+        inv = np.where(active,
+                       KINV_SIGMA * EPF1_INV_SCALE / sigma_map, 0.0)
     inv_px = np.repeat(np.repeat(inv, 8, 0), 8, 1)[:H, :W]
     act_px = np.repeat(np.repeat(active, 8, 0), 8, 1)[:H, :W]
     bx = np.arange(W) % 8
     by = np.arange(H) % 8
     border = (((by == 0) | (by == 7))[:, None]
               | ((bx == 0) | (bx == 7))[None, :])
-    sel = border & act_px
+    inv_px = np.where(border, inv_px * (2.0 / 3.0), inv_px)
     wsum = np.ones((H, W))
     acc = [p.copy() for p in planes]
     for (dy, dx) in offs:
@@ -879,7 +885,7 @@ def apply_epf1(X, Y, B, sigma_map):
     out = []
     for c in range(3):
         f = acc[c] / wsum
-        out.append(np.where(sel, f, planes[c]))
+        out.append(np.where(act_px, f, planes[c]))
     return out[0], out[1], out[2]
 
 
