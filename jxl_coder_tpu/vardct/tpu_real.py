@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .dec_real import (DC_SMOOTH_W1, DC_SMOOTH_W2, KINV_SIGMA,
-                       EPF_CHANNEL_SCALE, EPF_SIGMA_PER,
+                       EPF_CHANNEL_SCALE, EPF_SIGMA_PER, EPF1_INV_SCALE,
                        _OPSIN_INV, _BIAS, _CBRT_BIAS,
                        _POW25TO18, _POW17TO10)
 
@@ -77,15 +77,17 @@ def epf1_device(X, Y, B, sigma_map):
     offs = ((0, 1), (0, -1), (1, 0), (-1, 0))
     taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
     active = sigma_map >= 0.3
-    inv = jnp.where(active, KINV_SIGMA / jnp.maximum(sigma_map, 1e-9),
-                    0.0)
+    inv = jnp.where(active,
+                    KINV_SIGMA * EPF1_INV_SCALE
+                    / jnp.maximum(sigma_map, 1e-9), 0.0)
     inv_px = jnp.repeat(jnp.repeat(inv, 8, 0), 8, 1)[:H, :W]
     act_px = jnp.repeat(jnp.repeat(active, 8, 0), 8, 1)[:H, :W]
     bx = jnp.arange(W) % 8
     by = jnp.arange(H) % 8
     border = (((by == 0) | (by == 7))[:, None]
               | ((bx == 0) | (bx == 7))[None, :])
-    sel = border & act_px
+    inv_px = jnp.where(border, inv_px * (2.0 / 3.0), inv_px)
+    sel = act_px
     wsum = jnp.ones((H, W), jnp.float32)
     acc = [p for p in planes]
     for (dy, dx) in offs:
