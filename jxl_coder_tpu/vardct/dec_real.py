@@ -332,7 +332,7 @@ def read_hf_global(br: BitReader, lf: LfGlobal, num_groups: int,
             for i in range(QTab.NUM_QUANT_TABLES)]
     nb = (num_groups - 1).bit_length() if num_groups > 1 else 0
     num_histograms = 1 + br.u(nb)
-    orders: Dict[Tuple[int, int], List[int]] = {}
+    orders: Dict[Tuple[int, int, int], List[int]] = {}
     accodes = []
     used_orders = 0
     for p in range(num_passes):
@@ -345,8 +345,8 @@ def read_hf_global(br: BitReader, lf: LfGlobal, num_groups: int,
                     cov, size = BUCKET_GEOM[ord_]
                     for c in range(3):
                         # scan permutation relative to the natural scan
-                        orders[(ord_, c)] = read_permutation(pdec, cov,
-                                                             size)
+                        orders[(p, ord_, c)] = read_permutation(pdec, cov,
+                                                                size)
             if not pdec.check_final_state():
                 raise BitstreamError("permutation checksum failed")
         nctx = num_histograms * lf.bcm.num_ctxs \
@@ -417,7 +417,7 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
             dc_idx = dc_context_idx(
                 bcm, (dc_q[1, by, bx], dc_q[0, by, bx], dc_q[2, by, bx]))
             for c in (1, 0, 2):
-                order = hf.orders.get((ord_b, c))
+                order = hf.orders.get((pass_index, ord_b, c))
                 if by == 0:
                     predicted = 32 if bx == 0 else int(nz_map[c, by, bx - 1])
                 elif bx == 0:
@@ -491,7 +491,7 @@ def _read_pass_group_native(native_mod, dec, br, lf, hf, lg, xs_b, ys_b,
                             strat.num_coeffs, strat.cx, strat.cy,
                             total, bctx[0], bctx[1], bctx[2]])
             for c in range(3):
-                key = (strat.order_bucket, c)
+                key = (pass_index, strat.order_bucket, c)
                 order_offs.append(order_offset_by_key.get(key, -1))
             blocks_meta.append((bx, by, acs, strat.num_coeffs, total))
             total += 3 * strat.num_coeffs
@@ -1023,6 +1023,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                         ref_frames=None) -> np.ndarray:
     """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
 
+    Handles multi-pass (progressive AC) streams: per-group coefficient
+    values accumulate as sum(v_pass << pass_shift).
     dc_frame: {0: X, 1: Y, 2: B} planes from a previously decoded LF
     frame, consumed when fh.flags & kUseDcFrame (progressive DC).
     return_xyb: skip the colour transform and return the XYB planes —
@@ -1037,8 +1039,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     xs_b, ys_b = -(-w // 8), -(-h // 8)
     ng, ndc = fh.counts(hdr)
     npasses = fh.passes.num_passes
-    if npasses != 1:
-        raise BitstreamError("progressive passes not wired up yet")
+    # per-pass coefficient shifts: shift[i] for all but the last pass
+    pass_shift = list(fh.passes.shift) + [0]
     single = len(toc.entries) == 1
 
     def section(idx):
@@ -1124,23 +1126,39 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         ay = (gi // gx) * gd_b
         gw = min(gd_b, xs_b - ax)
         gh = min(gd_b, ys_b - ay)
-        br_g = brs(2 + ndc + gi)
-        histo_index = br_g.u(histo_bits) if histo_bits else 0
         lgi = (ay // lf_gd_b) * gx_lf + (ax // lf_gd_b)
         lx, ly, lg = lgs[lgi]
         ox, oy = ax - lx, ay - ly
         sub = _lf_group_view(lg, ox, oy, gw, gh)
         dc_q = np.stack([sub.dc.channels[1].data, sub.dc.channels[0].data,
                          sub.dc.channels[2].data])
-        blocks = read_pass_group(br_g, lf, hf, sub, gw, gh, 0,
-                                 histo_index, dc_q)
-        if lf.mfd is not None:
-            try:
-                lf.mfd.read_group(br_g, gi, ndc, ng)
-            except BitstreamError:
-                if single:
-                    raise
-                lf.ec_failed = True
+        blocks = None
+        for p in range(npasses):
+            br_g = brs(2 + ndc + p * ng + gi)
+            histo_index = br_g.u(histo_bits) if histo_bits else 0
+            blocks_p = read_pass_group(br_g, lf, hf, sub, gw, gh, p,
+                                       histo_index, dc_q)
+            if blocks is None:
+                blocks = blocks_p
+                if pass_shift[0]:
+                    sh = np.int64(1) << pass_shift[0]
+                    for vb in blocks:
+                        for c in vb.values:
+                            vb.values[c] = vb.values[c].astype(np.int64)                                 * sh
+            else:
+                sh = np.int64(1) << pass_shift[p]
+                for vb, vbp in zip(blocks, blocks_p):
+                    for c in vb.values:
+                        vb.values[c] = (vb.values[c].astype(np.int64)
+                                        + vbp.values[c].astype(np.int64)
+                                        * sh)
+            if lf.mfd is not None:
+                try:
+                    lf.mfd.read_group(br_g, gi, ndc, ng, pass_index=p)
+                except BitstreamError:
+                    if single:
+                        raise
+                    lf.ec_failed = True
         dc_view = {c: dc_glob[c][ay:ay + gh, ax:ax + gw]
                    for c in range(3)}
         gX, gY, gB = reconstruct_group(lf, sub, blocks, fh, dc_view)

@@ -333,3 +333,38 @@ def test_progressive_dc_level2_custom_quant():
     theirs, _ = refjxl.decode(data)
     d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
     assert d.max() <= 2, d.max()
+
+
+def test_progressive_ac_two_pass():
+    """Multi-pass AC: coefficients split across passes with per-pass
+    shifts recombine exactly (our writer's streams decode identically
+    to the single-pass equivalent in BOTH decoders)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "research"))
+    import importlib
+    import passes_probe, vardct_write
+    importlib.reload(passes_probe)
+    r = np.random.default_rng(3)
+    dc = r.integers(-40, 40, (3, 8, 8))
+    varblocks = []
+    for by in range(8):
+        for bx in range(8):
+            chans = {}
+            for c in range(3):
+                v = np.zeros(64, np.int64)
+                nz = r.integers(0, 10)
+                pos = r.choice(np.arange(1, 64), nz, replace=False)
+                v[pos] = r.integers(-15, 16, nz)
+                chans[c] = v
+            varblocks.append((bx, by, 0, chans, 16))
+    data2 = passes_probe.craft_two_pass(dc, varblocks, shift=1)
+    data1 = vardct_write.craft_blocks(dc, varblocks, gs=65536, qdc=16,
+                                      W=64, H=64)
+    theirs2, _ = refjxl.decode(data2)
+    theirs1, _ = refjxl.decode(data1)
+    assert np.array_equal(theirs2, theirs1)
+    ours2, _ = api.decode(data2)
+    ours1, _ = api.decode(data1)
+    assert np.array_equal(ours2, ours1)
+    d = np.abs(ours2[..., :3].astype(int) - theirs2[..., :3].astype(int))
+    assert d.max() <= 1
