@@ -699,67 +699,41 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
 
     H, W = ys_b * 8, xs_b * 8
     planes = {c: np.zeros((H, W), np.float32) for c in range(3)}
-    # batched fast path for DCT8 varblocks (the overwhelming majority)
-    dct8 = [vb for vb in blocks if vb.strategy == 0]
-    rest = [vb for vb in blocks if vb.strategy != 0]
-    if dct8:
-        n = len(dct8)
-        bxs = np.asarray([vb.bx for vb in dct8])
-        bys = np.asarray([vb.by for vb in dct8])
-        qfv = lg.qf_map[bys, bxs].astype(np.float64)
-        inv_qac_v = igs / qfv
-        tx = bxs // 8
-        ty = bys // 8
+
+    # Batched reconstruction per strategy family: all varblocks of one
+    # strategy are dequantized + synthesized with a single einsum chain
+    # instead of a Python per-block loop (the DCT8 case — the
+    # overwhelming majority — used to be the only batched path).
+    by_strategy: Dict[int, list] = {}
+    for vb in blocks:
+        by_strategy.setdefault(vb.strategy, []).append(vb)
+
+    for sid, group in by_strategy.items():
+        strat = STRATEGIES[sid]
+        n = len(group)
+        bxs = np.asarray([vb.bx for vb in group])
+        bys = np.asarray([vb.by for vb in group])
+        inv_qac_v = igs / lg.qf_map[bys, bxs].astype(np.float64)
+        ty, tx = bys // 8, bxs // 8
         xfv = lf.cfl_base_x + lg.ytox[ty, tx].astype(np.float64) * cf
         bfv = lf.cfl_base_b + lg.ytob[ty, tx].astype(np.float64) * cf
-        order = S.scan_to_basis(0)
-        inv_order = np.empty(64, np.int64)
-        inv_order[order] = np.arange(64)
-        vals = np.empty((3, n, 64), np.float64)
-        for c in range(3):
-            vc = np.stack([vb.values[c] for vb in dct8]).astype(np.float64)
-            # scan-indexed -> basis-indexed
-            vals[c] = vc[:, inv_order]
-        tabs = np.stack([dq_table(0, c).astype(np.float64)
-                         for c in range(3)])
-        deq = vals * tabs[:, None, :]
-        deq *= inv_qac_v[None, :, None]
-        deq[0] *= qm[0]
-        deq[2] *= qm[2]
-        deq[0] += xfv[:, None] * deq[1]
-        deq[2] += bfv[:, None] * deq[1]
-        A = S.cos_basis(8)
-        for c, dcp in ((0, dc_planes[0]), (1, dc_planes[1]),
-                       (2, dc_planes[2])):
-            km = deq[c].reshape(n, 8, 8)
-            km[:, 0, 0] = dcp[bys, bxs]
-            pix = np.einsum("nkl,km,ln->...", km, A, A,
-                            optimize=True) if False else                 np.einsum("nkl,km,lo->nmo", km, A, A)
-            for i, vb in enumerate(dct8):
-                planes[c][vb.by * 8:vb.by * 8 + 8,
-                          vb.bx * 8:vb.bx * 8 + 8] = pix[i]
-    for vb in rest:
-        strat = STRATEGIES[vb.strategy]
-        bx, by = vb.bx, vb.by
-        qf = int(lg.qf_map[by, bx])
-        inv_qac = igs / qf
-        ty, tx = by // 8, bx // 8
-        xf = lf.cfl_base_x + float(lg.ytox[ty, tx]) * cf
-        bf = lf.cfl_base_b + float(lg.ytob[ty, tx]) * cf
         bh, bw = strat.height, strat.width
-        ac_pix = {}
-        if strat.covered == 1 and vb.strategy != 0:
+        cov = strat.covered
+        vals = {c: np.stack([vb.values[c] for vb in group]
+                            ).astype(np.float64) for c in range(3)}
+        pix = {}
+        if cov == 1 and sid != 0:
             # non-separable 8x8 transforms: measured response matrices
+            acY = None
             for c in (1, 0, 2):
-                resp = S.response_matrix(vb.strategy, c)
+                resp = S.response_matrix(sid, c)
                 if getattr(lf, "quant_encodings", None) is not None:
                     from . import quant_tables as QTab
                     try:
                         ct = QTab.dequant_table_for(
-                            lf.quant_encodings, vb.strategy, c,
-                            lf.quant_cache)
-                        dt = S.dequant_table(vb.strategy, c)
-                        order_ = S.scan_to_basis(vb.strategy)
+                            lf.quant_encodings, sid, c, lf.quant_cache)
+                        dt = S.dequant_table(sid, c)
+                        order_ = S.scan_to_basis(sid)
                     except (KeyError, BitstreamError):
                         # special transforms without calibrated default
                         # step tables: keep the default response (the
@@ -770,39 +744,48 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
                         ratio[1:] = (ct[order_[1:]]
                                      / np.maximum(dt[order_[1:]], 1e-12))
                         resp = resp * ratio[:, None, None]
-                ints = vb.values[c].astype(np.float64)
-                pix = np.tensordot(ints[1:], resp[1:], axes=1) \
-                    * (inv_qac * qm[c])
-                pix = pix + float(dc_planes[c][by, bx]) * resp[0]
-                ac_pix[c] = pix
-            # AC CfL on the coded part only: subtract DC part first
-            acY = np.tensordot(vb.values[1].astype(np.float64)[1:],
-                               S.response_matrix(vb.strategy, 1)[1:],
-                               axes=1) * inv_qac
-            ac_pix[0] = ac_pix[0] + xf * acY
-            ac_pix[2] = ac_pix[2] + bf * acY
+                if c == 1:
+                    acY = np.tensordot(
+                        vals[1][:, 1:], S.response_matrix(sid, 1)[1:],
+                        axes=1) * inv_qac_v[:, None, None]
+                p = np.tensordot(vals[c][:, 1:], resp[1:], axes=1) \
+                    * (inv_qac_v * qm[c])[:, None, None]
+                p += dc_planes[c][bys, bxs][:, None, None] * resp[0]
+                if c != 1:
+                    # AC CfL on the coded part only (DC excluded)
+                    p += (xfv if c == 0 else bfv)[:, None, None] * acY
+                pix[c] = p
         else:
-            order = S.scan_to_basis(vb.strategy)
-            cov = strat.covered
+            order = S.scan_to_basis(sid)
+            idx = order[cov:]
+            cy, cx = strat.cy, strat.cx
+            # gather the covered DC blocks: (n, cy, cx)
+            dcb_idx_y = bys[:, None, None] + np.arange(cy)[None, :, None]
+            dcb_idx_x = bxs[:, None, None] + np.arange(cx)[None, None, :]
+            rs = np.outer(S.resample_vec(cy), S.resample_vec(cx))
+            Ah, Aw = S.cos_basis(bh), S.cos_basis(bw)
+            anY, anX = S.ana_basis(cy), S.ana_basis(cx)
             acY_mat = None
             for c in (1, 0, 2):
-                tab = dq_table(vb.strategy, c)
-                cvec = np.zeros(bh * bw)
-                idx = order[cov:]
-                cvec[idx] = vb.values[c][cov:].astype(np.float64) \
-                    * tab[idx] * (inv_qac * qm[c])
-                cmat = cvec.reshape(bh, bw)
+                tab = dq_table(sid, c)
+                cmat = np.zeros((n, bh * bw))
+                cmat[:, idx] = vals[c][:, cov:] * tab[idx] \
+                    * (inv_qac_v * qm[c])[:, None]
+                cmat = cmat.reshape(n, bh, bw)
                 if c == 1:
                     acY_mat = cmat.copy()
                 else:
-                    f = xf if c == 0 else bf
-                    cmat += f * acY_mat
-                # LLF from the (cfl'ed) DC
-                dcblk = dc_planes[c][by:by + strat.cy, bx:bx + strat.cx]
-                cmat[:strat.cy, :strat.cx] = S.llf_from_dc(dcblk)
-                ac_pix[c] = S.synth_rect(cmat)
-        for c in range(3):
-            planes[c][by * 8:by * 8 + bh, bx * 8:bx * 8 + bw] = ac_pix[c]
+                    cmat += (xfv if c == 0 else bfv)[:, None, None] \
+                        * acY_mat
+                # LLF from the (cfl'ed) DC image
+                dcb = dc_planes[c][dcb_idx_y, dcb_idx_x].astype(np.float64)
+                llf = np.einsum("ky,nyx,lx->nkl", anY, dcb, anX) * rs
+                cmat[:, :cy, :cx] = llf
+                pix[c] = np.einsum("nkl,km,lo->nmo", cmat, Ah, Aw)
+        for i, vb in enumerate(group):
+            for c in range(3):
+                planes[c][vb.by * 8:vb.by * 8 + bh,
+                          vb.bx * 8:vb.bx * 8 + bw] = pix[c][i]
     return planes[0], planes[1], planes[2]
 
 
