@@ -144,11 +144,11 @@ class LfGlobal:
 
 def read_lf_global(br: BitReader, fh, hdr=None, frame_w=None,
                    frame_h=None, allow_ec_failure=False) -> LfGlobal:
-    # allowed: kNoise (0x1), kPatches (0x2), kUseDcFrame (0x20),
-    # kSkipSmoothing (0x80)
-    if fh.flags & ~0xA3:
+    # allowed: kNoise (0x1), kPatches (0x2), kSplines (0x10),
+    # kUseDcFrame (0x20), kSkipSmoothing (0x80)
+    if fh.flags & ~0xB3:
         raise BitstreamError(
-            "frame flags %#x not supported (splines)" % fh.flags)
+            "frame flags %#x not supported" % fh.flags)
     patches = None
     if fh.flags & 0x2:
         from .patches import PatchDictionary
@@ -156,6 +156,12 @@ def read_lf_global(br: BitReader, fh, hdr=None, frame_w=None,
         h_full = fh.frame_height or (hdr.ysize if hdr else 0)
         n_ec = len(hdr.metadata.extra_channels) if hdr else 0
         patches = PatchDictionary.read(br, w_full, h_full, n_ec)
+    splines = None
+    if fh.flags & 0x10:
+        from .splines import Splines
+        w_full = (fh.frame_width or (hdr.xsize if hdr else 0)) or 1
+        h_full = (fh.frame_height or (hdr.ysize if hdr else 0)) or 1
+        splines = Splines.read(br, w_full * h_full)
     noise_lut = None
     if fh.flags & 0x1:
         from .noise import read_noise_lut
@@ -168,6 +174,7 @@ def read_lf_global(br: BitReader, fh, hdr=None, frame_w=None,
     lf = LfGlobal(dcq=dcq, global_scale=gs, quant_dc=qdc, bcm=bcm)
     lf.noise_lut = noise_lut
     lf.patches = patches
+    lf.splines = splines
     if not br.bool():
         lf.cfl_color_factor = br.u32(84, 256, (8, 2), (16, 258))
         lf.cfl_base_x = br.f16()
@@ -1174,6 +1181,15 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         planes = [np.ascontiguousarray(p[:h, :w], np.float64)
                   for p in (X, Y, B)]
         lf.patches.apply(planes, ref_frames)
+        for dstp, srcp in zip((X, Y, B), planes):
+            dstp[:h, :w] = srcp
+    if getattr(lf, "splines", None) is not None:
+        cf = 1.0 / lf.cfl_color_factor
+        planes = [np.ascontiguousarray(p[:h, :w], np.float64)
+                  for p in (X, Y, B)]
+        lf.splines.render(planes,
+                          base_cx=lf.cfl_base_x + lf.cfl_ytox_dc * cf,
+                          base_cb=lf.cfl_base_b + lf.cfl_ytob_dc * cf)
         for dstp, srcp in zip((X, Y, B), planes):
             dstp[:h, :w] = srcp
     if getattr(lf, "noise_lut", None) is not None:

@@ -90,19 +90,22 @@ def modular_substream(channels, predictor=0):
 
 def craft_blocks(dc, varblocks, gs=65536, qdc=16, W=64, H=64,
                  x_qm_scale=2, b_qm_scale=2, epf_iters=0, sharpness=0,
-                 gab=False):
+                 gab=False, splines=None):
     """dc: (3, H/8, W/8) ints (Y, X, B).  varblocks: list of
     (bx, by, strategy_id, {c: scan_values}, qf) covering the grid."""
     ys_b, xs_b = H // 8, W // 8
     m = ImageMetadata()
     hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
-    fh = FrameHeader(encoding=Encoding.VARDCT, flags=128,
+    flags = 128 | (0x10 if splines is not None else 0)
+    fh = FrameHeader(encoding=Encoding.VARDCT, flags=flags,
                      x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale)
     fh.restoration_filter.gab = gab
     fh.restoration_filter.epf_iters = epf_iters
 
     sec = BitWriter()
     # LfGlobal
+    if splines is not None:
+        splines.write(sec)
     sec.bool(True)
     sec.u32(gs, (11, 1), (11, 2049), (12, 4097), (16, 8193))
     sec.u32(qdc, 16, (5, 1), (8, 1), (16, 1))

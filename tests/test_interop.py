@@ -368,3 +368,50 @@ def test_progressive_ac_two_pass():
     assert np.array_equal(ours2, ours1)
     d = np.abs(ours2[..., :3].astype(int) - theirs2[..., :3].astype(int))
     assert d.max() <= 1
+
+
+def test_splines_decode():
+    """Crafted spline streams (kSplines flag): our renderer matches
+    libjxl's within the float-pipeline tolerance on uint8 output."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "research"))
+    import vardct_write
+    from jxl_coder_tpu.vardct.splines import Splines, QuantizedSpline
+
+    def flat(splines=None, W=64, H=64):
+        ys_b, xs_b = H // 8, W // 8
+        dc = np.zeros((3, ys_b, xs_b), np.int64)
+        dc[0] = 80  # mid-gray base so negative spline lobes stay in range
+        vbs = [(bx, by, 0,
+                {c: np.zeros(64, np.int64) for c in range(3)}, 16)
+               for by in range(ys_b) for bx in range(xs_b)]
+        return vardct_write.craft_blocks(dc, vbs, W=W, H=H,
+                                         splines=splines)
+
+    cd1 = np.zeros((3, 32), np.int64)
+    cd1[1, 0] = 12
+    cd1[1, 2] = 5
+    cd1[0, 0] = 30
+    sd1 = np.zeros(32, np.int64)
+    sd1[0] = 8
+    s1 = QuantizedSpline(
+        points=np.array([[8.0, 10.0], [30.0, 44.0], [52.0, 18.0]]),
+        color_dct=cd1, sigma_dct=sd1)
+    cd2 = np.zeros((3, 32), np.int64)
+    cd2[1, 0] = -8
+    cd2[2, 1] = 6
+    sd2 = np.zeros(32, np.int64)
+    sd2[0] = 5
+    sd2[1] = 2
+    s2 = QuantizedSpline(
+        points=np.array([[50.0, 50.0], [14.0, 54.0]]),
+        color_dct=cd2, sigma_dct=sd2)
+    spl = Splines(quantization_adjustment=2, splines=[s1, s2])
+    data = flat(spl)
+    theirs, _ = refjxl.decode(data)
+    ours, _ = api.decode(data)
+    d = np.abs(ours[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 2 and d.mean() < 0.05, (d.max(), d.mean())
+    # splines actually drew something
+    base, _ = refjxl.decode(flat())
+    assert np.abs(theirs.astype(int) - base.astype(int)).max() > 30

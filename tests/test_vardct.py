@@ -169,3 +169,31 @@ def test_sharded_real_reconstruct_matches_single_device():
         d = np.abs(ref.astype(int) - out.astype(int))
         assert d.max() <= 1 and (d > 0).sum() <= ref.size // 10000, (
             gab, epf, dcs, d.max(), int((d > 0).sum()))
+
+
+def test_splines_parse_roundtrip():
+    """Splines.write -> Splines.read preserves every field."""
+    from jxl_coder_tpu.bitstream.writer import BitWriter
+    from jxl_coder_tpu.bitstream.reader import BitReader
+    from jxl_coder_tpu.vardct.splines import Splines, QuantizedSpline
+    rng = np.random.default_rng(11)
+    splines = []
+    for i in range(3):
+        npts = int(rng.integers(1, 6))
+        pts = rng.integers(-20, 120, (npts, 2)).astype(np.float64)
+        pts[0] = np.abs(pts[0])  # starting points are coded unsigned
+        splines.append(QuantizedSpline(
+            points=pts,
+            color_dct=rng.integers(-50, 50, (3, 32)),
+            sigma_dct=rng.integers(-20, 20, 32)))
+    spl = Splines(quantization_adjustment=-3, splines=splines)
+    bw = BitWriter()
+    spl.write(bw)
+    bw.zero_pad_to_byte()
+    back = Splines.read(BitReader(bw.to_bytes()), 256 * 256)
+    assert back.quantization_adjustment == -3
+    assert len(back.splines) == 3
+    for a, b in zip(spl.splines, back.splines):
+        assert np.array_equal(a.points, b.points)
+        assert np.array_equal(a.color_dct, b.color_dct)
+        assert np.array_equal(a.sigma_dct, b.sigma_dct)
