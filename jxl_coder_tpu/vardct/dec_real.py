@@ -1078,11 +1078,16 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     B = np.empty_like(X)
     qf_map = np.zeros((ys_b, xs_b), np.int64)
     sharp_map = np.zeros((ys_b, xs_b), np.int64)
+    ytox_glob = np.zeros((-(-ys_b // 8), -(-xs_b // 8)), np.float64)
+    ytob_glob = np.zeros_like(ytox_glob)
     dc_glob = {c: np.zeros((ys_b, xs_b)) for c in range(3)}
     for lx, ly, lg in lgs:
         gh_, gw_ = lg.qf_map.shape
         qf_map[ly:ly + gh_, lx:lx + gw_] = lg.qf_map
         sharp_map[ly:ly + gh_, lx:lx + gw_] = lg.sharp_map
+        th_, tw_ = lg.ytox.shape
+        ytox_glob[ly // 8:ly // 8 + th_, lx // 8:lx // 8 + tw_] = lg.ytox
+        ytob_glob[ly // 8:ly // 8 + th_, lx // 8:lx // 8 + tw_] = lg.ytob
         if not use_dc_frame:
             dcp = compute_dc_planes(lf, lg)
             for c in range(3):
@@ -1111,6 +1116,14 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         dc_glob = adaptive_dc_smoothing(dc_glob,
                                         {0: steps[0], 1: steps[1],
                                          2: steps[2]})
+    from . import tpu_full as TF
+    use_device = (TF.device_enabled() and not return_xyb
+                  and fh.upsampling == 1
+                  and getattr(lf, "patches", None) is None
+                  and getattr(lf, "splines", None) is None
+                  and getattr(lf, "noise_lut", None) is None)
+    device_groups = []
+
     def _decode_group(gi):
         ax = (gi % gx) * gd_b
         ay = (gi // gx) * gd_b
@@ -1149,6 +1162,9 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                     if single:
                         raise
                     lf.ec_failed = True
+        if use_device:
+            device_groups.append((ax, ay, sub, blocks))
+            return
         dc_view = {c: dc_glob[c][ay:ay + gh, ax:ax + gw]
                    for c in range(3)}
         gX, gY, gB = reconstruct_group(lf, sub, blocks, fh, dc_view)
@@ -1168,12 +1184,41 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         with _fut.ThreadPoolExecutor(max_workers=workers) as ex:
             list(ex.map(_decode_group, range(ng)))
 
+    device_rgb = None
+    if use_device:
+        bits_ = hdr.metadata.bit_depth.bits_per_sample
+        try:
+            blocks_glob = [VarBlock(bx=vb.bx + ax, by=vb.by + ay,
+                                    strategy=vb.strategy,
+                                    values=vb.values)
+                           for ax, ay, _, blocks in device_groups
+                           for vb in blocks]
+            device_rgb = TF.reconstruct_frame_device(
+                lf, fh, blocks_glob, qf_map, sharp_map,
+                ytox_glob, ytob_glob, dc_glob, bits_)
+        except Exception:
+            if os.environ.get("JXL_TPU_DEVICE_STRICT", "0") != "0":
+                raise
+            device_rgb = None
+        if device_rgb is None:
+            # device path failed: reconstruct the stashed groups on host
+            for ax, ay, sub, blocks in device_groups:
+                gh_, gw_ = sub.qf_map.shape
+                dc_view = {c: dc_glob[c][ay:ay + gh_, ax:ax + gw_]
+                           for c in range(3)}
+                gX, gY, gB = reconstruct_group(lf, sub, blocks, fh,
+                                               dc_view)
+                X[ay * 8:(ay + gh_) * 8, ax * 8:(ax + gw_) * 8] = gX
+                Y[ay * 8:(ay + gh_) * 8, ax * 8:(ax + gw_) * 8] = gY
+                B[ay * 8:(ay + gh_) * 8, ax * 8:(ax + gw_) * 8] = gB
+
     rf = fh.restoration_filter
-    lf_sigma = None
-    if rf.epf_iters >= 1:
-        lf_sigma = EPF_SIGMA_PER * sharp_map \
-            * (lf.inv_global_scale / np.maximum(qf_map, 1))
-    X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
+    if device_rgb is None:
+        lf_sigma = None
+        if rf.epf_iters >= 1:
+            lf_sigma = EPF_SIGMA_PER * sharp_map \
+                * (lf.inv_global_scale / np.maximum(qf_map, 1))
+        X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
     if getattr(lf, "patches", None) is not None:
         if ref_frames is None:
             raise BitstreamError(
@@ -1215,7 +1260,9 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         Y = upsample_plane(Y[:h, :w], fh.upsampling, weights)
         B = upsample_plane(B[:h, :w], fh.upsampling, weights)
     bits = m.bit_depth.bits_per_sample
-    if bits > 8:
+    if device_rgb is not None:
+        rgb = device_rgb[:full_h, :full_w]
+    elif bits > 8:
         rgb = xyb_planes_to_srgb16(X, Y, B)[:full_h, :full_w]
     else:
         rgb = xyb_planes_to_srgb8(X, Y, B)[:full_h, :full_w]

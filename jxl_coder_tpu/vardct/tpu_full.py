@@ -1,0 +1,333 @@
+"""Full-strategy VarDCT frame reconstruction on device (JAX/XLA).
+
+Extends tpu_real.py (DCT8-only fast path) to the complete transform
+zoo: every strategy family present in a frame is reconstructed with
+one batched einsum chain on the MXU, scattered into the frame planes,
+then the restoration-filter chain (gaborish + EPF stages 0-2) and the
+XYB->sRGB transform run on device.  The host keeps only byte-level
+work: entropy decode into per-block coefficient arrays and the dense
+basis-ordered layout (a pure scatter/copy).
+
+Mirrors the host reference path (dec_real.reconstruct_group /
+_apply_filters_chain / xyb_planes_to_srgb*) in float32; the host path
+computes in float64, so device output may differ by 1 ulp of the
+output quantizer (<=1 at 8-bit) on rounding-boundary pixels.
+
+Reference semantics: lib/jxl inverse transforms + filters as pinned in
+SURVEY.md §7 step 4 (cf. reference interop/JxlDecoding.cpp:36 event
+loop, which delegates all of this to libjxl.so on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .strategies import STRATEGIES
+from . import synthesis as S
+from .dec_real import (KINV_SIGMA, EPF_CHANNEL_SCALE, EPF_SIGMA_PER,
+                       BitstreamError)
+
+_PAD_SENTINEL = 1 << 20
+
+
+def device_enabled() -> bool:
+    """Device reconstruction is opt-in: JXL_TPU_DEVICE=1 (the host
+    path stays the bit-exactness reference and is faster for one-shot
+    small images over the device tunnel)."""
+    return os.environ.get("JXL_TPU_DEVICE", "0") not in ("", "0")
+
+
+def _bucket(n: int) -> int:
+    """Pad batch counts to power-of-two buckets to bound the number of
+    distinct compiled shapes."""
+    return max(8, 1 << (n - 1).bit_length())
+
+
+def _dq_table(lf, sid, c):
+    if getattr(lf, "quant_encodings", None) is not None:
+        from . import quant_tables as QTab
+        t = QTab.dequant_table_for(lf.quant_encodings, sid, c,
+                                   lf.quant_cache)
+        if t is not None:
+            return t
+    return S.dequant_table(sid, c)
+
+
+def _special_resp(lf, sid, c):
+    """Response matrix for cov==1 special transforms, with the
+    custom-dequant-table ratio folded in (mirrors
+    dec_real.reconstruct_group)."""
+    resp = S.response_matrix(sid, c)
+    if getattr(lf, "quant_encodings", None) is not None:
+        from . import quant_tables as QTab
+        try:
+            ct = QTab.dequant_table_for(lf.quant_encodings, sid, c,
+                                        lf.quant_cache)
+            dt = S.dequant_table(sid, c)
+            order_ = S.scan_to_basis(sid)
+        except (KeyError, BitstreamError):
+            ct = None
+        if ct is not None:
+            ratio = np.ones(len(resp))
+            ratio[1:] = (ct[order_[1:]]
+                         / np.maximum(dt[order_[1:]], 1e-12))
+            resp = resp * ratio[:, None, None]
+    return resp
+
+
+def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
+                     ytox_glob: np.ndarray, ytob_glob: np.ndarray):
+    """Group frame-global varblocks by strategy and build the dense
+    device inputs.  Returns (descriptor tuple, args tuple); descriptor
+    is hashable (part of the compile signature)."""
+    igs = float(lf.inv_global_scale)
+    cf = 1.0 / lf.cfl_color_factor
+    qm = np.asarray([0.8 ** (fh.x_qm_scale - 2), 1.0,
+                     0.8 ** (fh.b_qm_scale - 2)], np.float32)
+
+    by_sid: Dict[int, list] = {}
+    for vb in blocks_global:
+        by_sid.setdefault(vb.strategy, []).append(vb)
+
+    desc = []
+    args = []
+    for sid in sorted(by_sid):
+        group = by_sid[sid]
+        strat = STRATEGIES[sid]
+        n = len(group)
+        n_pad = _bucket(n)
+        bh, bw = strat.height, strat.width
+        cov = strat.covered
+        special = (cov == 1 and sid != 0)
+
+        bys = np.full(n_pad, _PAD_SENTINEL, np.int32)
+        bxs = np.full(n_pad, _PAD_SENTINEL, np.int32)
+        bys[:n] = [vb.by for vb in group]
+        bxs[:n] = [vb.bx for vb in group]
+        inv_qac = np.ones(n_pad, np.float32)
+        inv_qac[:n] = igs / qf_map[bys[:n], bxs[:n]].astype(np.float64)
+        xf = np.zeros(n_pad, np.float32)
+        bf = np.zeros(n_pad, np.float32)
+        ty, tx = bys[:n] // 8, bxs[:n] // 8
+        xf[:n] = lf.cfl_base_x + ytox_glob[ty, tx].astype(np.float64) * cf
+        bf[:n] = lf.cfl_base_b + ytob_glob[ty, tx].astype(np.float64) * cf
+
+        if special:
+            vals = np.zeros((n_pad, 3, 64), np.float32)
+            for i, vb in enumerate(group):
+                for c in range(3):
+                    vals[i, c] = vb.values[c]
+            resp = np.stack([_special_resp(lf, sid, c).astype(np.float32)
+                             for c in range(3)])
+            resp_y_def = S.response_matrix(sid, 1).astype(np.float32)
+            fam = dict(vals=vals, resp=resp, resp_y_def=resp_y_def,
+                       bys=bys, bxs=bxs, inv_qac=inv_qac, xf=xf, bf=bf)
+        else:
+            K = bh * bw
+            order = S.scan_to_basis(sid)
+            idx = order[cov:]
+            cmat = np.zeros((n_pad, 3, K), np.float32)
+            sc = np.empty((n, 3, K - cov), np.float32)
+            for i, vb in enumerate(group):
+                for c in range(3):
+                    sc[i, c] = vb.values[c][cov:]
+            cmat[:n, :, idx] = sc
+            tab = np.stack([_dq_table(lf, sid, c)[:K].astype(np.float32)
+                            for c in range(3)])
+            fam = dict(cmat=cmat, tab=tab, bys=bys, bxs=bxs,
+                       inv_qac=inv_qac, xf=xf, bf=bf)
+        desc.append((sid, n_pad, bh, bw, cov, special))
+        args.append(fam)
+    return tuple(desc), tuple(args), qm
+
+
+def _epf2_device(X, Y, B, sigma_map, sigma_scale):
+    """EPF second stage on device — mirrors dec_real.apply_epf2."""
+    import jax.numpy as jnp
+    H, W = Y.shape
+    planes = (X, Y, B)
+    pad = [jnp.pad(p, 1, mode="edge") for p in planes]
+    active = sigma_map >= 0.3
+    inv = jnp.where(active,
+                    KINV_SIGMA * sigma_scale
+                    / jnp.maximum(sigma_map, 1e-9), 0.0)
+    inv_px = jnp.repeat(jnp.repeat(inv, 8, 0), 8, 1)[:H, :W]
+    act_px = jnp.repeat(jnp.repeat(active, 8, 0), 8, 1)[:H, :W]
+    bx = jnp.arange(W) % 8
+    by = jnp.arange(H) % 8
+    border = (((by == 0) | (by == 7))[:, None]
+              | ((bx == 0) | (bx == 7))[None, :])
+    mul = jnp.where(border, 2.0 / 3.0, 1.0)
+    wsum = jnp.ones((H, W), jnp.float32)
+    acc = [p for p in planes]
+    for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        sad = jnp.zeros((H, W), jnp.float32)
+        for c in range(3):
+            pc = pad[c]
+            sad = sad + EPF_CHANNEL_SCALE[c] * jnp.abs(
+                pc[1:1 + H, 1:1 + W]
+                - pc[1 + dy:1 + dy + H, 1 + dx:1 + dx + W])
+        w = jnp.maximum(0.0, 1.0 + sad * mul * inv_px)
+        wsum = wsum + w
+        acc = [acc[c] + w * pad[c][1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+               for c in range(3)]
+    out = [jnp.where(act_px, acc[c] / wsum, planes[c]) for c in range(3)]
+    return out[0], out[1], out[2]
+
+
+def _synth_family(planes, dc_glob, fam, sid, n_pad, bh, bw, cov,
+                  special, qm):
+    """Dequant + CfL + inverse transform + scatter for one strategy
+    family.  planes: (3, H8, W8); dc_glob: (3, ys_b, xs_b)."""
+    import jax
+    import jax.numpy as jnp
+    hi = jax.lax.Precision.HIGHEST
+
+    bys, bxs = fam["bys"], fam["bxs"]
+    inv_qac, xf, bf = fam["inv_qac"], fam["xf"], fam["bf"]
+    gy = jnp.clip(bys, 0, dc_glob.shape[1] - 1)
+    gx = jnp.clip(bxs, 0, dc_glob.shape[2] - 1)
+
+    if special:
+        vals, resp = fam["vals"], fam["resp"]
+        resp_y_def = fam["resp_y_def"]
+        acY = jnp.einsum("ns,syx->nyx", vals[:, 1, 1:], resp_y_def[1:],
+                         precision=hi) * inv_qac[:, None, None]
+        pix = []
+        for c in range(3):
+            p = jnp.einsum("ns,syx->nyx", vals[:, c, 1:], resp[c, 1:],
+                           precision=hi) \
+                * (inv_qac * qm[c])[:, None, None]
+            p = p + dc_glob[c][gy, gx][:, None, None] * resp[c, 0]
+            if c != 1:
+                p = p + (xf if c == 0 else bf)[:, None, None] * acY
+            pix.append(p)
+    else:
+        cy, cx = STRATEGIES[sid].cy, STRATEGIES[sid].cx
+        cmat, tab = fam["cmat"], fam["tab"]
+        deq = cmat * tab[None] * inv_qac[:, None, None] \
+            * qm[None, :, None]
+        dY = deq[:, 1]
+        dX = deq[:, 0] + xf[:, None] * dY
+        dB = deq[:, 2] + bf[:, None] * dY
+        anY = jnp.asarray(S.ana_basis(cy).astype(np.float32))
+        anX = jnp.asarray(S.ana_basis(cx).astype(np.float32))
+        rs = jnp.asarray(np.outer(S.resample_vec(cy),
+                                  S.resample_vec(cx)).astype(np.float32))
+        Ah = jnp.asarray(S.cos_basis(bh).astype(np.float32))
+        Aw = jnp.asarray(S.cos_basis(bw).astype(np.float32))
+        dyi = jnp.arange(cy)
+        dxi = jnp.arange(cx)
+        giy = jnp.clip(gy[:, None, None] + dyi[None, :, None],
+                       0, dc_glob.shape[1] - 1)
+        gix = jnp.clip(gx[:, None, None] + dxi[None, None, :],
+                       0, dc_glob.shape[2] - 1)
+        pix = []
+        for c, dq in ((0, dX), (1, dY), (2, dB)):
+            cm = dq.reshape(-1, bh, bw)
+            dcb = dc_glob[c][giy, gix]
+            llf = jnp.einsum("ky,nyx,lx->nkl", anY, dcb, anX,
+                             precision=hi) * rs
+            cm = cm.at[:, :cy, :cx].set(llf)
+            pix.append(jnp.einsum("nkl,km,lo->nmo", cm, Ah, Aw,
+                                  precision=hi))
+
+    iy = jnp.arange(bh)
+    ix = jnp.arange(bw)
+    yy = bys[:, None, None] * 8 + iy[None, :, None]
+    xx = bxs[:, None, None] * 8 + ix[None, None, :]
+    out = []
+    for c in range(3):
+        out.append(planes[c].at[yy, xx].set(pix[c], mode="drop"))
+    return out
+
+
+def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
+                          pass0_scale, pass2_scale):
+    from .tpu_real import gaborish_device, epf1_device
+    if gab:
+        X = gaborish_device(X, gabw[0], gabw[1])
+        Y = gaborish_device(Y, gabw[2], gabw[3])
+        B = gaborish_device(B, gabw[4], gabw[5])
+    if epf_iters >= 1:
+        if epf_iters >= 3:
+            X, Y, B = epf1_device(X, Y, B, sigma / pass0_scale)
+        X, Y, B = epf1_device(X, Y, B, sigma)
+        if epf_iters >= 2:
+            X, Y, B = _epf2_device(X, Y, B, sigma, pass2_scale)
+    return X, Y, B
+
+
+def _xyb_to_srgb16_device(X, Y, B):
+    import jax.numpy as jnp
+    from .tpu_real import (fast_linear_to_srgb_device, _OPSIN_INV32)
+    from .dec_real import _BIAS, _CBRT_BIAS
+    cb = np.float32(_CBRT_BIAS)
+    bias = np.float32(_BIAS)
+    g_r = Y + X + cb
+    g_g = Y - X + cb
+    g_b = B + cb
+    mixed = jnp.stack([g_r * g_r * g_r - bias,
+                       g_g * g_g * g_g - bias,
+                       g_b * g_b * g_b - bias], axis=-1)
+    lin = mixed @ _OPSIN_INV32.T
+    srgb = fast_linear_to_srgb_device(lin)
+    return jnp.clip(jnp.floor(srgb * 65535.0 + 0.5), 0,
+                    65535).astype(jnp.uint16)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled(desc, H8, W8, bits, gab, epf_iters):
+    import jax
+    import jax.numpy as jnp
+    from .tpu_real import xyb_to_srgb8_device
+
+    def fn(fams, dc_glob, qf_map, sharp_map, igs, qm, gabw,
+           pass0_scale, pass2_scale):
+        planes = [jnp.zeros((H8, W8), jnp.float32) for _ in range(3)]
+        for fam, (sid, n_pad, bh, bw, cov, special) in zip(fams, desc):
+            planes = _synth_family(planes, dc_glob, fam, sid, n_pad,
+                                   bh, bw, cov, special, qm)
+        X, Y, B = planes
+        if epf_iters >= 1:
+            sigma = (EPF_SIGMA_PER * sharp_map.astype(jnp.float32)
+                     * igs / jnp.maximum(qf_map.astype(jnp.float32),
+                                         1.0))
+        else:
+            sigma = jnp.zeros_like(qf_map, jnp.float32)
+        X, Y, B = _filters_chain_device(X, Y, B, sigma, gab, epf_iters,
+                                        gabw, pass0_scale, pass2_scale)
+        if bits > 8:
+            return _xyb_to_srgb16_device(X, Y, B)
+        return xyb_to_srgb8_device(X, Y, B)
+
+    return jax.jit(fn)
+
+
+def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
+                             ytox_glob, ytob_glob, dc_glob,
+                             bits: int) -> np.ndarray:
+    """Whole-frame device reconstruction: scan-indexed varblocks (frame
+    coords) -> (H8, W8, 3) uint8/uint16 sRGB on the padded block grid.
+    dc_glob: dict {0,1,2} of already-smoothed XYB DC planes."""
+    desc, fams, qm = prepare_families(lf, fh, blocks_global, qf_map,
+                                      ytox_glob, ytob_glob)
+    ys_b, xs_b = qf_map.shape
+    rf = fh.restoration_filter
+    if rf.gab and rf.gab_custom and rf.gab_weights is not None:
+        gabw = np.asarray(rf.gab_weights, np.float32)
+    else:
+        gabw = np.asarray([0.115169525, 0.061248592] * 3, np.float32)
+    dc = np.stack([dc_glob[c] for c in range(3)]).astype(np.float32)
+    fn = _compiled(desc, ys_b * 8, xs_b * 8, int(bits), bool(rf.gab),
+                   int(rf.epf_iters))
+    out = fn(fams, dc, qf_map.astype(np.int32),
+             sharp_map.astype(np.int32),
+             np.float32(lf.inv_global_scale), qm, gabw,
+             np.float32(rf.epf_pass0_sigma_scale),
+             np.float32(rf.epf_pass2_sigma_scale))
+    return np.asarray(out)

@@ -1,0 +1,83 @@
+"""Device (JAX) full-strategy VarDCT reconstruction vs the host path.
+
+The device pipeline (vardct/tpu_full.py) runs dequant + CfL + every
+inverse transform + filters + XYB->sRGB in float32 on device; the host
+reference computes in float64.  Output may differ by at most 1 output
+code on rounding-boundary pixels.
+"""
+
+import ctypes.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "research"))
+
+HAVE_LIBJXL = bool(ctypes.util.find_library("jxl"))
+
+from jxl_coder_tpu import api  # noqa: E402
+
+
+def _test_image(h=192, w=256, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        128 + 100 * np.sin(xx / 37) * np.cos(yy / 23),
+        128 + 80 * np.cos(xx / 11 + yy / 53),
+        128 + 60 * np.sin((xx + yy) / 29)], -1)
+    img += rng.normal(0, 5, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _host_vs_device(data):
+    prev = os.environ.get("JXL_TPU_DEVICE")
+    try:
+        os.environ["JXL_TPU_DEVICE"] = "0"
+        host, _ = api.decode(data)
+        os.environ["JXL_TPU_DEVICE"] = "1"
+        os.environ["JXL_TPU_DEVICE_STRICT"] = "1"
+        dev, _ = api.decode(data)
+    finally:
+        os.environ.pop("JXL_TPU_DEVICE_STRICT", None)
+        if prev is None:
+            os.environ.pop("JXL_TPU_DEVICE", None)
+        else:
+            os.environ["JXL_TPU_DEVICE"] = prev
+    return host, dev
+
+
+def test_device_matches_host_own_encoder():
+    img = _test_image()
+    data = api.encode(img, lossless=False, quality=85, effort=7)
+    host, dev = _host_vs_device(data)
+    d = np.abs(host.astype(int) - dev.astype(int))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 1e-3
+
+
+@pytest.mark.skipif(not HAVE_LIBJXL, reason="libjxl not available")
+@pytest.mark.parametrize("effort,distance", [(7, 1.0), (8, 4.0),
+                                             (3, 1.5)])
+def test_device_matches_host_libjxl_streams(effort, distance):
+    import refjxl
+    img = _test_image()
+    data = refjxl.encode(img, lossless=False, effort=effort,
+                         distance=distance)
+    host, dev = _host_vs_device(data)
+    d = np.abs(host.astype(int) - dev.astype(int))
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() < 1e-3
+
+
+def test_device_matches_host_16bit_corpus():
+    from conftest import asset
+    data = asset("hdr_cosmos.jxl")
+    host, dev = _host_vs_device(data)
+    assert host.dtype == dev.dtype == np.uint16
+    d = np.abs(host.astype(int) - dev.astype(int))
+    # 16-bit output quantizer: f32-vs-f64 boundary flips scale with the
+    # finer step; bound stays tiny relative to the 65535 range
+    assert d.max() <= 64, d.max()
