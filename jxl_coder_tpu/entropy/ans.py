@@ -170,8 +170,11 @@ def _population_count_precision(logcount: int, shift: int) -> int:
     return max(0, r)
 
 
-def write_ans_distribution(bw: BitWriter, counts: List[int]) -> None:
-    """Write a histogram using simple/flat forms only."""
+def write_ans_distribution(bw: BitWriter, counts: List[int],
+                           num_tokens: int = 0) -> List[int]:
+    """Write a histogram; returns the counts a decoder will read back
+    (the complex form may quantize them, so the encoder's ANS tables
+    MUST be built from the return value)."""
     nz = [(s, c) for s, c in enumerate(counts) if c > 0]
     if sum(c for _, c in counts_items(counts)) != ANS_TAB_SIZE:
         raise ValueError("counts must sum to ANS_TAB_SIZE")
@@ -179,7 +182,7 @@ def write_ans_distribution(bw: BitWriter, counts: List[int]) -> None:
         bw.u(1, 1)
         bw.u(0, 1)
         write_u8(bw, nz[0][0])
-        return
+        return counts
     if len(nz) == 2:
         bw.u(1, 1)
         bw.u(1, 1)
@@ -187,13 +190,13 @@ def write_ans_distribution(bw: BitWriter, counts: List[int]) -> None:
         write_u8(bw, v1)
         write_u8(bw, v2)
         bw.u(c1, 12)
-        return
+        return counts
     if counts == flat_counts(len(counts)):
         bw.u(0, 1)
         bw.u(1, 1)
         write_u8(bw, len(counts) - 1)
-        return
-    write_ans_distribution_complex(bw, counts)
+        return counts
+    return write_ans_distribution_complex(bw, counts, num_tokens)
 
 
 def normalize_counts(hist: List[int]) -> List[int]:
@@ -230,10 +233,100 @@ def normalize_counts(hist: List[int]) -> List[int]:
     return out
 
 
-def write_ans_distribution_complex(bw: BitWriter, counts: List[int]) -> None:
-    """Full 'complex' histogram form: logcounts via the static prefix
-    code + precision bits at shift 13 (exact for any counts summing to
-    ANS_TAB_SIZE).  No RLE runs are emitted."""
+def _logcount_of(c: int) -> int:
+    return 0 if c == 0 else (1 if c == 1 else c.bit_length())
+
+
+def _u8_bits(v: int) -> int:
+    return 1 if v == 0 else 4 + (v.bit_length() - 1)
+
+
+def _quantize_for_shift(counts: List[int], shift: int):
+    """Quantize counts to shift-representable values (omit position
+    absorbs the normalization remainder exactly — the decoder computes
+    it, so it has no representability constraint).  Returns
+    (final_counts, omit_pos) or None when the shift can't work."""
+    alphabet = len(counts)
+    q = [0] * alphabet
+    for i, c in enumerate(counts):
+        if c <= 1:
+            q[i] = c
+            continue
+        code = c.bit_length()
+        bitcount = _population_count_precision(code - 1, shift)
+        step = 1 << (code - 1 - bitcount)
+        base = 1 << (code - 1)
+        qq = base + ((c - base + step // 2) // step) * step
+        if qq >= (1 << code):
+            qq = (1 << code) - step
+        q[i] = qq
+    # the decoder omits the FIRST position whose logcount strictly
+    # exceeds all before it == first occurrence of the max logcount;
+    # iterate until our omit choice agrees with that rule
+    omit = max(range(alphabet), key=lambda i: (q[i], -i))
+    for _ in range(alphabet + 1):
+        rest = sum(q) - q[omit]
+        rem = ANS_TAB_SIZE - rest
+        if rem <= 0:
+            return None
+        old = q[omit]
+        q[omit] = rem
+        logs = [_logcount_of(c) for c in q]
+        dec_omit = max(range(alphabet), key=lambda i: (logs[i], -i))
+        if dec_omit == omit:
+            return q, omit
+        q[omit] = old
+        omit = dec_omit
+    return None
+
+
+def _rle_runs(q: List[int], omit_pos: int):
+    """Greedy RLE spans [(start, length)]: positions whose count equals
+    the previous position's, length 4..259, never covering omit_pos or
+    starting right after it (spec validity rule)."""
+    alphabet = len(q)
+    runs = []
+    i = 1
+    while i < alphabet:
+        if i == omit_pos or i == omit_pos + 1:
+            i += 1
+            continue
+        j = i
+        while (j < alphabet and j != omit_pos and q[j] == q[i - 1]
+               and j - i < 259):
+            j += 1
+        if j - i >= 4:
+            runs.append((i, j - i))
+            i = j
+        else:
+            i += 1
+    return runs
+
+
+def _complex_cost_bits(q, omit_pos, runs, shift):
+    covered = set()
+    for s, ln in runs:
+        covered.update(range(s, s + ln))
+    bits = 0
+    for i, c in enumerate(q):
+        if i in covered:
+            continue
+        code = _logcount_of(c)
+        bits += LOGCOUNT_CODE[code][0]
+        if i != omit_pos and code > 1:
+            bits += _population_count_precision(code - 1, shift)
+    for s, ln in runs:
+        bits += LOGCOUNT_CODE[13][0] + _u8_bits(ln - 4)
+    return bits
+
+
+def write_ans_distribution_complex(bw: BitWriter, counts: List[int],
+                                   num_tokens: int = 0) -> List[int]:
+    """Full 'complex' histogram form with encoder-side shift selection
+    and RLE runs (the wire format of §C.2.4; the reader already
+    supports both).  Chooses the shift minimizing header bits plus the
+    expected coding regret num_tokens * KL(counts || quantized).
+    Returns the counts the decoder reads back."""
     if sum(counts) != ANS_TAB_SIZE:
         raise ValueError("counts must sum to ANS_TAB_SIZE")
     alphabet_size = len(counts)
@@ -243,36 +336,62 @@ def write_ans_distribution_complex(bw: BitWriter, counts: List[int]) -> None:
         alphabet_size = 3
     counts = list(counts[:alphabet_size]) + [0] * (alphabet_size
                                                    - len(counts))
-    shift = 13
-    logcounts = []
-    for c in counts:
-        if c == 0:
-            logcounts.append(0)
-        elif c == 1:
-            logcounts.append(1)
-        else:
-            logcounts.append(c.bit_length())
-    omit_pos = max(range(alphabet_size), key=lambda i: (logcounts[i], -i))
+    import math
+    best = None
+    for shift in range(14):
+        res = _quantize_for_shift(counts, shift)
+        if res is None:
+            continue
+        q, omit = res
+        runs = _rle_runs(q, omit)
+        hdr = _complex_cost_bits(q, omit, runs, shift)
+        kl = 0.0
+        for c, c2 in zip(counts, q):
+            if c > 0:
+                if c2 <= 0:
+                    kl = math.inf
+                    break
+                kl += (c / ANS_TAB_SIZE) * math.log2(c / c2)
+        total = hdr + max(0.0, kl) * num_tokens
+        if best is None or total < best[0]:
+            best = (total, shift, q, omit, runs)
+    _, shift, q, omit_pos, runs = best
     bw.u(0, 1)   # not simple
     bw.u(0, 1)   # not flat
-    # shift 13: three 1-continuation bits then 3 value bits (14-1)
-    bw.u(1, 1)
-    bw.u(1, 1)
-    bw.u(1, 1)
-    bw.u(14 - (1 << 3), 3)
+    v = shift + 1
+    n = v.bit_length() - 1
+    for _ in range(n):
+        bw.u(1, 1)
+    if n < 3:
+        bw.u(0, 1)
+    if n:
+        bw.u(v - (1 << n), n)
     write_u8(bw, alphabet_size - 3)
-    for lc in logcounts:
-        ln, word = LOGCOUNT_CODE[lc]
+    run_at = {s: ln for s, ln in runs}
+    in_run = set()
+    for s, ln in runs:
+        in_run.update(range(s, s + ln))
+    for i, c in enumerate(q):
+        if i in run_at:
+            ln, word = LOGCOUNT_CODE[13]
+            bw.u(word, ln)
+            write_u8(bw, run_at[i] - 4)
+            continue
+        if i in in_run:
+            continue
+        code = _logcount_of(c)
+        ln, word = LOGCOUNT_CODE[code]
         bw.u(word, ln)
-    for i, c in enumerate(counts):
-        code = logcounts[i]
-        if i == omit_pos or code <= 1:
+    for i, c in enumerate(q):
+        if i in in_run or i == omit_pos:
+            continue
+        code = _logcount_of(c)
+        if code <= 1:
             continue
         bitcount = _population_count_precision(code - 1, shift)
         rem = c - (1 << (code - 1))
-        if rem & ((1 << (code - 1 - bitcount)) - 1):
-            raise ValueError("count not representable at this shift")
         bw.u(rem >> (code - 1 - bitcount), bitcount)
+    return q
 
 
 def counts_items(counts):

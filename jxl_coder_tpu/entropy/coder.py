@@ -166,7 +166,10 @@ def write_cluster_map(bw: BitWriter, cmap: List[int]) -> None:
         ids.append(j)
         mtf.pop(j)
         mtf.insert(0, v)
-    nested = TokenStream(1)
+    # after MTF the map is dominated by runs of 0: distance-1 LZ77
+    # (RLE) plus the fractional-bit ANS backend beats the 1-bit/symbol
+    # prefix floor by ~10x on big context maps
+    nested = TokenStream(1, lz77=True)
     for j in ids:
         nested.add(0, j)
     nested.write(bw)
@@ -455,7 +458,11 @@ class TokenStream:
                     raise ValueError("token exceeds ANS alphabet")
                 hist = [h.get(s, 0) for s in range(alpha)]
                 counts = _ans.normalize_counts(hist)
-                _ans.write_ans_distribution(bw, counts)
+                # the complex form may quantize counts for a cheaper
+                # header; the decoder reads the quantized values, so
+                # the alias table must be built from the return value
+                counts = _ans.write_ans_distribution(
+                    bw, counts, num_tokens=sum(hist))
                 tables.append(_ans.AliasTable(counts, log_alpha))
             return (cmap, config, tables)
         bw.bool(True)  # use_prefix_code

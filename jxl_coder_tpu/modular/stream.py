@@ -204,6 +204,15 @@ def encode_channel(ts: TokenStream, tree: Tree, chan: Channel,
     if len(tree.nodes) == 1 and tree.nodes[0].predictor in (0, 1, 2, 3, 5):
         _encode_single_leaf(ts, tree.nodes[0], data, w, h)
         return
+    from .learn import encode_channel_tree, PREDICTORS, NUM_PROPS
+    if (tree.max_property < NUM_PROPS and not tree.uses_weighted()
+            and all((n.predictor in PREDICTORS and n.offset == 0
+                     and n.multiplier == 1) for n in tree.nodes
+                    if n.is_leaf)):
+        # learned-tree fast path: static properties + simple predictors
+        # are closed-form in the (known) channel data -> vectorized
+        encode_channel_tree(ts, tree, chan, chan_index, stream_id)
+        return
     need_wp = tree.uses_weighted()
     wp = WPState(wp_params, w) if need_wp else None
     max_prop = tree.max_property

@@ -51,10 +51,20 @@ def srgb8_to_xyb(pix: np.ndarray):
             g[..., 2])
 
 
-def _modular_substream(channels, predictor: int = 5) -> BitWriter:
+def _modular_substream(channels, predictor: int = 5,
+                       learn: bool = False,
+                       max_leaves: int = 16) -> BitWriter:
+    channels = list(channels)
+    if learn:
+        from ..modular.learn import learn_tree
+        # exclude property 1 (stream id): decoders compute their own
+        # stream numbering, so splitting on it is not portable
+        tree = learn_tree(channels, max_leaves=max_leaves,
+                          props_allowed=[0] + list(range(2, 15)))
+    else:
+        tree = Tree.single_leaf(predictor=predictor)
     bw = BitWriter()
-    encode_modular_stream(bw, ModularImage(list(channels)),
-                          GroupHeader(), Tree.single_leaf(predictor=predictor))
+    encode_modular_stream(bw, ModularImage(channels), GroupHeader(), tree)
     return bw
 
 
@@ -404,7 +414,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         w_.append_writer(_modular_substream([
             Channel(gw, gh, data=np.ascontiguousarray(
                 dc_int[i, ly:ly + gh, lx:lx + gw], np.int32))
-            for i in range(3)], predictor=6))
+            for i in range(3)], learn=True, max_leaves=24))
         sub_acs = acs_map[ly:ly + gh, lx:lx + gw]
         sub_qf = qf_map[ly:ly + gh, lx:lx + gw]
         anchors = [(by, bx) for by in range(gh) for bx in range(gw)
@@ -426,7 +436,8 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                     data=np.ascontiguousarray(
                         ytob[ty0:ty0 + ch, tx0:tx0 + cw], np.int32)),
             Channel(nb, 2, data=blockinfo),
-            Channel(gw, gh, data=np.zeros((gh, gw), np.int32))]))
+            Channel(gw, gh, data=np.zeros((gh, gw), np.int32))],
+            learn=True, max_leaves=24))
         return w_
 
     def hf_global_bits():
