@@ -144,19 +144,11 @@ def read_cluster_map(br: BitReader, num_contexts: int) -> List[int]:
     return cmap
 
 
-def write_cluster_map(bw: BitWriter, cmap: List[int]) -> None:
-    if len(cmap) == 1:
-        return
-    num_clusters = max(cmap) + 1
-    if num_clusters <= 8:
-        nbits = max(v.bit_length() for v in cmap)
-        bw.bool(True)  # simple
-        bw.u(nbits, 2)
-        for v in cmap:
-            bw.u(v, nbits)
-        return
+def _write_cluster_map_complex(bw: BitWriter, cmap: List[int]) -> None:
     # complex form: move-to-front transformed ids in a nested
-    # single-context entropy stream (the inverse of read_cluster_map)
+    # single-context entropy stream (the inverse of read_cluster_map).
+    # After MTF the map is dominated by runs of 0: distance-1 LZ77
+    # (RLE) beats the 1-bit/symbol prefix floor by ~10x on big maps.
     bw.bool(False)
     bw.bool(True)   # use_mtf
     mtf = list(range(256))
@@ -166,13 +158,37 @@ def write_cluster_map(bw: BitWriter, cmap: List[int]) -> None:
         ids.append(j)
         mtf.pop(j)
         mtf.insert(0, v)
-    # after MTF the map is dominated by runs of 0: distance-1 LZ77
-    # (RLE) plus the fractional-bit ANS backend beats the 1-bit/symbol
-    # prefix floor by ~10x on big context maps
     nested = TokenStream(1, lz77=True)
     for j in ids:
         nested.add(0, j)
     nested.write(bw)
+
+
+def write_cluster_map(bw: BitWriter, cmap: List[int]) -> None:
+    if len(cmap) == 1:
+        return
+    num_clusters = max(cmap) + 1
+    simple_bits = None
+    if num_clusters <= 8:
+        nbits = max(v.bit_length() for v in cmap)
+        simple_bits = 3 + nbits * len(cmap)
+        if len(cmap) <= 64:
+            # small map: simple form; never recurse (the complex
+            # form's nested LZ77 stream writes a cluster map itself)
+            bw.bool(True)
+            bw.u(nbits, 2)
+            for v in cmap:
+                bw.u(v, nbits)
+            return
+    probe = BitWriter()
+    _write_cluster_map_complex(probe, cmap)
+    if simple_bits is not None and simple_bits <= probe.bit_pos:
+        bw.bool(True)  # simple
+        bw.u(nbits, 2)
+        for v in cmap:
+            bw.u(v, nbits)
+        return
+    bw.append_writer(probe)
 
 
 def _hist_cost(h: dict) -> float:
@@ -229,7 +245,62 @@ def cluster_histograms(hists: List[dict], max_clusters: int = 24):
     for i in range(n):
         if not totals[i]:
             assign[i] = 0
-    return assign, len(seeds)
+
+    # agglomerative refinement: merge cluster pairs while the entropy
+    # increase is smaller than the header bits saved (one histogram
+    # serialization fewer) — adapts the cluster count to the image
+    # instead of a fixed similarity threshold
+    def hist_bits(h):
+        if not h:
+            return 0.0
+        if max(h) > 255:
+            # alphabet beyond the ANS distribution form (prefix-code
+            # backend): header-size estimate is enough for merging
+            return 6.0 * len(h) + 40.0
+        bw = BitWriter()
+        counts = _ans.normalize_counts([h.get(s, 0)
+                                        for s in range(max(h) + 1)])
+        _ans.write_ans_distribution(bw, counts,
+                                    num_tokens=sum(h.values()))
+        return float(bw.bit_pos)
+
+    groups = [dict(h) for h in seed_h]
+    bits = [hist_bits(h) for h in groups]
+    cost = [_hist_cost(h) for h in groups]
+    remap = list(range(len(groups)))
+    alive = [True] * len(groups)
+    while sum(alive) > 1:
+        best = (0.0, None)
+        live = [i for i in range(len(groups)) if alive[i]]
+        for ai in range(len(live)):
+            for bi in range(ai + 1, len(live)):
+                i, j = live[ai], live[bi]
+                m = dict(groups[i])
+                for s, c in groups[j].items():
+                    m[s] = m.get(s, 0) + c
+                delta = (_hist_cost(m) - cost[i] - cost[j]) \
+                    - (bits[i] + bits[j] - hist_bits(m))
+                if delta < best[0]:
+                    best = (delta, (i, j, m))
+        if best[1] is None:
+            break
+        i, j, m = best[1]
+        groups[i] = m
+        bits[i] = hist_bits(m)
+        cost[i] = _hist_cost(m)
+        alive[j] = False
+        for k in range(len(remap)):
+            if remap[k] == j:
+                remap[k] = i
+    # densify cluster ids
+    dense = {}
+    out = [0] * n
+    for ci in range(n):
+        g = remap[assign[ci]]
+        if g not in dense:
+            dense[g] = len(dense)
+        out[ci] = dense[g]
+    return out, len(dense)
 
 
 # --------------------------------------------------------------------------

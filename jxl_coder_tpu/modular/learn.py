@@ -137,25 +137,57 @@ class _LearnData:
     """Flattened training arrays over all channels of one stream."""
 
     def __init__(self, props: np.ndarray, tokens: np.ndarray,
-                 max_token: int):
-        self.props = props      # (NUM_PROPS, n)
+                 max_token: int, pred_ids: Sequence[int]):
+        self.props = props      # (n_props, n)
         self.tokens = tokens    # (P, n) int32 token ids per predictor
+        self.pred_ids = list(pred_ids)
         self.T = max_token + 1
         self.rb = _raw_bits_of_token(self.T).astype(np.float64)
 
 
+def wp_planes(D: np.ndarray):
+    """Sequential weighted-predictor pass over known data: returns the
+    WP prediction plane and the property-15 plane.  O(h*w) Python —
+    keep to small channels (DC images, metadata)."""
+    from .predict import WPState, WPParams
+    h, w = D.shape
+    wp = WPState(WPParams(), w)
+    pred = np.zeros((h, w), np.int64)
+    prop = np.zeros((h, w), np.int64)
+    from .predict import neighbors
+    for y in range(h):
+        if y > 0:
+            wp.new_row()
+        for x in range(w):
+            W, N, NW, NE, NN, _, _ = neighbors(D, x, y, w)
+            pred[y, x] = wp.predict(x, y, w, W, N, NW, NE, NN)
+            prop[y, x] = wp.prop
+            wp.update(x, int(D[y, x]))
+    return pred, prop
+
+
 def _gather_data(channels: Sequence[Channel], stream_id: int,
-                 max_samples: int) -> Optional[_LearnData]:
+                 max_samples: int,
+                 use_wp: bool = False) -> Optional[_LearnData]:
     props_l, toks_l = [], []
     for ci, ch in enumerate(channels):
         if ch.width == 0 or ch.height == 0:
             continue
         D = ch.data.astype(np.int64)
-        props_l.append(property_planes(D, ci, stream_id))
+        pr = property_planes(D, ci, stream_id)
         preds = predictor_planes(D)
+        pred_ids = list(PREDICTORS)
+        if use_wp:
+            wp_pred, wp_prop = wp_planes(D)
+            preds = dict(preds)
+            preds[6] = wp_pred
+            pred_ids = pred_ids + [6]
+            pr = np.concatenate(
+                [pr, wp_prop.reshape(1, -1)], axis=0)
+        props_l.append(pr)
         toks_l.append(np.stack([
             _token_ids(_pack_signed_np((D - preds[p]).reshape(-1)))
-            for p in PREDICTORS]))
+            for p in pred_ids]))
     if not props_l:
         return None
     props = np.concatenate(props_l, axis=1)
@@ -165,7 +197,8 @@ def _gather_data(channels: Sequence[Channel], stream_id: int,
         sel = np.random.default_rng(0).choice(n, max_samples,
                                               replace=False)
         props, tokens = props[:, sel], tokens[:, sel]
-    return _LearnData(props, tokens, int(tokens.max()))
+    return _LearnData(props, tokens, int(tokens.max()),
+                      PREDICTORS + (6,) if use_wp else PREDICTORS)
 
 
 class _TmpNode:
@@ -180,7 +213,7 @@ class _TmpNode:
 
 def _best_leaf(data: _LearnData, idx: np.ndarray) -> Tuple[int, float]:
     best_p, best_c = 0, np.inf
-    for pi, p in enumerate(PREDICTORS):
+    for pi, p in enumerate(data.pred_ids):
         hist = np.bincount(data.tokens[pi, idx], minlength=data.T)
         c = _cost_bits(hist, data.rb)
         if c < best_c:
@@ -217,7 +250,7 @@ def _learn_node(data: _LearnData, idx: np.ndarray, leaves_left: List[int],
         # the RIGHT side
         bucket = np.searchsorted(sv, pv, side="left").astype(np.int64)
         B = len(sv) + 1
-        for pi in range(len(PREDICTORS)):
+        for pi in range(len(data.pred_ids)):
             comb = bucket * T + data.tokens[pi, idx]
             h2 = np.bincount(comb, minlength=B * T).reshape(B, T)
             cum = np.cumsum(h2, axis=0)
@@ -244,14 +277,19 @@ def _learn_node(data: _LearnData, idx: np.ndarray, leaves_left: List[int],
 def learn_tree(channels: Sequence[Channel], stream_id: int = 0,
                max_leaves: int = 12, max_samples: int = 1 << 16,
                split_penalty: float = 160.0,
-               props_allowed: Optional[Sequence[int]] = None) -> Tree:
+               props_allowed: Optional[Sequence[int]] = None,
+               use_wp: bool = False) -> Tree:
     """Greedy MA-tree for the given channels; falls back to a gradient
-    single leaf when there is nothing to learn."""
-    data = _gather_data(channels, stream_id, max_samples)
+    single leaf when there is nothing to learn.  use_wp adds the
+    weighted predictor and property 15 (sequential state: costs a
+    Python pass at learn AND encode time — small channels only)."""
+    data = _gather_data(channels, stream_id, max_samples, use_wp=use_wp)
     if data is None or data.props.shape[1] < 64:
         return Tree([Node(property=-1, predictor=5, ctx=0)])
     if props_allowed is None:
         props_allowed = list(range(NUM_PROPS))
+    if use_wp and 15 not in props_allowed:
+        props_allowed = list(props_allowed) + [15]
     root = _learn_node(data, np.arange(data.props.shape[1]),
                        [max_leaves], split_penalty, props_allowed)
     # BFS linearization matching decode_tree's indexing

@@ -57,10 +57,15 @@ def _modular_substream(channels, predictor: int = 5,
     channels = list(channels)
     if learn:
         from ..modular.learn import learn_tree
+        # WP costs a sequential Python pass at learn AND encode time:
+        # enable it only when the stream is small (DC images)
+        use_wp = max((c.width * c.height for c in channels
+                      if c.width and c.height), default=0) <= (1 << 14)
         # exclude property 1 (stream id): decoders compute their own
         # stream numbering, so splitting on it is not portable
         tree = learn_tree(channels, max_leaves=max_leaves,
-                          props_allowed=[0] + list(range(2, 15)))
+                          props_allowed=[0] + list(range(2, 15)),
+                          use_wp=use_wp)
     else:
         tree = Tree.single_leaf(predictor=predictor)
     bw = BitWriter()
