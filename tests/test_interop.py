@@ -415,3 +415,34 @@ def test_splines_decode():
     # splines actually drew something
     base, _ = refjxl.decode(flat())
     assert np.abs(theirs.astype(int) - base.astype(int)).max() > 30
+
+
+@pytest.mark.parametrize("sid", [19, 20, 21, 22, 23, 24, 25, 26])
+def test_large_transform_strategies(sid):
+    """DCT64X32 .. DCT256X256 crafted streams decode within float-1 of
+    libjxl (ref: the strategy zoo of jxl/decode.h streams; tables from
+    research/strategy_calib.py)."""
+    import vardct_write
+    from jxl_coder_tpu.vardct.strategies import STRATEGIES
+    s = STRATEGIES[sid]
+    bw, bh = s.width, s.height
+    W = max(bw, 256); H = max(bh, 256)
+    W -= W % bw; H -= H % bh
+    rng = np.random.default_rng(sid)
+    dc = rng.integers(-4, 5, (3, H // 8, W // 8)).astype(np.int64)
+    n = bw * bh
+    vbs = []
+    for by in range(0, H // 8, s.cy):
+        for bx in range(0, W // 8, s.cx):
+            vals = {}
+            for c in range(3):
+                v = np.zeros(n, np.int64)
+                idx = rng.choice(n - 1, 30, replace=False) + 1
+                v[idx] = rng.integers(-6, 7, 30)
+                vals[c] = v
+            vbs.append((bx, by, sid, vals, 20))
+    data = vardct_write.craft_blocks(dc, vbs, W=W, H=H)
+    ref = refjxl.decode(data)[0][..., :3]
+    ours, _ = api.decode(data)
+    d = np.abs(ours.astype(int) - ref.astype(int))
+    assert d.max() <= 1, d.max()
