@@ -764,43 +764,58 @@ static void gaborish_rows(const double* in, double* out, int H, int W,
     }
 }
 
-static const double kEpfScale[3] = {23.512, 5.0, 2.057};
-static const double kInvSigmaNum = -1.1715728752538099024;
+}  // extern "C" (templates below need C++ linkage)
 
-// EPF pass 1: block-border pixels, 4-neighbour cross, 5-tap patch SAD.
-static void epf1_rows(const double* const in[3], double* const out[3],
-                      int H, int W, const double* sigma, int sh, int sw,
-                      double sigma_div, int ya, int yb) {
-    static const int offs[4][2] = {{0,1},{0,-1},{1,0},{-1,0}};
+// Per-channel SAD scales (X, Y, B) pinned by single-channel striped
+// probes (research/epf_kernel_probe.py); the EPF weight slope is
+// 2.53*kInv/sigma times the pass sigma scale, gated at sigma 0.2701.
+static const double kEpfScale[3] = {23.51, 2.938, 2.057};
+static const double kInvSigmaNum = -1.1715728752538099024;
+static const double kEpfSlope = 2.530;
+static const double kSigmaGate = 0.2701;
+
+// Shared kernel: `offs[n_offs]` neighbours, patch or pointwise SAD.
+template <int N_OFFS, bool PATCH>
+static void epf_rows_impl(const double* const in[3], double* const out[3],
+                          int H, int W, const double* sigma, int sh, int sw,
+                          double slope_scale, const int (*offs)[2],
+                          int ya, int yb) {
     static const int taps[5][2] = {{0,0},{0,1},{0,-1},{1,0},{-1,0}};
+    (void)sh;
     for (int y = ya; y < yb; y++) {
         int border_y = (y % 8 == 0) || (y % 8 == 7);
         for (int x = 0; x < W; x++) {
-            double sg = sigma[(int64_t)(y / 8) * sw + (x / 8)] / sigma_div;
+            double sg = sigma[(int64_t)(y / 8) * sw + (x / 8)];
             int border = border_y || (x % 8 == 0) || (x % 8 == 7);
-            if (sg < 0.3) {
+            if (sg < kSigmaGate) {
                 for (int c = 0; c < 3; c++)
                     out[c][(int64_t)y * W + x] = in[c][(int64_t)y * W + x];
                 continue;
             }
-            // slope 2.53x kInv/sigma interior, 2/3 of that on borders
-            double invs = kInvSigmaNum * 2.530 / sg;
+            double invs = kInvSigmaNum * kEpfSlope * slope_scale / sg;
             if (border) invs *= (2.0 / 3.0);
             double wsum = 1.0;
             double acc[3];
             for (int c = 0; c < 3; c++)
                 acc[c] = in[c][(int64_t)y * W + x];
-            for (int o = 0; o < 4; o++) {
+            for (int o = 0; o < N_OFFS; o++) {
                 int dy = offs[o][0], dx = offs[o][1];
                 double sad = 0.0;
                 for (int c = 0; c < 3; c++) {
                     double s = 0.0;
-                    for (int t = 0; t < 5; t++) {
-                        double a = edge_at(in[c], H, W, y + taps[t][0],
-                                           x + taps[t][1]);
-                        double b = edge_at(in[c], H, W, y + dy + taps[t][0],
-                                           x + dx + taps[t][1]);
-                        s += a > b ? a - b : b - a;
+                    if (PATCH) {
+                        for (int t = 0; t < 5; t++) {
+                            double a = edge_at(in[c], H, W, y + taps[t][0],
+                                               x + taps[t][1]);
+                            double b = edge_at(in[c], H, W,
+                                               y + dy + taps[t][0],
+                                               x + dx + taps[t][1]);
+                            s += a > b ? a - b : b - a;
+                        }
+                    } else {
+                        double a = in[c][(int64_t)y * W + x];
+                        double b = edge_at(in[c], H, W, y + dy, x + dx);
+                        s = a > b ? a - b : b - a;
                     }
                     sad += kEpfScale[c] * s;
                 }
@@ -816,51 +831,35 @@ static void epf1_rows(const double* const in[3], double* const out[3],
     }
 }
 
-// EPF pass 2: every pixel, pointwise SADs, border multiplier 2/3.
+static const int kOffsPlus4[4][2] = {{0,1},{0,-1},{1,0},{-1,0}};
+static const int kOffsDiamond12[12][2] = {
+    {0,1},{0,-1},{1,0},{-1,0},{1,1},{1,-1},{-1,1},{-1,-1},
+    {0,2},{0,-2},{2,0},{-2,0}};
+
+// EPF pass 0 (iters >= 3): 12-neighbour diamond, patch SAD.
+static void epf0_rows(const double* const in[3], double* const out[3],
+                      int H, int W, const double* sigma, int sh, int sw,
+                      double pass0_scale, int ya, int yb) {
+    epf_rows_impl<12, true>(in, out, H, W, sigma, sh, sw, pass0_scale,
+                            kOffsDiamond12, ya, yb);
+}
+
+// EPF pass 1 (main): 4-neighbour cross, 5-tap patch SAD.
+static void epf1_rows(const double* const in[3], double* const out[3],
+                      int H, int W, const double* sigma, int sh, int sw,
+                      int ya, int yb) {
+    epf_rows_impl<4, true>(in, out, H, W, sigma, sh, sw, 1.0,
+                           kOffsPlus4, ya, yb);
+}
+
+// EPF pass 2 (iters >= 2): 4-neighbour cross, pointwise SAD, slope
+// scaled by pass2_sigma_scale.
 static void epf2_rows(const double* const in[3], double* const out[3],
                       int H, int W, const double* sigma, int sh, int sw,
                       double sigma_scale, int ya, int yb) {
-    static const int offs[4][2] = {{0,1},{0,-1},{1,0},{-1,0}};
-    for (int y = ya; y < yb; y++) {
-        int border_y = (y % 8 == 0) || (y % 8 == 7);
-        for (int x = 0; x < W; x++) {
-            double sg = sigma[(int64_t)(y / 8) * sw + (x / 8)];
-            if (sg < 0.3) {
-                for (int c = 0; c < 3; c++)
-                    out[c][(int64_t)y * W + x] = in[c][(int64_t)y * W + x];
-                continue;
-            }
-            int border = border_y || (x % 8 == 0) || (x % 8 == 7);
-            double mul = border ? (2.0 / 3.0) : 1.0;
-            double invs = kInvSigmaNum * sigma_scale / sg;
-            double wsum = 1.0;
-            double acc[3];
-            double ctr[3];
-            for (int c = 0; c < 3; c++) {
-                ctr[c] = in[c][(int64_t)y * W + x];
-                acc[c] = ctr[c];
-            }
-            for (int o = 0; o < 4; o++) {
-                int dy = offs[o][0], dx = offs[o][1];
-                double sad = 0.0;
-                double nb[3];
-                for (int c = 0; c < 3; c++) {
-                    nb[c] = edge_at(in[c], H, W, y + dy, x + dx);
-                    double d = ctr[c] - nb[c];
-                    sad += kEpfScale[c] * (d > 0 ? d : -d);
-                }
-                double w = 1.0 + sad * mul * invs;
-                if (w < 0.0) w = 0.0;
-                wsum += w;
-                for (int c = 0; c < 3; c++) acc[c] += w * nb[c];
-            }
-            for (int c = 0; c < 3; c++)
-                out[c][(int64_t)y * W + x] = acc[c] / wsum;
-        }
-    }
+    epf_rows_impl<4, false>(in, out, H, W, sigma, sh, sw, sigma_scale,
+                            kOffsPlus4, ya, yb);
 }
-
-}  // extern "C" (pause for the template helper)
 
 template <typename F>
 static void parallel_rows(int H, F fn) {
@@ -888,11 +887,18 @@ static void gaborish_plane(const double* in, double* out, int H, int W,
     });
 }
 
-static void epf1_pass(const double* const in[3], double* const out[3],
+static void epf0_pass(const double* const in[3], double* const out[3],
                       int H, int W, const double* sigma, int sh, int sw,
-                      double sigma_div) {
+                      double pass0_scale) {
     parallel_rows(H, [&](int ya, int yb) {
-        epf1_rows(in, out, H, W, sigma, sh, sw, sigma_div, ya, yb);
+        epf0_rows(in, out, H, W, sigma, sh, sw, pass0_scale, ya, yb);
+    });
+}
+
+static void epf1_pass(const double* const in[3], double* const out[3],
+                      int H, int W, const double* sigma, int sh, int sw) {
+    parallel_rows(H, [&](int ya, int yb) {
+        epf1_rows(in, out, H, W, sigma, sh, sw, ya, yb);
     });
 }
 
@@ -927,11 +933,11 @@ void filter_chain(double* X, double* Y, double* B, int H, int W,
         const double* cin[3];
         if (epf_iters >= 3) {
             for (int c = 0; c < 3; c++) cin[c] = cur[c];
-            epf1_pass(cin, alt, H, W, sigma, sh, sw, pass0_scale);
+            epf0_pass(cin, alt, H, W, sigma, sh, sw, pass0_scale);
             for (int c = 0; c < 3; c++) { double* t = cur[c]; cur[c] = alt[c]; alt[c] = t; }
         }
         for (int c = 0; c < 3; c++) cin[c] = cur[c];
-        epf1_pass(cin, alt, H, W, sigma, sh, sw, 1.0);
+        epf1_pass(cin, alt, H, W, sigma, sh, sw);
         for (int c = 0; c < 3; c++) { double* t = cur[c]; cur[c] = alt[c]; alt[c] = t; }
         if (epf_iters >= 2) {
             for (int c = 0; c < 3; c++) cin[c] = cur[c];

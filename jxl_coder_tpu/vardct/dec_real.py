@@ -669,7 +669,9 @@ def adaptive_dc_smoothing(dc_planes, dc_steps):
         g = np.abs(sm - p) / dc_steps[c]
         gap = g if gap is None else np.maximum(gap, g)
     gap = np.maximum(0.5, gap)
-    mix = np.clip((0.7 - gap) / 0.2, 0.0, 1.0)
+    # factor ramp pinned by flags=0 crafted DC probes: f = 3 - 4*gap,
+    # i.e. full smoothing at gap 0.5, none from 0.75 up
+    mix = np.clip(3.0 - 4.0 * gap, 0.0, 1.0)
     out = {}
     for c in range(3):
         p = dc_planes[c]
@@ -726,8 +728,11 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
         bfv = lf.cfl_base_b + lg.ytob[ty, tx].astype(np.float64) * cf
         bh, bw = strat.height, strat.width
         cov = strat.covered
-        vals = {c: np.stack([vb.values[c] for vb in group]
-                            ).astype(np.float64) for c in range(3)}
+        # AdjustQuantBias: decoder-side shrink of quantized AC values
+        # (|q|==1 -> 1-bias[c], else q - 0.145/q)
+        vals = {c: S.adjust_quant_bias(
+                    np.stack([vb.values[c] for vb in group]), c)
+                for c in range(3)}
         pix = {}
         if cov == 1 and sid != 0:
             # non-separable 8x8 transforms: measured response matrices
@@ -822,14 +827,22 @@ def apply_gaborish(X, Y, B, rf):
 
 
 KINV_SIGMA = -1.1715728752538099024
-EPF_CHANNEL_SCALE = (23.512, 5.0, 2.057)
+# Per-channel SAD scales, pinned with single-channel striped probes
+# under custom flat dequant tables (research/epf_kernel_probe.py):
+# the X/Y/B planes contribute 23.51 / 2.938 / 2.057 per unit diff.
+# (An earlier fit said Y=5.0 — that was really Y+B: the probe streams
+# carried B==Y through the default CfL base.)
+EPF_CHANNEL_SCALE = (23.51, 2.938, 2.057)
 # measured: sigma = EPF_SIGMA_PER * sharpness * (inv_global_scale / qf)
 EPF_SIGMA_PER = 0.05921
-# stage-1 weight slope: IDENTITY-painted step probes fit the weight
-# decay at 2.53x kInv/sigma at interior pixels and 2/3 of that on 8x8
-# block borders (epf_border_sad_mul); the activity gate stays on the
-# EPF_SIGMA_PER scale (rmse 3e-4 across sharpness/qf configs)
+# weight slope: w = relu(1 + sad * KINV * EPF1_INV_SCALE / sigma).
+# Striped probes at sigma 3.3 match this relu to 4 digits; the pass-0
+# and pass-2 slopes are this times pass0/pass2_sigma_scale.
 EPF1_INV_SCALE = 2.530
+# Block activity gate: EPF is skipped where sigma < this (all passes
+# share one gate; bracketed to (0.2695, 0.2707] by stripe probes —
+# exactly 0.3 * 0.9, i.e. our sigma unit is 0.9x libjxl's).
+EPF_SIGMA_GATE = 0.2701
 
 
 def apply_epf1(X, Y, B, sigma_map):
@@ -845,7 +858,7 @@ def apply_epf1(X, Y, B, sigma_map):
     pad = [np.pad(p, 2, mode="edge") for p in planes]
     offs = ((0, 1), (0, -1), (1, 0), (-1, 0))
     taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
-    active = sigma_map >= 0.3
+    active = sigma_map >= EPF_SIGMA_GATE
     with np.errstate(divide="ignore"):
         inv = np.where(active,
                        KINV_SIGMA * EPF1_INV_SCALE / sigma_map, 0.0)
@@ -879,18 +892,66 @@ def apply_epf1(X, Y, B, sigma_map):
     return out[0], out[1], out[2]
 
 
+def apply_epf0(X, Y, B, sigma_map, sigma_scale=0.9):
+    """EPF first iteration (epf_iters >= 3): 12-neighbour diamond
+    (|dy|+|dx| <= 2) with 5-tap patch SADs; weight slope
+    EPF1_INV_SCALE * pass0_sigma_scale.  Kernel shape pinned by
+    deconvolving asymptotic (sigma >> sad) kernels out of iters=3 vs
+    iters=2 decodes (research/epf_kernel_probe.py)."""
+    H, W = Y.shape
+    planes = [X, Y, B]
+    pad = [np.pad(p, 3, mode="edge") for p in planes]
+    active = sigma_map >= EPF_SIGMA_GATE
+    with np.errstate(divide="ignore"):
+        inv = np.where(active,
+                       KINV_SIGMA * EPF1_INV_SCALE * sigma_scale
+                       / sigma_map, 0.0)
+    inv_px = np.repeat(np.repeat(inv, 8, 0), 8, 1)[:H, :W]
+    act_px = np.repeat(np.repeat(active, 8, 0), 8, 1)[:H, :W]
+    bx = np.arange(W) % 8
+    by = np.arange(H) % 8
+    border = (((by == 0) | (by == 7))[:, None]
+              | ((bx == 0) | (bx == 7))[None, :])
+    inv_px = np.where(border, inv_px * (2.0 / 3.0), inv_px)
+    offs = ((0, 1), (0, -1), (1, 0), (-1, 0),
+            (1, 1), (1, -1), (-1, 1), (-1, -1),
+            (0, 2), (0, -2), (2, 0), (-2, 0))
+    taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+    wsum = np.ones((H, W))
+    acc = [p.copy() for p in planes]
+    for (dy, dx) in offs:
+        sad = np.zeros((H, W))
+        for c in range(3):
+            pc = pad[c]
+            for (ty, tx) in taps:
+                a = pc[3 + ty:3 + ty + H, 3 + tx:3 + tx + W]
+                b = pc[3 + dy + ty:3 + dy + ty + H,
+                       3 + dx + tx:3 + dx + tx + W]
+                sad += EPF_CHANNEL_SCALE[c] * np.abs(a - b)
+        w = np.maximum(0.0, 1.0 + sad * inv_px)
+        wsum += w
+        for c in range(3):
+            acc[c] += w * pad[c][3 + dy:3 + dy + H, 3 + dx:3 + dx + W]
+    out = []
+    for c in range(3):
+        f = acc[c] / wsum
+        out.append(np.where(act_px, f, planes[c]))
+    return out[0], out[1], out[2]
+
+
 def apply_epf2(X, Y, B, sigma_map, sigma_scale=6.5):
-    """EPF second stage (epf_iters >= 2): all pixels, 4-neighbour
-    cross with POINTWISE SADs.  epf_pass2_sigma_scale multiplies the
-    INVERSE sigma (pinned on noise probes: the stage barely smooths),
-    so the effective sigma is sigma / scale."""
+    """EPF last iteration (epf_iters >= 2): 4-neighbour cross with
+    POINTWISE SADs and weight slope EPF1_INV_SCALE *
+    pass2_sigma_scale (striped probes pin the relu slope at
+    2.53 * 6.5 = 16.4x kInv/sigma)."""
     H, W = Y.shape
     planes = [X, Y, B]
     pad = [np.pad(p, 1, mode="edge") for p in planes]
-    active = sigma_map >= 0.3
+    active = sigma_map >= EPF_SIGMA_GATE
     with np.errstate(divide="ignore"):
         inv = np.where(active,
-                       KINV_SIGMA * sigma_scale / sigma_map, 0.0)
+                       KINV_SIGMA * EPF1_INV_SCALE * sigma_scale
+                       / sigma_map, 0.0)
     inv_px = np.repeat(np.repeat(inv, 8, 0), 8, 1)[:H, :W]
     act_px = np.repeat(np.repeat(active, 8, 0), 8, 1)[:H, :W]
     bx = np.arange(W) % 8
@@ -922,8 +983,8 @@ def _apply_filters_chain(X, Y, B, rf, sigma):
     X, Y, B = apply_gaborish(X, Y, B, rf)
     if rf.epf_iters >= 1:
         if rf.epf_iters >= 3:
-            X, Y, B = apply_epf1(X, Y, B, sigma
-                                 / rf.epf_pass0_sigma_scale)
+            X, Y, B = apply_epf0(X, Y, B, sigma,
+                                 rf.epf_pass0_sigma_scale)
         X, Y, B = apply_epf1(X, Y, B, sigma)
         if rf.epf_iters >= 2:
             X, Y, B = apply_epf2(X, Y, B, sigma,
@@ -1109,9 +1170,10 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                 dc_glob[c][src.shape[0]:, :] = \
                     dc_glob[c][src.shape[0] - 1:src.shape[0], :]
     elif not (fh.flags & 0x80):
+        # smoothing gap steps use the NOMINAL dc step — extra_precision
+        # does not shrink the gate (pinned by ep=0/1/2 crafted probes)
         igs0 = lf.inv_global_scale
-        ep0 = lgs[0][2].extra_precision
-        steps = [lf.dcq[c] * igs0 / lf.quant_dc / (1 << ep0)
+        steps = [lf.dcq[c] * igs0 / lf.quant_dc
                  for c in range(3)]  # (x, y, b)
         dc_glob = adaptive_dc_smoothing(dc_glob,
                                         {0: steps[0], 1: steps[1],

@@ -64,12 +64,44 @@ def llf_from_dc(dc_block: np.ndarray) -> np.ndarray:
 
 _CALIB = None
 
+# The decoder shrinks quantized AC values toward zero before dequant
+# (AdjustQuantBias: |q|==1 -> 1-bias[c], else q - 0.145/q; pinned with
+# single-coefficient probes in research/, matching to 1e-5).  The
+# calibration probes in research/strategy_calib.py used q=16, so every
+# stored table/response absorbed the factor (16 - 0.145/16)/16; divide
+# it back out at load so tables hold the TRUE per-unit step.
+QUANT_BIAS = (0.05465007330715401,     # X
+              0.07005449891748593,     # Y
+              0.049935103337343655)    # B
+QUANT_BIAS_NUM = 0.145
+_CALIB_AMP_FACTOR = 1.0 - QUANT_BIAS_NUM / (16.0 * 16.0)
+
+
+def adjust_quant_bias(vals: np.ndarray, c: int) -> np.ndarray:
+    """AdjustQuantBias over an integer coefficient array (any shape)."""
+    v = vals.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        big = v - QUANT_BIAS_NUM / v
+    out = np.where(v == 0.0, 0.0, big)
+    out = np.where(v == 1.0, 1.0 - QUANT_BIAS[c], out)
+    out = np.where(v == -1.0, QUANT_BIAS[c] - 1.0, out)
+    return out
+
 
 def calib():
     global _CALIB
     if _CALIB is None:
         path = os.path.join(os.path.dirname(__file__), "calib_real.npz")
-        _CALIB = dict(np.load(path, allow_pickle=False))
+        raw = dict(np.load(path, allow_pickle=False))
+        for k, a in raw.items():
+            if k.startswith("table_"):
+                raw[k] = a / _CALIB_AMP_FACTOR
+            elif k.startswith("resp_"):
+                # row 0 is the per-unit-float DC response: no bias there
+                a = a.copy()
+                a[:, 1:] = a[:, 1:] / _CALIB_AMP_FACTOR
+                raw[k] = a
+        _CALIB = raw
     return _CALIB
 
 

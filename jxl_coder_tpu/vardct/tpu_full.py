@@ -120,7 +120,7 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
             vals = np.zeros((n_pad, 3, 64), np.float32)
             for i, vb in enumerate(group):
                 for c in range(3):
-                    vals[i, c] = vb.values[c]
+                    vals[i, c] = S.adjust_quant_bias(vb.values[c], c)
             resp = np.stack([_special_resp(lf, sid, c).astype(np.float32)
                              for c in range(3)])
             resp_y_def = S.response_matrix(sid, 1).astype(np.float32)
@@ -134,7 +134,7 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
             sc = np.empty((n, 3, K - cov), np.float32)
             for i, vb in enumerate(group):
                 for c in range(3):
-                    sc[i, c] = vb.values[c][cov:]
+                    sc[i, c] = S.adjust_quant_bias(vb.values[c][cov:], c)
             cmat[:n, :, idx] = sc
             tab = np.stack([_dq_table(lf, sid, c)[:K].astype(np.float32)
                             for c in range(3)])
@@ -151,9 +151,10 @@ def _epf2_device(X, Y, B, sigma_map, sigma_scale):
     H, W = Y.shape
     planes = (X, Y, B)
     pad = [jnp.pad(p, 1, mode="edge") for p in planes]
-    active = sigma_map >= 0.3
+    from .dec_real import EPF_SIGMA_GATE, EPF1_INV_SCALE
+    active = sigma_map >= EPF_SIGMA_GATE
     inv = jnp.where(active,
-                    KINV_SIGMA * sigma_scale
+                    KINV_SIGMA * EPF1_INV_SCALE * sigma_scale
                     / jnp.maximum(sigma_map, 1e-9), 0.0)
     inv_px = jnp.repeat(jnp.repeat(inv, 8, 0), 8, 1)[:H, :W]
     act_px = jnp.repeat(jnp.repeat(active, 8, 0), 8, 1)[:H, :W]
@@ -255,7 +256,10 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
         B = gaborish_device(B, gabw[4], gabw[5])
     if epf_iters >= 1:
         if epf_iters >= 3:
-            X, Y, B = epf1_device(X, Y, B, sigma / pass0_scale)
+            from .tpu_real import epf_device, EPF_OFFS_DIAMOND12
+            X, Y, B = epf_device(X, Y, B, sigma,
+                                 offs=EPF_OFFS_DIAMOND12,
+                                 slope_scale=pass0_scale)
         X, Y, B = epf1_device(X, Y, B, sigma)
         if epf_iters >= 2:
             X, Y, B = _epf2_device(X, Y, B, sigma, pass2_scale)

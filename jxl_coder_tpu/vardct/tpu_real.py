@@ -70,15 +70,27 @@ def gaborish_device(plane, w1, w2):
     return out / norm
 
 
-def epf1_device(X, Y, B, sigma_map):
+EPF_OFFS_PLUS4 = ((0, 1), (0, -1), (1, 0), (-1, 0))
+EPF_OFFS_DIAMOND12 = ((0, 1), (0, -1), (1, 0), (-1, 0),
+                      (1, 1), (1, -1), (-1, 1), (-1, -1),
+                      (0, 2), (0, -2), (2, 0), (-2, 0))
+
+
+def epf_device(X, Y, B, sigma_map, offs=EPF_OFFS_PLUS4,
+               slope_scale=1.0, patch=True):
+    """Generic EPF pass: `offs` neighbours, patch (5-tap) or pointwise
+    SAD, weight slope EPF1_INV_SCALE * slope_scale.  Mirrors
+    dec_real.apply_epf0/1/2."""
+    from .dec_real import EPF_SIGMA_GATE
     H, W = Y.shape
     planes = (X, Y, B)
-    pad = [jnp.pad(p, 2, mode="edge") for p in planes]
-    offs = ((0, 1), (0, -1), (1, 0), (-1, 0))
-    taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
-    active = sigma_map >= 0.3
+    R = max(abs(o[0]) for o in offs) + (1 if patch else 0)
+    pad = [jnp.pad(p, R, mode="edge") for p in planes]
+    taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)) if patch \
+        else ((0, 0),)
+    active = sigma_map >= EPF_SIGMA_GATE
     inv = jnp.where(active,
-                    KINV_SIGMA * EPF1_INV_SCALE
+                    KINV_SIGMA * EPF1_INV_SCALE * slope_scale
                     / jnp.maximum(sigma_map, 1e-9), 0.0)
     inv_px = jnp.repeat(jnp.repeat(inv, 8, 0), 8, 1)[:H, :W]
     act_px = jnp.repeat(jnp.repeat(active, 8, 0), 8, 1)[:H, :W]
@@ -94,17 +106,26 @@ def epf1_device(X, Y, B, sigma_map):
         sad = jnp.zeros((H, W), jnp.float32)
         for c in range(3):
             pc = pad[c]
-            for (ty, tx) in taps:
-                a = jax.lax.dynamic_slice(pc, (2 + ty, 2 + tx), (H, W))
-                b = jax.lax.dynamic_slice(pc, (2 + dy + ty, 2 + dx + tx),
-                                          (H, W))
+            if patch:
+                for (ty, tx) in taps:
+                    a = jax.lax.dynamic_slice(pc, (R + ty, R + tx), (H, W))
+                    b = jax.lax.dynamic_slice(
+                        pc, (R + dy + ty, R + dx + tx), (H, W))
+                    sad = sad + EPF_CHANNEL_SCALE[c] * jnp.abs(a - b)
+            else:
+                a = planes[c]
+                b = jax.lax.dynamic_slice(pc, (R + dy, R + dx), (H, W))
                 sad = sad + EPF_CHANNEL_SCALE[c] * jnp.abs(a - b)
         w = jnp.maximum(0.0, 1.0 + sad * inv_px)
         wsum = wsum + w
         acc = [acc[c] + w * jax.lax.dynamic_slice(
-            pad[c], (2 + dy, 2 + dx), (H, W)) for c in range(3)]
+            pad[c], (R + dy, R + dx), (H, W)) for c in range(3)]
     out = [jnp.where(sel, acc[c] / wsum, planes[c]) for c in range(3)]
     return out[0], out[1], out[2]
+
+
+def epf1_device(X, Y, B, sigma_map):
+    return epf_device(X, Y, B, sigma_map)
 
 
 _P25 = jnp.asarray(np.asarray(_POW25TO18, np.uint32))

@@ -90,13 +90,15 @@ def modular_substream(channels, predictor=0):
 
 def craft_blocks(dc, varblocks, gs=65536, qdc=16, W=64, H=64,
                  x_qm_scale=2, b_qm_scale=2, epf_iters=0, sharpness=0,
-                 gab=False, splines=None):
+                 gab=False, splines=None, dct8_flat_weight=None,
+                 dc_smoothing=False, extra_precision=0):
     """dc: (3, H/8, W/8) ints (Y, X, B).  varblocks: list of
     (bx, by, strategy_id, {c: scan_values}, qf) covering the grid."""
     ys_b, xs_b = H // 8, W // 8
     m = ImageMetadata()
     hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
-    flags = 128 | (0x10 if splines is not None else 0)
+    flags = (0 if dc_smoothing else 128) \
+        | (0x10 if splines is not None else 0)
     fh = FrameHeader(encoding=Encoding.VARDCT, flags=flags,
                      x_qm_scale=x_qm_scale, b_qm_scale=b_qm_scale)
     fh.restoration_filter.gab = gab
@@ -113,7 +115,7 @@ def craft_blocks(dc, varblocks, gs=65536, qdc=16, W=64, H=64,
     sec.bool(True)    # cfl DC default
     sec.bool(False)   # no global tree
     # LfGroup
-    sec.u(0, 2)
+    sec.u(extra_precision, 2)
     dcw = modular_substream([
         Channel(xs_b, ys_b,
                 data=np.ascontiguousarray(dc[i], np.int32).copy())
@@ -137,10 +139,27 @@ def craft_blocks(dc, varblocks, gs=65536, qdc=16, W=64, H=64,
                 data=np.zeros((ch, cw), np.int32)),
         Channel(nb, 2, data=blockinfo),
         Channel(xs_b, ys_b,
-                data=np.full((ys_b, xs_b), sharpness, np.int32))])
+                data=(np.ascontiguousarray(sharpness, np.int32)
+                      if isinstance(sharpness, np.ndarray) else
+                      np.full((ys_b, xs_b), sharpness, np.int32)))])
     sec.append_writer(acmw)
     # HfGlobal
-    sec.bool(True)
+    if dct8_flat_weight is None:
+        sec.bool(True)
+    else:
+        # custom dequant: DCT8 table in kQuantModeDCT with one flat
+        # band => uniform AC step 1/(64*w), independent of sigma —
+        # used by the EPF asymptotic-kernel probes
+        sec.bool(False)
+        from jxl_coder_tpu.vardct.quant_tables import NUM_QUANT_TABLES
+        for i in range(NUM_QUANT_TABLES):
+            if i == 0:
+                sec.u(6, 3)           # MODE_DCT
+                sec.u(0, 4)           # one band
+                for _c in range(3):
+                    sec.f16(dct8_flat_weight)
+            else:
+                sec.u(0, 3)           # MODE_LIBRARY
     sec.u32(0, 0x5F, 0x13, 0, (13, 0))
     ts = TokenStream(NUM_CTXS * (37 + 458))
     write_ac_group(ts, order, xs_b, ys_b)
