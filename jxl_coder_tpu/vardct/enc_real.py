@@ -144,6 +144,23 @@ def _token_cost(vals: np.ndarray, cov: int) -> float:
 _D_WEIGHTS = (8.0, 1.0, 0.35)   # X, Y, B distortion weights (XYB space)
 
 
+def _quantize_biased(ratio: np.ndarray, c: int) -> np.ndarray:
+    """Quantize coefficient/step ratios accounting for the decoder's
+    AdjustQuantBias shrinkage: pick the integer whose *reconstruction*
+    adjust(q)*step lands closest to the target."""
+    from . import synthesis as S
+    q0 = np.round(ratio)
+    best_q = q0.astype(np.int64)
+    best_e = np.abs(S.adjust_quant_bias(best_q, c) - ratio)
+    for dq in (-1, 1):
+        q = q0.astype(np.int64) + dq
+        e = np.abs(S.adjust_quant_bias(q, c) - ratio)
+        take = e < best_e
+        best_q = np.where(take, q, best_q)
+        best_e = np.where(take, e, best_e)
+    return best_q
+
+
 def _quantize_block(coeff: np.ndarray, strategy: int, qf: int, igs: float,
                     fx: float, fb: float, tabs_cache: dict,
                     dq_dc=None):
@@ -172,21 +189,23 @@ def _quantize_block(coeff: np.ndarray, strategy: int, qf: int, igs: float,
     area = float(st.covered * 64)
     flatY = coeff[1].ravel()
     stepY = tabs[1][idx] * inv_qac
-    qy = np.round(flatY[idx] / stepY).astype(np.int64)
+    qy = _quantize_biased(flatY[idx] / stepY, 1)
     vy = np.zeros(size, np.int64)
     vy[cov:] = qy
     out[1] = vy
-    dqY = qy.astype(np.float64) * stepY
+    # the decoder reconstructs adjust(q)*step — model that exactly,
+    # including the CfL base the chroma channels subtract
+    dqY = S.adjust_quant_bias(qy, 1) * stepY
     dist += area * _D_WEIGHTS[1] * float(np.sum((dqY - flatY[idx]) ** 2))
     recon = {1: dqY}
     for c, f in ((0, fx), (2, fb)):
         flat = coeff[c].ravel()[idx] - f * dqY
         step = tabs[c][idx] * inv_qac
-        q = np.round(flat / step).astype(np.int64)
+        q = _quantize_biased(flat / step, c)
         v = np.zeros(size, np.int64)
         v[cov:] = q
         out[c] = v
-        rec = q.astype(np.float64) * step + f * dqY
+        rec = S.adjust_quant_bias(q, c) * step + f * dqY
         dist += area * _D_WEIGHTS[c] * float(
             np.sum((rec - coeff[c].ravel()[idx]) ** 2))
     if dq_dc is not None:
