@@ -613,6 +613,25 @@ def _native_xyb_to_srgb(X, Y, B, bits):
     return out
 
 
+def xyb_planes_to_gamma(X, Y, B, gamma, bits):
+    """XYB -> linear RGB -> pure power TRC (ColourEncoding.have_gamma
+    streams; gamma is the ENCODE exponent, e.g. 1/2.2)."""
+    X = X.astype(np.float32)
+    Y = Y.astype(np.float32)
+    B = B.astype(np.float32)
+    g_r = Y + X + np.float32(_CBRT_BIAS)
+    g_g = Y - X + np.float32(_CBRT_BIAS)
+    g_b = B + np.float32(_CBRT_BIAS)
+    mixed = np.stack([g_r * g_r * g_r - np.float32(_BIAS),
+                      g_g * g_g * g_g - np.float32(_BIAS),
+                      g_b * g_b * g_b - np.float32(_BIAS)], axis=-1)
+    lin = mixed @ _OPSIN_INV.T.astype(np.float32)
+    enc = np.power(np.maximum(lin, 0.0), np.float32(gamma))
+    maxv = (1 << bits) - 1
+    out = np.clip(np.floor(enc * maxv + 0.5), 0, maxv)
+    return out.astype(np.uint8 if bits <= 8 else np.uint16)
+
+
 def xyb_planes_to_srgb8(X, Y, B):
     out = _native_xyb_to_srgb(X, Y, B, 8)
     if out is not None:
@@ -1322,7 +1341,16 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         Y = upsample_plane(Y[:h, :w], fh.upsampling, weights)
         B = upsample_plane(B[:h, :w], fh.upsampling, weights)
     bits = m.bit_depth.bits_per_sample
-    if device_rgb is not None:
+    ce = m.colour_encoding
+    gamma = None
+    if ce is not None and ce.have_gamma:
+        # stream declares a pure power TRC (e.g. alpha_png_freepik's
+        # 1/2.2): encode the linear output with it instead of sRGB
+        gamma = ce.gamma / 1e7
+    if gamma is not None:
+        rgb = xyb_planes_to_gamma(X, Y, B, gamma,
+                                  bits)[:full_h, :full_w]
+    elif device_rgb is not None:
         rgb = device_rgb[:full_h, :full_w]
     elif bits > 8:
         rgb = xyb_planes_to_srgb16(X, Y, B)[:full_h, :full_w]
