@@ -808,11 +808,12 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
                 else:
                     cmat += (xfv if c == 0 else bfv)[:, None, None] \
                         * acY_mat
-                # LLF from the (cfl'ed) DC image
+                # LLF from the (cfl'ed) DC image; BLAS matmuls (numpy
+                # einsum without optimize= runs a slow scalar kernel)
                 dcb = dc_planes[c][dcb_idx_y, dcb_idx_x].astype(np.float64)
-                llf = np.einsum("ky,nyx,lx->nkl", anY, dcb, anX) * rs
+                llf = (anY @ dcb @ anX.T) * rs
                 cmat[:, :cy, :cx] = llf
-                pix[c] = np.einsum("nkl,km,lo->nmo", cmat, Ah, Aw)
+                pix[c] = Ah.T @ cmat @ Aw
         for i, vb in enumerate(group):
             for c in range(3):
                 planes[c][vb.by * 8:vb.by * 8 + bh,

@@ -77,15 +77,34 @@ QUANT_BIAS_NUM = 0.145
 _CALIB_AMP_FACTOR = 1.0 - QUANT_BIAS_NUM / (16.0 * 16.0)
 
 
+_BIAS_LUT_R = 4096
+_BIAS_LUT = None
+
+
+def _bias_luts():
+    global _BIAS_LUT
+    if _BIAS_LUT is None:
+        q = np.arange(-_BIAS_LUT_R, _BIAS_LUT_R + 1, dtype=np.float64)
+        safe = np.where(q == 0.0, 1.0, q)
+        big = q - QUANT_BIAS_NUM / safe
+        _BIAS_LUT = np.stack([
+            np.where(np.abs(q) > 1.0, big, q * (1.0 - QUANT_BIAS[c]))
+            for c in range(3)])
+    return _BIAS_LUT
+
+
 def adjust_quant_bias(vals: np.ndarray, c: int) -> np.ndarray:
     """AdjustQuantBias over an integer coefficient array (any shape)."""
-    v = vals.astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        big = v - QUANT_BIAS_NUM / v
-    out = np.where(v == 0.0, 0.0, big)
-    out = np.where(v == 1.0, 1.0 - QUANT_BIAS[c], out)
-    out = np.where(v == -1.0, QUANT_BIAS[c] - 1.0, out)
-    return out
+    v = np.asarray(vals)
+    if v.dtype.kind in "iu":
+        vi = v if v.dtype == np.int64 else v.astype(np.int64)
+        if not vi.size or abs(int(vi.max(initial=0))) <= _BIAS_LUT_R \
+                and abs(int(vi.min(initial=0))) <= _BIAS_LUT_R:
+            return _bias_luts()[c][vi + _BIAS_LUT_R]
+    v = v.astype(np.float64)
+    safe = np.where(v == 0.0, 1.0, v)
+    return np.where(np.abs(v) > 1.0, v - QUANT_BIAS_NUM / safe,
+                    v * (1.0 - QUANT_BIAS[c]))
 
 
 def calib():
