@@ -160,7 +160,7 @@ def sharded_reconstruct_real(mesh: Mesh, gab: bool = True, epf: bool = True,
                           + p[:, 2:, :-2] + p[:, 2:, 2:]))
             gap = jnp.max(jnp.abs(sm - c) / dc_steps[:, None, None], axis=0)
             gap = jnp.maximum(0.5, gap)
-            mix = jnp.clip((0.7 - gap) / 0.2, 0.0, 1.0)
+            mix = jnp.clip(3.0 - 4.0 * gap, 0.0, 1.0)
             out = c + (sm - c) * mix[None]
             grow = idx * ysh + jnp.arange(ysh)
             xs = dcp.shape[2]

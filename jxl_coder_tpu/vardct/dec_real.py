@@ -670,7 +670,7 @@ DC_SMOOTH_W2 = 0.0334829185968739
 def adaptive_dc_smoothing(dc_planes, dc_steps):
     """3x3 weighted smoothing of the DC image, gated per sample by the
     largest per-channel deviation in quant-step units:
-    factor = clamp((0.7 - gap)/0.2, 0, 1), gap >= 0.5.  Image-border
+    factor = clamp(3 - 4*gap, 0, 1), gap >= 0.5.  Image-border
     samples are left untouched.  (Pinned by flag-toggle probes.)"""
     w1, w2 = DC_SMOOTH_W1, DC_SMOOTH_W2
     w0 = 1.0 - 4.0 * (w1 + w2)

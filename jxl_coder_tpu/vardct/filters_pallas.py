@@ -211,3 +211,129 @@ def fused_filters2(img_padded: jnp.ndarray, inv_padded: jnp.ndarray,
             pltpu.SemaphoreType.DMA(()),
         ],
     )(img_padded, inv_padded)
+
+
+# ---------------------------------------------------------------------------
+# Real-format fused kernel: gaborish + EPF pass 1 with the pinned wire
+# semantics (5-tap patch SADs, per-pixel inverse-sigma incl. the 2/3
+# block-border multiplier, activity gate keeping the gaborish output).
+
+def _kernel_real(img_hbm, inv_hbm, act_hbm, out_ref, simg, sinv, sact,
+                 sem1, sem2, sem3, *, tile: int, width: int, height: int,
+                 cs: tuple, gw1: float, gw2: float):
+    i = pl.program_id(0)
+    d1 = pltpu.make_async_copy(
+        img_hbm.at[:, pl.ds(i * tile, tile + 2 * PAD), :], simg, sem1)
+    d2 = pltpu.make_async_copy(
+        inv_hbm.at[pl.ds(i * tile, tile + 2 * PAD), :], sinv, sem2)
+    d3 = pltpu.make_async_copy(
+        act_hbm.at[pl.ds(i * tile, tile + 2 * PAD), :], sact, sem3)
+    d1.start(); d2.start(); d3.start()
+    d1.wait(); d2.wait(); d3.wait()
+
+    norm = 1.0 + 4.0 * (gw1 + gw2)
+    k = np.array([[gw2, gw1, gw2], [gw1, 1.0, gw1], [gw2, gw1, gw2]],
+                 np.float32) / norm
+    t6 = tile + 6
+    base = PAD - 4  # input row feeding gaborish output row -3, dy=0
+    grow = jax.lax.broadcasted_iota(jnp.int32, (t6, 1), 0) + i * tile - 3
+
+    def gab_channel(c):
+        img = simg[c]
+        imgp = jnp.concatenate([img[:, :1], img, img[:, -1:]], axis=1)
+        g = jnp.zeros((t6, width), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                g = g + k[dy, dx] * imgp[base + dy:base + dy + t6,
+                                         dx:dx + width]
+        # out-of-image gaborish rows -> edge gaborish row replicas
+        # (harness pads INPUT rows; host semantics pad the gab OUTPUT)
+        g = jnp.where(grow < 0, g[3:4, :], g)
+        g = jnp.where(grow > height - 1, g[3 + tile - 1:3 + tile, :], g)
+        # x edge replication of the gaborish output by 2 columns
+        return jnp.concatenate([g[:, :1], g[:, :1], g,
+                                g[:, -1:], g[:, -1:]], axis=1)
+
+    gabs = [gab_channel(c) for c in range(3)]
+
+    # All patch SADs decompose over adjacent-pixel difference planes:
+    # sad(0,1)(p) = sum_taps Dh(p+t), sad(0,-1)(p) = sum_taps Dh(p+t-x1)
+    # with Dh = sum_c cs_c |g_c - g_c shifted x+1| (likewise Dv for the
+    # vertical neighbours) — 2 difference planes instead of 60 slices.
+    wx = width + 4
+    Dh = jnp.zeros((t6, wx - 1), jnp.float32)
+    Dv = jnp.zeros((t6 - 1, wx), jnp.float32)
+    for c in range(3):
+        g = gabs[c]
+        Dh = Dh + cs[c] * jnp.abs(g[:, :-1] - g[:, 1:])
+        Dv = Dv + cs[c] * jnp.abs(g[:-1, :] - g[1:, :])
+
+    taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+
+    def cross_sum(D, oy, ox):
+        acc = jnp.zeros((tile, width), jnp.float32)
+        for (ty, tx) in taps:
+            acc = acc + D[3 + oy + ty:3 + oy + ty + tile,
+                          2 + ox + tx:2 + ox + tx + width]
+        return acc
+
+    inv_c = sinv[PAD:PAD + tile, :]
+    act_c = sact[PAD:PAD + tile, :]
+    sads = {(0, 1): cross_sum(Dh, 0, 0),
+            (0, -1): cross_sum(Dh, 0, -1),
+            (1, 0): cross_sum(Dv, 0, 0),
+            (-1, 0): cross_sum(Dv, -1, 0)}
+
+    def at(g, dy, dx):
+        return g[3 + dy:3 + dy + tile, 2 + dx:2 + dx + width]
+
+    num = [at(g, 0, 0) for g in gabs]
+    den = jnp.ones((tile, width), jnp.float32)
+    for (dy, dx), sad in sads.items():
+        w = jnp.maximum(0.0, 1.0 + sad * inv_c)
+        den = den + w
+        for c in range(3):
+            num[c] = num[c] + w * at(gabs[c], dy, dx)
+    inv_den = 1.0 / den
+    for c in range(3):
+        out_ref[c] = jnp.where(act_c > 0.5, num[c] * inv_den,
+                               at(gabs[c], 0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def fused_real_gab_epf1(img_padded: jnp.ndarray, inv_padded: jnp.ndarray,
+                        act_padded: jnp.ndarray,
+                        tile: int = 16) -> jnp.ndarray:
+    """Real-format gaborish + EPF1 in one VMEM pass.
+
+    img_padded: (3, H+2*PAD, W) XYB planes, rows edge-padded by PAD;
+    inv_padded: (H+2*PAD, W) per-pixel KINV*2.53/sigma incl. the 2/3
+    border multiplier (0 where inactive); act_padded: (H+2*PAD, W)
+    1.0/0.0 activity.  Returns (3, H, W) float32.
+    """
+    from .dec_real import EPF_CHANNEL_SCALE
+    _, hp, w = img_padded.shape
+    h = hp - 2 * PAD
+    assert h % tile == 0 and tile % 8 == 0, (h, tile)
+    kernel = functools.partial(
+        _kernel_real, tile=tile, width=w, height=h,
+        cs=tuple(float(c) for c in EPF_CHANNEL_SCALE),
+        gw1=0.115169525, gw2=0.061248592)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+        grid=(h // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((3, tile, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile + 2 * PAD, w), jnp.float32),
+            pltpu.VMEM((tile + 2 * PAD, w), jnp.float32),
+            pltpu.VMEM((tile + 2 * PAD, w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(img_padded, inv_padded, act_padded)

@@ -248,8 +248,38 @@ def _synth_family(planes, dc_glob, fam, sid, n_pad, bh, bw, cov,
 
 
 def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
-                          pass0_scale, pass2_scale):
+                          pass0_scale, pass2_scale, std_gab=False):
     from .tpu_real import gaborish_device, epf1_device
+    if gab and epf_iters == 1 and std_gab:
+        # fused Pallas gaborish+EPF1 when shapes/weights allow
+        from .tpu_real import _fused_filters_ok
+        from .dec_real import (EPF_SIGMA_GATE, KINV_SIGMA,
+                               EPF1_INV_SCALE)
+        import jax.numpy as jnp
+        H, W = Y.shape
+        tile = _fused_filters_ok(H, W)
+        if tile is not None:
+            from .filters_pallas import fused_real_gab_epf1, PAD
+            active = sigma >= EPF_SIGMA_GATE
+            inv = jnp.where(active,
+                            KINV_SIGMA * EPF1_INV_SCALE
+                            / jnp.maximum(sigma, 1e-9), 0.0)
+            inv_px = jnp.repeat(jnp.repeat(inv, 8, 0), 8, 1)[:H, :W]
+            act_px = jnp.repeat(jnp.repeat(
+                active.astype(jnp.float32), 8, 0), 8, 1)[:H, :W]
+            bx = jnp.arange(W) % 8
+            by = jnp.arange(H) % 8
+            border = (((by == 0) | (by == 7))[:, None]
+                      | ((bx == 0) | (bx == 7))[None, :])
+            inv_px = jnp.where(border, inv_px * np.float32(2.0 / 3.0),
+                               inv_px)
+            img = jnp.stack([X, Y, B])
+            img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)),
+                          mode="edge")
+            inv_px = jnp.pad(inv_px, ((PAD, PAD), (0, 0)), mode="edge")
+            act_px = jnp.pad(act_px, ((PAD, PAD), (0, 0)), mode="edge")
+            out = fused_real_gab_epf1(img, inv_px, act_px, tile=tile)
+            return out[0], out[1], out[2]
     if gab:
         X = gaborish_device(X, gabw[0], gabw[1])
         Y = gaborish_device(Y, gabw[2], gabw[3])
@@ -267,6 +297,7 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
 
 
 def _xyb_to_srgb16_device(X, Y, B):
+    import jax
     import jax.numpy as jnp
     from .tpu_real import (fast_linear_to_srgb_device, _OPSIN_INV32)
     from .dec_real import _BIAS, _CBRT_BIAS
@@ -275,17 +306,23 @@ def _xyb_to_srgb16_device(X, Y, B):
     g_r = Y + X + cb
     g_g = Y - X + cb
     g_b = B + cb
-    mixed = jnp.stack([g_r * g_r * g_r - bias,
-                       g_g * g_g * g_g - bias,
-                       g_b * g_b * g_b - bias], axis=-1)
-    lin = mixed @ _OPSIN_INV32.T
+    ml = g_r * g_r * g_r - bias
+    mm = g_g * g_g * g_g - bias
+    ms = g_b * g_b * g_b - bias
+    # 3x3 opsin inverse unrolled to scalar VPU ops: a matmul here would
+    # hit the MXU at default bf16 precision (max uint8 error was 28),
+    # and a 3-wide MXU op wastes lanes anyway
+    M = np.asarray(_OPSIN_INV32)
+    lin = jnp.stack([np.float32(M[c, 0]) * ml + np.float32(M[c, 1]) * mm
+                     + np.float32(M[c, 2]) * ms for c in range(3)],
+                    axis=-1)
     srgb = fast_linear_to_srgb_device(lin)
     return jnp.clip(jnp.floor(srgb * 65535.0 + 0.5), 0,
                     65535).astype(jnp.uint16)
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled(desc, H8, W8, bits, gab, epf_iters):
+def _compiled(desc, H8, W8, bits, gab, epf_iters, std_gab=False):
     import jax
     import jax.numpy as jnp
     from .tpu_real import xyb_to_srgb8_device
@@ -304,7 +341,8 @@ def _compiled(desc, H8, W8, bits, gab, epf_iters):
         else:
             sigma = jnp.zeros_like(qf_map, jnp.float32)
         X, Y, B = _filters_chain_device(X, Y, B, sigma, gab, epf_iters,
-                                        gabw, pass0_scale, pass2_scale)
+                                        gabw, pass0_scale, pass2_scale,
+                                        std_gab)
         if bits > 8:
             return _xyb_to_srgb16_device(X, Y, B)
         return xyb_to_srgb8_device(X, Y, B)
@@ -327,8 +365,9 @@ def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
     else:
         gabw = np.asarray([0.115169525, 0.061248592] * 3, np.float32)
     dc = np.stack([dc_glob[c] for c in range(3)]).astype(np.float32)
+    std_gab = not (rf.gab_custom and rf.gab_weights is not None)
     fn = _compiled(desc, ys_b * 8, xs_b * 8, int(bits), bool(rf.gab),
-                   int(rf.epf_iters))
+                   int(rf.epf_iters), std_gab)
     out = fn(fams, dc, qf_map.astype(np.int32),
              sharp_map.astype(np.int32),
              np.float32(lf.inv_global_scale), qm, gabw,

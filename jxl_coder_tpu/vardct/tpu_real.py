@@ -50,7 +50,7 @@ def dc_smoothing_device(dc, steps):
                   + p[:, 2:, :-2] + p[:, 2:, 2:]))
     gap = jnp.max(jnp.abs(sm - dc) / steps[:, None, None], axis=0)
     gap = jnp.maximum(0.5, gap)
-    mix = jnp.clip((0.7 - gap) / 0.2, 0.0, 1.0)
+    mix = jnp.clip(3.0 - 4.0 * gap, 0.0, 1.0)
     out = dc + (sm - dc) * mix[None]
     # image borders untouched
     ys, xs = dc.shape[1], dc.shape[2]
@@ -158,10 +158,16 @@ def xyb_to_srgb8_device(X, Y, B):
     g_r = Y + X + cb
     g_g = Y - X + cb
     g_b = B + cb
-    mixed = jnp.stack([g_r * g_r * g_r - bias,
-                       g_g * g_g * g_g - bias,
-                       g_b * g_b * g_b - bias], axis=-1)
-    lin = mixed @ _OPSIN_INV32.T
+    ml = g_r * g_r * g_r - bias
+    mm = g_g * g_g * g_g - bias
+    ms = g_b * g_b * g_b - bias
+    # 3x3 opsin inverse unrolled to scalar VPU ops: a matmul here would
+    # hit the MXU at default bf16 precision (max uint8 error was 28),
+    # and a 3-wide MXU op wastes lanes anyway
+    M = np.asarray(_OPSIN_INV32)
+    lin = jnp.stack([np.float32(M[c, 0]) * ml + np.float32(M[c, 1]) * mm
+                     + np.float32(M[c, 2]) * ms for c in range(3)],
+                    axis=-1)
     srgb = fast_linear_to_srgb_device(lin)
     return jnp.clip(jnp.floor(srgb * 255.0 + 0.5), 0, 255).astype(
         jnp.uint8)
@@ -208,7 +214,46 @@ def synth_dct8_planes(coeffs, dc, qf, xf, bf, table,
     return synth_from_dcp(coeffs, dcp, qf, xf, bf, table, igs, qm_x, qm_b)
 
 
+def _fused_filters_ok(H, W):
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        return None
+    if W % 128:
+        return None
+    for t in (24, 16, 8):
+        if H % t == 0:
+            return t
+    return None
+
+
 def apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab, epf):
+    H, W = Yp.shape
+    tile = _fused_filters_ok(H, W) if (gab and epf) else None
+    if tile is not None:
+        # one VMEM pass for gaborish + EPF1 (real wire semantics)
+        from .dec_real import EPF_SIGMA_GATE
+        from .filters_pallas import fused_real_gab_epf1, PAD
+        sigma = (EPF_SIGMA_PER * sharp.astype(jnp.float32)
+                 * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
+        active = sigma >= EPF_SIGMA_GATE
+        inv = jnp.where(active,
+                        KINV_SIGMA * EPF1_INV_SCALE
+                        / jnp.maximum(sigma, 1e-9), 0.0)
+        inv_px = jnp.repeat(jnp.repeat(inv, 8, 0), 8, 1)[:H, :W]
+        act_px = jnp.repeat(jnp.repeat(
+            active.astype(jnp.float32), 8, 0), 8, 1)[:H, :W]
+        bx = jnp.arange(W) % 8
+        by = jnp.arange(H) % 8
+        border = (((by == 0) | (by == 7))[:, None]
+                  | ((bx == 0) | (bx == 7))[None, :])
+        inv_px = jnp.where(border, inv_px * np.float32(2.0 / 3.0),
+                           inv_px)
+        img = jnp.stack([Xp, Yp, Bp])
+        img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)), mode="edge")
+        inv_px = jnp.pad(inv_px, ((PAD, PAD), (0, 0)), mode="edge")
+        act_px = jnp.pad(act_px, ((PAD, PAD), (0, 0)), mode="edge")
+        out = fused_real_gab_epf1(img, inv_px, act_px, tile=tile)
+        return out[0], out[1], out[2]
     if gab:
         w1, w2 = np.float32(0.115169525), np.float32(0.061248592)
         Xp = gaborish_device(Xp, w1, w2)
