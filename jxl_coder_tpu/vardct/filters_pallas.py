@@ -217,19 +217,38 @@ def fused_filters2(img_padded: jnp.ndarray, inv_padded: jnp.ndarray,
 # Real-format fused kernel: gaborish + EPF pass 1 with the pinned wire
 # semantics (5-tap patch SADs, per-pixel inverse-sigma incl. the 2/3
 # block-border multiplier, activity gate keeping the gaborish output).
+# Double-buffered: the DMA for row-tile i+1 is issued before computing
+# tile i (scratch persists across sequential grid steps on TPU).
 
-def _kernel_real(img_hbm, inv_hbm, act_hbm, out_ref, simg, sinv, sact,
-                 sem1, sem2, sem3, *, tile: int, width: int, height: int,
-                 cs: tuple, gw1: float, gw2: float):
+def _kernel_real(img_hbm, aux_hbm, out_ref, sbuf, abuf, sems, asems, *,
+                 tile: int, width: int, height: int, cs: tuple,
+                 gw1: float, gw2: float, to_srgb: bool = False):
     i = pl.program_id(0)
-    d1 = pltpu.make_async_copy(
-        img_hbm.at[:, pl.ds(i * tile, tile + 2 * PAD), :], simg, sem1)
-    d2 = pltpu.make_async_copy(
-        inv_hbm.at[pl.ds(i * tile, tile + 2 * PAD), :], sinv, sem2)
-    d3 = pltpu.make_async_copy(
-        act_hbm.at[pl.ds(i * tile, tile + 2 * PAD), :], sact, sem3)
-    d1.start(); d2.start(); d3.start()
-    d1.wait(); d2.wait(); d3.wait()
+    n = pl.num_programs(0)
+
+    def dma(slot, idx):
+        return pltpu.make_async_copy(
+            img_hbm.at[:, pl.ds(idx * tile, tile + 2 * PAD), :],
+            sbuf.at[slot], sems.at[slot])
+
+    def adma(slot, idx):
+        return pltpu.make_async_copy(
+            aux_hbm.at[:, pl.ds(idx * tile, tile), :],
+            abuf.at[slot], asems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+        adma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+        adma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    adma(i % 2, i).wait()
+    stk = sbuf[i % 2]
 
     norm = 1.0 + 4.0 * (gw1 + gw2)
     k = np.array([[gw2, gw1, gw2], [gw1, 1.0, gw1], [gw2, gw1, gw2]],
@@ -239,7 +258,7 @@ def _kernel_real(img_hbm, inv_hbm, act_hbm, out_ref, simg, sinv, sact,
     grow = jax.lax.broadcasted_iota(jnp.int32, (t6, 1), 0) + i * tile - 3
 
     def gab_channel(c):
-        img = simg[c]
+        img = stk[c]
         imgp = jnp.concatenate([img[:, :1], img, img[:, -1:]], axis=1)
         g = jnp.zeros((t6, width), jnp.float32)
         for dy in range(3):
@@ -277,8 +296,14 @@ def _kernel_real(img_hbm, inv_hbm, act_hbm, out_ref, simg, sinv, sact,
                           2 + ox + tx:2 + ox + tx + width]
         return acc
 
-    inv_c = sinv[PAD:PAD + tile, :]
-    act_c = sact[PAD:PAD + tile, :]
+    # aux arrives pixel-expanded; fold the 2/3 block-border SAD
+    # multiplier in via an iota mask (cheap VPU work)
+    inv_b = abuf[i % 2, 0]
+    act_c = abuf[i % 2, 1]
+    ry = jax.lax.broadcasted_iota(jnp.int32, (tile, width), 0) % 8
+    cx = jax.lax.broadcasted_iota(jnp.int32, (tile, width), 1) % 8
+    border = (ry == 0) | (ry == 7) | (cx == 0) | (cx == 7)
+    inv_c = jnp.where(border, inv_b * np.float32(2.0 / 3.0), inv_b)
     sads = {(0, 1): cross_sum(Dh, 0, 0),
             (0, -1): cross_sum(Dh, 0, -1),
             (1, 0): cross_sum(Dv, 0, 0),
@@ -295,45 +320,88 @@ def _kernel_real(img_hbm, inv_hbm, act_hbm, out_ref, simg, sinv, sact,
         for c in range(3):
             num[c] = num[c] + w * at(gabs[c], dy, dx)
     inv_den = 1.0 / den
+    xyb = [jnp.where(act_c > 0.5, num[c] * inv_den, at(gabs[c], 0, 0))
+           for c in range(3)]
+    if not to_srgb:
+        for c in range(3):
+            out_ref[c] = xyb[c]
+        return
+    # XYB -> linear -> sRGB8 with the exact FastLinearToSRGB bit trick
+    # (the 16-entry exponent tables become unrolled selects)
+    from .dec_real import (_OPSIN_INV, _BIAS, _CBRT_BIAS,
+                           _POW25TO18, _POW17TO10)
+    cb = np.float32(_CBRT_BIAS)
+    bias = np.float32(_BIAS)
+    g_r = xyb[1] + xyb[0] + cb
+    g_g = xyb[1] - xyb[0] + cb
+    g_b = xyb[2] + cb
+    ml = g_r * g_r * g_r - bias
+    mm = g_g * g_g * g_g - bias
+    ms = g_b * g_b * g_b - bias
+    M = np.asarray(_OPSIN_INV, np.float32)
+    mulbits = [np.uint32((int(_POW25TO18[k]) << 18)
+                         | (int(_POW17TO10[k]) << 10) | 0x40000000)
+               for k in range(16)]
     for c in range(3):
-        out_ref[c] = jnp.where(act_c > 0.5, num[c] * inv_den,
-                               at(gabs[c], 0, 0))
+        v = (np.float32(M[c, 0]) * ml + np.float32(M[c, 1]) * mm
+             + np.float32(M[c, 2]) * ms)
+        vb = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        v025 = jax.lax.bitcast_convert_type(
+            (vb | np.uint32(0x3e800000)) & np.uint32(0x3effffff),
+            jnp.float32)
+        d1 = v025 * np.float32(0.059914046) + np.float32(-0.108894556)
+        d2 = d1 * v025 + np.float32(0.107963754)
+        pw = d2 * v025 + np.float32(0.018092343)
+        exp = ((vb >> np.uint32(23)) - np.uint32(118)) & np.uint32(0xf)
+        mb = jnp.full(v.shape, mulbits[0], jnp.uint32)
+        for k in range(1, 16):
+            mb = jnp.where(exp == np.uint32(k), mulbits[k], mb)
+        mul = jax.lax.bitcast_convert_type(mb, jnp.float32)
+        srgb = jnp.where(v < np.float32(0.0031308),
+                         v * np.float32(12.92),
+                         pw * mul + np.float32(-0.055))
+        q = jnp.floor(srgb * np.float32(255.0) + np.float32(0.5))
+        out_ref[c] = jnp.clip(q, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def fused_real_gab_epf1(img_padded: jnp.ndarray, inv_padded: jnp.ndarray,
-                        act_padded: jnp.ndarray,
-                        tile: int = 16) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("tile", "to_srgb"))
+def fused_real_gab_epf1(img_padded: jnp.ndarray, inv_blocks: jnp.ndarray,
+                        act_blocks: jnp.ndarray,
+                        tile: int = 16, to_srgb: bool = False
+                        ) -> jnp.ndarray:
     """Real-format gaborish + EPF1 in one VMEM pass.
 
     img_padded: (3, H+2*PAD, W) XYB planes, rows edge-padded by PAD;
-    inv_padded: (H+2*PAD, W) per-pixel KINV*2.53/sigma incl. the 2/3
-    border multiplier (0 where inactive); act_padded: (H+2*PAD, W)
-    1.0/0.0 activity.  Returns (3, H, W) float32.
+    inv_blocks: (H/8, W/8) per-BLOCK KINV*2.53/sigma (0 where
+    inactive; the 2/3 border multiplier is applied in-kernel);
+    act_blocks: (H/8, W/8) 1.0/0.0 activity.  Returns (3, H, W) f32.
     """
     from .dec_real import EPF_CHANNEL_SCALE
     _, hp, w = img_padded.shape
     h = hp - 2 * PAD
     assert h % tile == 0 and tile % 8 == 0, (h, tile)
+    # pixel-expand outside the kernel (Mosaic cannot lane-repeat and
+    # sub-8-row DMA slices are unaligned); border mul stays in-kernel
+    aux = jnp.stack([
+        jnp.repeat(jnp.repeat(inv_blocks, 8, 0), 8, 1)[:h],
+        jnp.repeat(jnp.repeat(act_blocks, 8, 0), 8, 1)[:h]])
     kernel = functools.partial(
         _kernel_real, tile=tile, width=w, height=h,
         cs=tuple(float(c) for c in EPF_CHANNEL_SCALE),
-        gw1=0.115169525, gw2=0.061248592)
+        gw1=0.115169525, gw2=0.061248592, to_srgb=to_srgb)
+    out_dt = jnp.uint8 if to_srgb else jnp.float32
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, h, w), out_dt),
         grid=(h // tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec((3, tile, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, tile + 2 * PAD, w), jnp.float32),
-            pltpu.VMEM((tile + 2 * PAD, w), jnp.float32),
-            pltpu.VMEM((tile + 2 * PAD, w), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 3, tile + 2 * PAD, w), jnp.float32),
+            pltpu.VMEM((2, 2, tile, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(img_padded, inv_padded, act_padded)
+    )(img_padded, aux)

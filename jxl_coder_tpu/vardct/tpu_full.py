@@ -264,21 +264,12 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
             inv = jnp.where(active,
                             KINV_SIGMA * EPF1_INV_SCALE
                             / jnp.maximum(sigma, 1e-9), 0.0)
-            inv_px = jnp.repeat(jnp.repeat(inv, 8, 0), 8, 1)[:H, :W]
-            act_px = jnp.repeat(jnp.repeat(
-                active.astype(jnp.float32), 8, 0), 8, 1)[:H, :W]
-            bx = jnp.arange(W) % 8
-            by = jnp.arange(H) % 8
-            border = (((by == 0) | (by == 7))[:, None]
-                      | ((bx == 0) | (bx == 7))[None, :])
-            inv_px = jnp.where(border, inv_px * np.float32(2.0 / 3.0),
-                               inv_px)
             img = jnp.stack([X, Y, B])
             img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)),
                           mode="edge")
-            inv_px = jnp.pad(inv_px, ((PAD, PAD), (0, 0)), mode="edge")
-            act_px = jnp.pad(act_px, ((PAD, PAD), (0, 0)), mode="edge")
-            out = fused_real_gab_epf1(img, inv_px, act_px, tile=tile)
+            out = fused_real_gab_epf1(img, inv.astype(jnp.float32),
+                                      active.astype(jnp.float32),
+                                      tile=tile)
             return out[0], out[1], out[2]
     if gab:
         X = gaborish_device(X, gabw[0], gabw[1])

@@ -239,20 +239,10 @@ def apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab, epf):
         inv = jnp.where(active,
                         KINV_SIGMA * EPF1_INV_SCALE
                         / jnp.maximum(sigma, 1e-9), 0.0)
-        inv_px = jnp.repeat(jnp.repeat(inv, 8, 0), 8, 1)[:H, :W]
-        act_px = jnp.repeat(jnp.repeat(
-            active.astype(jnp.float32), 8, 0), 8, 1)[:H, :W]
-        bx = jnp.arange(W) % 8
-        by = jnp.arange(H) % 8
-        border = (((by == 0) | (by == 7))[:, None]
-                  | ((bx == 0) | (bx == 7))[None, :])
-        inv_px = jnp.where(border, inv_px * np.float32(2.0 / 3.0),
-                           inv_px)
         img = jnp.stack([Xp, Yp, Bp])
         img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)), mode="edge")
-        inv_px = jnp.pad(inv_px, ((PAD, PAD), (0, 0)), mode="edge")
-        act_px = jnp.pad(act_px, ((PAD, PAD), (0, 0)), mode="edge")
-        out = fused_real_gab_epf1(img, inv_px, act_px, tile=tile)
+        out = fused_real_gab_epf1(img, inv.astype(jnp.float32),
+                                  active.astype(jnp.float32), tile=tile)
         return out[0], out[1], out[2]
     if gab:
         w1, w2 = np.float32(0.115169525), np.float32(0.061248592)
@@ -278,6 +268,24 @@ def reconstruct_dct8_frame(coeffs, dc, qf, sharp, xf, bf, table,
     Xp, Yp, Bp = synth_dct8_planes(coeffs, dc, qf, xf, bf, table, igs,
                                    quant_dc, dcq, qm_x, qm_b,
                                    skip_dc_smooth)
+    H, W = Yp.shape
+    tile = _fused_filters_ok(H, W) if (gab and epf) else None
+    if tile is not None:
+        # filters + sRGB8 in one fused VMEM pass
+        from .dec_real import EPF_SIGMA_GATE
+        from .filters_pallas import fused_real_gab_epf1, PAD
+        sigma = (EPF_SIGMA_PER * sharp.astype(jnp.float32)
+                 * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
+        active = sigma >= EPF_SIGMA_GATE
+        inv = jnp.where(active,
+                        KINV_SIGMA * EPF1_INV_SCALE
+                        / jnp.maximum(sigma, 1e-9), 0.0)
+        img = jnp.stack([Xp, Yp, Bp])
+        img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)), mode="edge")
+        rgb = fused_real_gab_epf1(img, inv.astype(jnp.float32),
+                                  active.astype(jnp.float32),
+                                  tile=tile, to_srgb=True)
+        return jnp.moveaxis(rgb, 0, -1)
     Xp, Yp, Bp = apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab,
                                       epf)
     return xyb_to_srgb8_device(Xp, Yp, Bp)
