@@ -233,7 +233,7 @@ def _kernel_real(img_hbm, aux_hbm, out_ref, sbuf, abuf, sems, asems, *,
 
     def adma(slot, idx):
         return pltpu.make_async_copy(
-            aux_hbm.at[:, pl.ds(idx * tile, tile), :],
+            aux_hbm.at[pl.ds(idx * tile, tile), :],
             abuf.at[slot], asems.at[slot])
 
     @pl.when(i == 0)
@@ -296,10 +296,11 @@ def _kernel_real(img_hbm, aux_hbm, out_ref, sbuf, abuf, sems, asems, *,
                           2 + ox + tx:2 + ox + tx + width]
         return acc
 
-    # aux arrives pixel-expanded; fold the 2/3 block-border SAD
-    # multiplier in via an iota mask (cheap VPU work)
-    inv_b = abuf[i % 2, 0]
-    act_c = abuf[i % 2, 1]
+    # aux arrives pixel-expanded; activity is implied by inv < 0
+    # (KINV is negative; inactive blocks carry inv == 0).  The 2/3
+    # block-border SAD multiplier folds in via an iota mask.
+    inv_b = abuf[i % 2]
+    act_c = inv_b < 0.0
     ry = jax.lax.broadcasted_iota(jnp.int32, (tile, width), 0) % 8
     cx = jax.lax.broadcasted_iota(jnp.int32, (tile, width), 1) % 8
     border = (ry == 0) | (ry == 7) | (cx == 0) | (cx == 7)
@@ -320,7 +321,7 @@ def _kernel_real(img_hbm, aux_hbm, out_ref, sbuf, abuf, sems, asems, *,
         for c in range(3):
             num[c] = num[c] + w * at(gabs[c], dy, dx)
     inv_den = 1.0 / den
-    xyb = [jnp.where(act_c > 0.5, num[c] * inv_den, at(gabs[c], 0, 0))
+    xyb = [jnp.where(act_c, num[c] * inv_den, at(gabs[c], 0, 0))
            for c in range(3)]
     if not to_srgb:
         for c in range(3):
@@ -366,15 +367,15 @@ def _kernel_real(img_hbm, aux_hbm, out_ref, sbuf, abuf, sems, asems, *,
 
 @functools.partial(jax.jit, static_argnames=("tile", "to_srgb"))
 def fused_real_gab_epf1(img_padded: jnp.ndarray, inv_blocks: jnp.ndarray,
-                        act_blocks: jnp.ndarray,
                         tile: int = 16, to_srgb: bool = False
                         ) -> jnp.ndarray:
     """Real-format gaborish + EPF1 in one VMEM pass.
 
     img_padded: (3, H+2*PAD, W) XYB planes, rows edge-padded by PAD;
-    inv_blocks: (H/8, W/8) per-BLOCK KINV*2.53/sigma (0 where
-    inactive; the 2/3 border multiplier is applied in-kernel);
-    act_blocks: (H/8, W/8) 1.0/0.0 activity.  Returns (3, H, W) f32.
+    inv_blocks: (H/8, W/8) per-BLOCK KINV*2.53/sigma, 0 where the
+    block is inactive (activity == inv < 0 in-kernel); the 2/3 border
+    multiplier is applied in-kernel.  Returns (3, H, W) f32 (or uint8
+    sRGB with to_srgb).
     """
     from .dec_real import EPF_CHANNEL_SCALE
     _, hp, w = img_padded.shape
@@ -382,9 +383,7 @@ def fused_real_gab_epf1(img_padded: jnp.ndarray, inv_blocks: jnp.ndarray,
     assert h % tile == 0 and tile % 8 == 0, (h, tile)
     # pixel-expand outside the kernel (Mosaic cannot lane-repeat and
     # sub-8-row DMA slices are unaligned); border mul stays in-kernel
-    aux = jnp.stack([
-        jnp.repeat(jnp.repeat(inv_blocks, 8, 0), 8, 1)[:h],
-        jnp.repeat(jnp.repeat(act_blocks, 8, 0), 8, 1)[:h]])
+    aux = jnp.repeat(jnp.repeat(inv_blocks, 8, 0), 8, 1)[:h]
     kernel = functools.partial(
         _kernel_real, tile=tile, width=w, height=h,
         cs=tuple(float(c) for c in EPF_CHANNEL_SCALE),
@@ -400,7 +399,7 @@ def fused_real_gab_epf1(img_padded: jnp.ndarray, inv_blocks: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 3, tile + 2 * PAD, w), jnp.float32),
-            pltpu.VMEM((2, 2, tile, w), jnp.float32),
+            pltpu.VMEM((2, tile, w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

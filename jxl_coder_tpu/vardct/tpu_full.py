@@ -268,7 +268,6 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
             img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)),
                           mode="edge")
             out = fused_real_gab_epf1(img, inv.astype(jnp.float32),
-                                      active.astype(jnp.float32),
                                       tile=tile)
             return out[0], out[1], out[2]
     if gab:

@@ -242,7 +242,7 @@ def apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab, epf):
         img = jnp.stack([Xp, Yp, Bp])
         img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)), mode="edge")
         out = fused_real_gab_epf1(img, inv.astype(jnp.float32),
-                                  active.astype(jnp.float32), tile=tile)
+                                  tile=tile)
         return out[0], out[1], out[2]
     if gab:
         w1, w2 = np.float32(0.115169525), np.float32(0.061248592)
@@ -283,7 +283,6 @@ def reconstruct_dct8_frame(coeffs, dc, qf, sharp, xf, bf, table,
         img = jnp.stack([Xp, Yp, Bp])
         img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)), mode="edge")
         rgb = fused_real_gab_epf1(img, inv.astype(jnp.float32),
-                                  active.astype(jnp.float32),
                                   tile=tile, to_srgb=True)
         return jnp.moveaxis(rgb, 0, -1)
     Xp, Yp, Bp = apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab,
