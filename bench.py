@@ -3,8 +3,9 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the REAL-format device reconstruction pipeline (dequant + CfL
-+ IDCT on the MXU + adaptive DC smoothing + gaborish + EPF stage 1 +
-bit-exact XYB->sRGB8) on 3840x2160 frames.  The inputs are actual
++ IDCT on the MXU + adaptive DC smoothing + gaborish + EPF passes 1+2
+— the full default-distance libjxl filter chain — + bit-exact
+XYB->sRGB8) on 3840x2160 frames.  The inputs are actual
 parsed coefficients: a 4K test frame is encoded with the real-format
 encoder and its pass group entropy-decoded on the host once; the
 device loop then measures reconstruction throughput.  The K-frame loop
@@ -77,7 +78,7 @@ def main():
             out = reconstruct_dct8_frame(
                 c2, dcv, qfv, shv, xfv, bfv, tbv, igs,
                 np.float32(10.0), dcq, np.float32(1.0), np.float32(1.0),
-                True, True, False)
+                True, 2, False)
             return carry + jnp.sum(out.astype(jnp.uint32)), None
 
         total, _ = jax.lax.scan(body, jnp.uint32(0), jnp.arange(K))

@@ -365,6 +365,243 @@ def _kernel_real(img_hbm, aux_hbm, out_ref, sbuf, abuf, sems, asems, *,
         out_ref[c] = jnp.clip(q, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Full default filter chain fused: gaborish + EPF pass 1 + EPF pass 2
+# (the epf_iters=2 chain every default-distance libjxl stream uses) in a
+# single VMEM pass, with optional in-kernel XYB->sRGB8/16 output.
+# EPF1 is computed on tile rows [-1, tile] so pass 2 sees true interior
+# neighbours at tile seams; at global image edges the EPF1 OUTPUT is
+# edge-replicated (exactly the host apply_epf2 np.pad(..., "edge")
+# semantics in dec_real.apply_epf2).
+
+def _srgb_out(out_ref, xyb, scale):
+    """XYB -> linear -> sRGB with the exact FastLinearToSRGB bit trick;
+    writes clip(floor(srgb*scale+0.5)) as int channels."""
+    from .dec_real import (_OPSIN_INV, _BIAS, _CBRT_BIAS,
+                           _POW25TO18, _POW17TO10)
+    cb = np.float32(_CBRT_BIAS)
+    bias = np.float32(_BIAS)
+    g_r = xyb[1] + xyb[0] + cb
+    g_g = xyb[1] - xyb[0] + cb
+    g_b = xyb[2] + cb
+    ml = g_r * g_r * g_r - bias
+    mm = g_g * g_g * g_g - bias
+    ms = g_b * g_b * g_b - bias
+    M = np.asarray(_OPSIN_INV, np.float32)
+    mulbits = [np.uint32((int(_POW25TO18[k]) << 18)
+                         | (int(_POW17TO10[k]) << 10) | 0x40000000)
+               for k in range(16)]
+    dt = out_ref.dtype
+    for c in range(3):
+        v = (np.float32(M[c, 0]) * ml + np.float32(M[c, 1]) * mm
+             + np.float32(M[c, 2]) * ms)
+        vb = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        v025 = jax.lax.bitcast_convert_type(
+            (vb | np.uint32(0x3e800000)) & np.uint32(0x3effffff),
+            jnp.float32)
+        d1 = v025 * np.float32(0.059914046) + np.float32(-0.108894556)
+        d2 = d1 * v025 + np.float32(0.107963754)
+        pw = d2 * v025 + np.float32(0.018092343)
+        exp = ((vb >> np.uint32(23)) - np.uint32(118)) & np.uint32(0xf)
+        mb = jnp.full(v.shape, mulbits[0], jnp.uint32)
+        for k in range(1, 16):
+            mb = jnp.where(exp == np.uint32(k), mulbits[k], mb)
+        mul = jax.lax.bitcast_convert_type(mb, jnp.float32)
+        srgb = jnp.where(v < np.float32(0.0031308),
+                         v * np.float32(12.92),
+                         pw * mul + np.float32(-0.055))
+        q = jnp.floor(srgb * np.float32(scale) + np.float32(0.5))
+        out_ref[c] = jnp.clip(q, 0.0, float(scale)).astype(
+            jnp.int32).astype(dt)
+
+
+def _kernel_chain(img_hbm, aux_hbm, out_ref, sbuf, abuf, sems, asems, *,
+                  tile: int, width: int, height: int, cs: tuple,
+                  gw1: float, gw2: float, epf_iters: int,
+                  pass2_scale: float, to_srgb: bool, bits: int):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(slot, idx):
+        return pltpu.make_async_copy(
+            img_hbm.at[:, pl.ds(idx * tile, tile + 2 * PAD), :],
+            sbuf.at[slot], sems.at[slot])
+
+    def adma(slot, idx):
+        # aux is padded by PAD rows each side on host; rows
+        # [idx*tile, idx*tile + tile + 8) cover EPF rows [-1, tile+1]
+        return pltpu.make_async_copy(
+            aux_hbm.at[pl.ds(idx * tile, tile + 2 * PAD), :],
+            abuf.at[slot], asems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+        adma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+        adma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    adma(i % 2, i).wait()
+    stk = sbuf[i % 2]
+
+    norm = 1.0 + 4.0 * (gw1 + gw2)
+    k = np.array([[gw2, gw1, gw2], [gw1, 1.0, gw1], [gw2, gw1, gw2]],
+                 np.float32) / norm
+    t6 = tile + 6          # gaborish rows: global [i*tile-3, i*tile+tile+2]
+    te = tile + 2          # EPF1 output rows: global [i*tile-1, i*tile+tile]
+    base = PAD - 4
+    grow = jax.lax.broadcasted_iota(jnp.int32, (t6, 1), 0) + i * tile - 3
+
+    def gab_channel(c):
+        img = stk[c]
+        imgp = jnp.concatenate([img[:, :1], img, img[:, -1:]], axis=1)
+        g = jnp.zeros((t6, width), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                g = g + k[dy, dx] * imgp[base + dy:base + dy + t6,
+                                         dx:dx + width]
+        g = jnp.where(grow < 0, g[3:4, :], g)
+        g = jnp.where(grow > height - 1, g[3 + tile - 1:3 + tile, :], g)
+        return jnp.concatenate([g[:, :1], g[:, :1], g,
+                                g[:, -1:], g[:, -1:]], axis=1)
+
+    gabs = [gab_channel(c) for c in range(3)]
+
+    # adjacent-difference planes: every 5-tap patch SAD decomposes over
+    # them (2 planes instead of 60 shifted slices)
+    wx = width + 4
+    Dh = jnp.zeros((t6, wx - 1), jnp.float32)
+    Dv = jnp.zeros((t6 - 1, wx), jnp.float32)
+    for c in range(3):
+        g = gabs[c]
+        Dh = Dh + cs[c] * jnp.abs(g[:, :-1] - g[:, 1:])
+        Dv = Dv + cs[c] * jnp.abs(g[:-1, :] - g[1:, :])
+
+    taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+
+    def cross_sum(D, oy, ox):
+        # EPF1 SAD over the extended output rows [-1, tile]
+        acc = jnp.zeros((te, width), jnp.float32)
+        for (ty, tx) in taps:
+            acc = acc + D[2 + oy + ty:2 + oy + ty + te,
+                          2 + ox + tx:2 + ox + tx + width]
+        return acc
+
+    # inv arrives pixel-expanded, padded by PAD rows each side; local
+    # row j of the EPF1 range (global i*tile+j-1) is abuf row j+3.
+    inv_ext = abuf[i % 2][3:3 + te, :]
+    act_ext = inv_ext < 0.0
+    grow1 = (jax.lax.broadcasted_iota(jnp.int32, (te, width), 0)
+             + i * tile - 1)
+    ry = (grow1 + 8) % 8
+    cx = jax.lax.broadcasted_iota(jnp.int32, (te, width), 1) % 8
+    border = (ry == 0) | (ry == 7) | (cx == 0) | (cx == 7)
+    inv_ext = jnp.where(border, inv_ext * np.float32(2.0 / 3.0), inv_ext)
+
+    sads = {(0, 1): cross_sum(Dh, 0, 0),
+            (0, -1): cross_sum(Dh, 0, -1),
+            (1, 0): cross_sum(Dv, 0, 0),
+            (-1, 0): cross_sum(Dv, -1, 0)}
+
+    def at(g, dy, dx):
+        return g[2 + dy:2 + dy + te, 2 + dx:2 + dx + width]
+
+    num = [at(g, 0, 0) for g in gabs]
+    den = jnp.ones((te, width), jnp.float32)
+    for (dy, dx), sad in sads.items():
+        w = jnp.maximum(0.0, 1.0 + sad * inv_ext)
+        den = den + w
+        for c in range(3):
+            num[c] = num[c] + w * at(gabs[c], dy, dx)
+    inv_den = 1.0 / den
+    out1 = [jnp.where(act_ext, num[c] * inv_den, at(gabs[c], 0, 0))
+            for c in range(3)]
+
+    if epf_iters < 2:
+        xyb = [o[1:1 + tile] for o in out1]
+    else:
+        # edge-replicate the EPF1 OUTPUT at global image borders, then
+        # pass 2: 4-neighbour cross, POINTWISE SADs, slope * pass2_scale
+        rep = [jnp.where(grow1 < 0, o[1:2, :], o) for o in out1]
+        rep = [jnp.where(grow1 > height - 1, o[te - 2:te - 1, :], o)
+               for o in rep]
+        o1p = [jnp.concatenate([o[:, :1], o, o[:, -1:]], axis=1)
+               for o in rep]
+        inv2 = inv_ext[1:1 + tile, :] * np.float32(pass2_scale)
+        act2 = act_ext[1:1 + tile, :]
+        cen = [o[1:1 + tile, 1:1 + width] for o in o1p]
+        num2 = [c for c in cen]
+        den2 = jnp.ones((tile, width), jnp.float32)
+        for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            nb = [o[1 + dy:1 + dy + tile, 1 + dx:1 + dx + width]
+                  for o in o1p]
+            sad = jnp.zeros((tile, width), jnp.float32)
+            for c in range(3):
+                sad = sad + cs[c] * jnp.abs(cen[c] - nb[c])
+            w = jnp.maximum(0.0, 1.0 + sad * inv2)
+            den2 = den2 + w
+            for c in range(3):
+                num2[c] = num2[c] + w * nb[c]
+        inv_d2 = 1.0 / den2
+        xyb = [jnp.where(act2, num2[c] * inv_d2, cen[c])
+               for c in range(3)]
+
+    if not to_srgb:
+        for c in range(3):
+            out_ref[c] = xyb[c]
+        return
+    _srgb_out(out_ref, xyb, 255.0 if bits <= 8 else 65535.0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "epf_iters", "pass2_scale", "gw1", "gw2", "to_srgb", "bits"))
+def fused_real_filters(img_padded: jnp.ndarray, inv_blocks: jnp.ndarray,
+                       tile: int = 16, epf_iters: int = 2,
+                       pass2_scale: float = 6.5,
+                       gw1: float = 0.115169525, gw2: float = 0.061248592,
+                       to_srgb: bool = False, bits: int = 8
+                       ) -> jnp.ndarray:
+    """Gaborish + EPF1 (+ EPF2) in one VMEM pass, real wire semantics.
+
+    img_padded: (3, H+2*PAD, W) XYB planes, rows edge-padded by PAD;
+    inv_blocks: (H/8, W/8) per-BLOCK KINV*2.53/sigma (EPF1 slope), 0
+    where inactive.  Returns (3, H, W) f32, or uint8/uint16 sRGB with
+    to_srgb (bits selects the output scale).
+    """
+    from .dec_real import EPF_CHANNEL_SCALE
+    _, hp, w = img_padded.shape
+    h = hp - 2 * PAD
+    assert h % tile == 0 and tile % 8 == 0, (h, tile)
+    aux = jnp.repeat(jnp.repeat(inv_blocks, 8, 0), 8, 1)[:h]
+    aux = jnp.pad(aux, ((PAD, PAD), (0, 0)), mode="edge")
+    kernel = functools.partial(
+        _kernel_chain, tile=tile, width=w, height=h,
+        cs=tuple(float(c) for c in EPF_CHANNEL_SCALE),
+        gw1=float(gw1), gw2=float(gw2), epf_iters=int(epf_iters),
+        pass2_scale=float(pass2_scale), to_srgb=to_srgb, bits=bits)
+    out_dt = jnp.float32 if not to_srgb else (
+        jnp.uint8 if bits <= 8 else jnp.uint16)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, h, w), out_dt),
+        grid=(h // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((3, tile, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, tile + 2 * PAD, w), jnp.float32),
+            pltpu.VMEM((2, tile + 2 * PAD, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(img_padded, aux)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "to_srgb"))
 def fused_real_gab_epf1(img_padded: jnp.ndarray, inv_blocks: jnp.ndarray,
                         tile: int = 16, to_srgb: bool = False

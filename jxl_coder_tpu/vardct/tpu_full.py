@@ -248,18 +248,22 @@ def _synth_family(planes, dc_glob, fam, sid, n_pad, bh, bw, cov,
 
 
 def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
-                          pass0_scale, pass2_scale, std_gab=False):
+                          pass0_scale, pass2_scale):
     from .tpu_real import gaborish_device, epf1_device
-    if gab and epf_iters == 1 and std_gab:
-        # fused Pallas gaborish+EPF1 when shapes/weights allow
+    if gab and epf_iters in (1, 2):
+        # fused Pallas gaborish + EPF1 (+ EPF2) when shapes allow; the
+        # gaborish weights and pass-2 scale are static kernel params
+        # (gabw is a numpy array here, never a tracer — see _compiled)
         from .tpu_real import _fused_filters_ok
         from .dec_real import (EPF_SIGMA_GATE, KINV_SIGMA,
                                EPF1_INV_SCALE)
         import jax.numpy as jnp
         H, W = Y.shape
         tile = _fused_filters_ok(H, W)
-        if tile is not None:
-            from .filters_pallas import fused_real_gab_epf1, PAD
+        gw = np.asarray(gabw)
+        uniform = bool(np.all(gw.reshape(3, 2) == gw.reshape(3, 2)[0]))
+        if tile is not None and uniform:
+            from .filters_pallas import fused_real_filters, PAD
             active = sigma >= EPF_SIGMA_GATE
             inv = jnp.where(active,
                             KINV_SIGMA * EPF1_INV_SCALE
@@ -267,8 +271,10 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
             img = jnp.stack([X, Y, B])
             img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)),
                           mode="edge")
-            out = fused_real_gab_epf1(img, inv.astype(jnp.float32),
-                                      tile=tile)
+            out = fused_real_filters(img, inv.astype(jnp.float32),
+                                     tile=tile, epf_iters=epf_iters,
+                                     pass2_scale=pass2_scale,
+                                     gw1=float(gw[0]), gw2=float(gw[1]))
             return out[0], out[1], out[2]
     if gab:
         X = gaborish_device(X, gabw[0], gabw[1])
@@ -312,13 +318,14 @@ def _xyb_to_srgb16_device(X, Y, B):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled(desc, H8, W8, bits, gab, epf_iters, std_gab=False):
+def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
+              pass2_scale):
     import jax
     import jax.numpy as jnp
     from .tpu_real import xyb_to_srgb8_device
+    gabw = np.asarray(gabw_t, np.float32)
 
-    def fn(fams, dc_glob, qf_map, sharp_map, igs, qm, gabw,
-           pass0_scale, pass2_scale):
+    def fn(fams, dc_glob, qf_map, sharp_map, igs, qm):
         planes = [jnp.zeros((H8, W8), jnp.float32) for _ in range(3)]
         for fam, (sid, n_pad, bh, bw, cov, special) in zip(fams, desc):
             planes = _synth_family(planes, dc_glob, fam, sid, n_pad,
@@ -331,8 +338,7 @@ def _compiled(desc, H8, W8, bits, gab, epf_iters, std_gab=False):
         else:
             sigma = jnp.zeros_like(qf_map, jnp.float32)
         X, Y, B = _filters_chain_device(X, Y, B, sigma, gab, epf_iters,
-                                        gabw, pass0_scale, pass2_scale,
-                                        std_gab)
+                                        gabw, pass0_scale, pass2_scale)
         if bits > 8:
             return _xyb_to_srgb16_device(X, Y, B)
         return xyb_to_srgb8_device(X, Y, B)
@@ -355,12 +361,11 @@ def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
     else:
         gabw = np.asarray([0.115169525, 0.061248592] * 3, np.float32)
     dc = np.stack([dc_glob[c] for c in range(3)]).astype(np.float32)
-    std_gab = not (rf.gab_custom and rf.gab_weights is not None)
     fn = _compiled(desc, ys_b * 8, xs_b * 8, int(bits), bool(rf.gab),
-                   int(rf.epf_iters), std_gab)
+                   int(rf.epf_iters), tuple(float(g) for g in gabw),
+                   float(rf.epf_pass0_sigma_scale),
+                   float(rf.epf_pass2_sigma_scale))
     out = fn(fams, dc, qf_map.astype(np.int32),
              sharp_map.astype(np.int32),
-             np.float32(lf.inv_global_scale), qm, gabw,
-             np.float32(rf.epf_pass0_sigma_scale),
-             np.float32(rf.epf_pass2_sigma_scale))
+             np.float32(lf.inv_global_scale), qm)
     return np.asarray(out)

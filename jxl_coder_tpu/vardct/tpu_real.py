@@ -226,65 +226,77 @@ def _fused_filters_ok(H, W):
     return None
 
 
-def apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab, epf):
+def _epf_inv_map(qf, sharp, igs):
+    from .dec_real import EPF_SIGMA_GATE
+    sigma = (EPF_SIGMA_PER * sharp.astype(jnp.float32)
+             * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
+    active = sigma >= EPF_SIGMA_GATE
+    inv = jnp.where(active,
+                    KINV_SIGMA * EPF1_INV_SCALE
+                    / jnp.maximum(sigma, 1e-9), 0.0)
+    return sigma, inv.astype(jnp.float32)
+
+
+def apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab, epf_iters):
+    """epf_iters: 0-3 (bool True means 1, matching the old signature)."""
+    epf_iters = int(epf_iters)
     H, W = Yp.shape
-    tile = _fused_filters_ok(H, W) if (gab and epf) else None
+    tile = (_fused_filters_ok(H, W)
+            if (gab and epf_iters in (1, 2)) else None)
     if tile is not None:
-        # one VMEM pass for gaborish + EPF1 (real wire semantics)
-        from .dec_real import EPF_SIGMA_GATE
-        from .filters_pallas import fused_real_gab_epf1, PAD
-        sigma = (EPF_SIGMA_PER * sharp.astype(jnp.float32)
-                 * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
-        active = sigma >= EPF_SIGMA_GATE
-        inv = jnp.where(active,
-                        KINV_SIGMA * EPF1_INV_SCALE
-                        / jnp.maximum(sigma, 1e-9), 0.0)
+        # one VMEM pass for gaborish + EPF1 (+ EPF2) — real semantics
+        from .filters_pallas import fused_real_filters, PAD
+        _, inv = _epf_inv_map(qf, sharp, igs)
         img = jnp.stack([Xp, Yp, Bp])
         img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)), mode="edge")
-        out = fused_real_gab_epf1(img, inv.astype(jnp.float32),
-                                  tile=tile)
+        out = fused_real_filters(img, inv, tile=tile,
+                                 epf_iters=epf_iters)
         return out[0], out[1], out[2]
     if gab:
         w1, w2 = np.float32(0.115169525), np.float32(0.061248592)
         Xp = gaborish_device(Xp, w1, w2)
         Yp = gaborish_device(Yp, w1, w2)
         Bp = gaborish_device(Bp, w1, w2)
-    if epf:
+    if epf_iters >= 1:
         sigma = (EPF_SIGMA_PER * sharp.astype(jnp.float32)
                  * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
+        if epf_iters >= 3:
+            Xp, Yp, Bp = epf_device(Xp, Yp, Bp, sigma,
+                                    offs=EPF_OFFS_DIAMOND12,
+                                    slope_scale=0.9)
         Xp, Yp, Bp = epf1_device(Xp, Yp, Bp, sigma)
+        if epf_iters >= 2:
+            from .tpu_full import _epf2_device
+            Xp, Yp, Bp = _epf2_device(Xp, Yp, Bp, sigma, 6.5)
     return Xp, Yp, Bp
 
 
 def reconstruct_dct8_frame(coeffs, dc, qf, sharp, xf, bf, table,
                            igs, quant_dc, dcq, qm_x, qm_b,
-                           gab, epf, skip_dc_smooth):
+                           gab, epf_iters, skip_dc_smooth):
     """All-DCT8 frame reconstruction on device.
 
     coeffs: (3, ys, xs, 64) float32 scan->basis ALREADY applied
     (basis-indexed); dc: (3, ys, xs) int32 (y, x, b channel order);
-    qf/sharp: (ys, xs); xf/bf: per-block cfl factor maps (ys, xs).
+    qf/sharp: (ys, xs); xf/bf: per-block cfl factor maps (ys, xs);
+    epf_iters: 0-3 (bool True means 1).
     """
+    epf_iters = int(epf_iters)
     Xp, Yp, Bp = synth_dct8_planes(coeffs, dc, qf, xf, bf, table, igs,
                                    quant_dc, dcq, qm_x, qm_b,
                                    skip_dc_smooth)
     H, W = Yp.shape
-    tile = _fused_filters_ok(H, W) if (gab and epf) else None
+    tile = (_fused_filters_ok(H, W)
+            if (gab and epf_iters in (1, 2)) else None)
     if tile is not None:
         # filters + sRGB8 in one fused VMEM pass
-        from .dec_real import EPF_SIGMA_GATE
-        from .filters_pallas import fused_real_gab_epf1, PAD
-        sigma = (EPF_SIGMA_PER * sharp.astype(jnp.float32)
-                 * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
-        active = sigma >= EPF_SIGMA_GATE
-        inv = jnp.where(active,
-                        KINV_SIGMA * EPF1_INV_SCALE
-                        / jnp.maximum(sigma, 1e-9), 0.0)
+        from .filters_pallas import fused_real_filters, PAD
+        _, inv = _epf_inv_map(qf, sharp, igs)
         img = jnp.stack([Xp, Yp, Bp])
         img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)), mode="edge")
-        rgb = fused_real_gab_epf1(img, inv.astype(jnp.float32),
-                                  tile=tile, to_srgb=True)
+        rgb = fused_real_filters(img, inv, tile=tile,
+                                 epf_iters=epf_iters, to_srgb=True)
         return jnp.moveaxis(rgb, 0, -1)
     Xp, Yp, Bp = apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab,
-                                      epf)
+                                      epf_iters)
     return xyb_to_srgb8_device(Xp, Yp, Bp)
