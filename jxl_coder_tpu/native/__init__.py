@@ -118,53 +118,70 @@ class NativeEntropy:
         self._buf = bytes(br.data)  # keep alive
         self.dec = dec
         self.use_ans = not dec.use_prefix
-        if self.use_ans:
-            num_clusters = len(dec.alias_tables)
-            lengths = []
-            offsets = [0] * (num_clusters + 1)
-        else:
-            num_clusters = len(dec.prefix_codes)
-            lengths = []
-            offsets = [0]
-            for pc in dec.prefix_codes:
-                lengths.extend(pc.lengths)
-                offsets.append(len(lengths))
-        cmap = np.asarray(dec.cluster_map, np.int32)
-        lengths_a = np.asarray(lengths, np.int32)
-        offsets_a = np.asarray(offsets, np.int32)
-        configs = []
-        for cfg in dec.configs:
-            configs.extend([cfg.split_exponent, cfg.msb_in_token,
-                            cfg.lsb_in_token])
-        configs_a = np.asarray(configs, np.int32)
-        lz = dec.lz77
-        lz_a = np.asarray([
-            1 if lz.enabled else 0, lz.min_symbol, lz.min_length,
-            lz.length_config.split_exponent, lz.length_config.msb_in_token,
-            lz.length_config.lsb_in_token], np.int32)
+        # Pack tables once per shared EntropyCode: every AC group of a
+        # pass reuses the same histograms (HfGlobal), so cache the
+        # packed arrays on the code object.
+        pack = getattr(dec.code, "_native_pack", None)
+        if pack is None:
+            if self.use_ans:
+                num_clusters = len(dec.alias_tables)
+                lengths = []
+                offsets = [0] * (num_clusters + 1)
+            else:
+                num_clusters = len(dec.prefix_codes)
+                lengths = []
+                offsets = [0]
+                for pc in dec.prefix_codes:
+                    lengths.extend(pc.lengths)
+                    offsets.append(len(lengths))
+            cmap = np.asarray(dec.cluster_map, np.int32)
+            lengths_a = np.asarray(lengths, np.int32)
+            offsets_a = np.asarray(offsets, np.int32)
+            configs = []
+            for cfg in dec.configs:
+                configs.extend([cfg.split_exponent, cfg.msb_in_token,
+                                cfg.lsb_in_token])
+            configs_a = np.asarray(configs, np.int32)
+            lz = dec.lz77
+            lz_a = np.asarray([
+                1 if lz.enabled else 0, lz.min_symbol, lz.min_length,
+                lz.length_config.split_exponent,
+                lz.length_config.msb_in_token,
+                lz.length_config.lsb_in_token], np.int32)
+            ans_pack = None
+            if self.use_ans:
+                la = dec.log_alpha
+                n = 1 << la
+                cut = np.zeros((num_clusters, n), np.int32)
+                rgt = np.zeros((num_clusters, n), np.int32)
+                off = np.zeros((num_clusters, n), np.int32)
+                frq = np.zeros((num_clusters, n), np.int32)
+                for cl, at in enumerate(dec.alias_tables):
+                    cut[cl, :len(at.cutoffs)] = at.cutoffs
+                    rgt[cl, :len(at.right)] = at.right
+                    off[cl, :len(at.offsets)] = at.offsets
+                    frq[cl, :len(at.freq)] = at.freq
+                ans_pack = (la, cut, rgt, off, frq)
+            pack = (num_clusters, cmap, lengths_a, offsets_a, configs_a,
+                    lz_a, ans_pack)
+            try:
+                dec.code._native_pack = pack
+            except AttributeError:
+                pass
+        (num_clusters, cmap, lengths_a, offsets_a, configs_a, lz_a,
+         ans_pack) = pack
         i32p = ctypes.POINTER(ctypes.c_int32)
-        self._keep = (cmap, lengths_a, offsets_a, configs_a, lz_a)
+        self._keep = pack
         self.ctx = lib.entropy_new(
             self._buf, len(self._buf), br.pos,
-            len(dec.cluster_map) - (1 if lz.enabled else 0),
+            len(dec.cluster_map) - (1 if dec.lz77.enabled else 0),
             cmap.ctypes.data_as(i32p), len(cmap), num_clusters,
             lengths_a.ctypes.data_as(i32p),
             offsets_a.ctypes.data_as(i32p),
             configs_a.ctypes.data_as(i32p),
             lz_a.ctypes.data_as(i32p))
         if self.use_ans:
-            la = dec.log_alpha
-            n = 1 << la
-            cut = np.zeros((num_clusters, n), np.int32)
-            rgt = np.zeros((num_clusters, n), np.int32)
-            off = np.zeros((num_clusters, n), np.int32)
-            frq = np.zeros((num_clusters, n), np.int32)
-            for cl, at in enumerate(dec.alias_tables):
-                cut[cl, :len(at.cutoffs)] = at.cutoffs
-                rgt[cl, :len(at.right)] = at.right
-                off[cl, :len(at.offsets)] = at.offsets
-                frq[cl, :len(at.freq)] = at.freq
-            self._keep_ans = (cut, rgt, off, frq)
+            la, cut, rgt, off, frq = ans_pack
             lib.entropy_set_ans(
                 self.ctx, la,
                 cut.ctypes.data_as(i32p), rgt.ctypes.data_as(i32p),

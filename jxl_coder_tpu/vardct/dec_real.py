@@ -268,7 +268,7 @@ def read_lf_group(br: BitReader, lf: LfGlobal, xs_b: int, ys_b: int,
             if vi >= count:
                 raise BitstreamError("too few AC metadata entries")
             strategy = int(acs_row[vi])
-            st = _strategies().get(strategy)
+            st = _S_.get(strategy)
             if st is None:
                 raise BitstreamError("invalid AC strategy %d" % strategy)
             if bx + st.cx > xs_b or by + st.cy > ys_b:
@@ -384,6 +384,23 @@ class VarBlock:
     values: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
 
 
+def _dense_base(blocks) -> np.ndarray:
+    """The shared dense coefficient array when every VarBlock's values
+    are views of one buffer (the native decode layout); else None."""
+    if not blocks:
+        return None
+    base = blocks[0].values.get(0) is not None \
+        and blocks[0].values[0].base
+    if base is None or base is False:
+        return None
+    for vb in (blocks[0], blocks[-1]):
+        for c in range(3):
+            v = vb.values.get(c)
+            if v is None or v.base is not base:
+                return None
+    return base
+
+
 def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
                     lg: LfGroup, xs_b: int, ys_b: int,
                     pass_index: int, histo_index: int,
@@ -463,50 +480,105 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
     return blocks
 
 
+_STRAT_LUTS = None
+
+
+def _strategy_luts():
+    """Per-strategy-id lookup arrays (covered, log2_covered, num_coeffs,
+    cx, cy, order_bucket, valid) for vectorized anchor building."""
+    global _STRAT_LUTS
+    if _STRAT_LUTS is None:
+        from .strategies import STRATEGIES
+        m = max(STRATEGIES) + 1
+        f = [np.zeros(m, np.int32) for _ in range(6)]
+        valid = np.zeros(m, bool)
+        for sid, s in STRATEGIES.items():
+            f[0][sid], f[1][sid], f[2][sid] = (s.covered, s.log2_covered,
+                                               s.num_coeffs)
+            f[3][sid], f[4][sid], f[5][sid] = s.cx, s.cy, s.order_bucket
+            valid[sid] = True
+        _STRAT_LUTS = (*f, valid)
+    return _STRAT_LUTS
+
+
+def _native_orders(hf, pass_index):
+    """Flattened custom coefficient orders + (order_bucket, c) -> offset
+    table for one pass, cached on the HfGlobal (shared by all groups)."""
+    cache = getattr(hf, "_native_orders_cache", None)
+    if cache is None:
+        cache = hf._native_orders_cache = {}
+    ent = cache.get(pass_index)
+    if ent is None:
+        orders_flat: List[int] = []
+        bucket_off = np.full((NUM_ORDERS, 3), -1, np.int32)
+        for (pi, ob, c), perm in hf.orders.items():
+            if pi != pass_index:
+                continue
+            bucket_off[ob, c] = len(orders_flat)
+            orders_flat.extend(perm)
+        orders_a = np.asarray(orders_flat if orders_flat else [0],
+                              np.int32)
+        ent = cache[pass_index] = (orders_a, bucket_off)
+    return ent
+
+
 def _read_pass_group_native(native_mod, dec, br, lf, hf, lg, xs_b, ys_b,
                             pass_index, histo_index, dc_q):
     import ctypes
-    from .strategies import STRATEGIES
     bcm = lf.bcm
     num_ctxs = bcm.num_ctxs
     ctx_base = histo_index * num_ctxs \
         * (NONZERO_BUCKETS + ZERO_DENSITY_CTX_COUNT)
-    # flatten custom orders
-    orders_flat: List[int] = []
-    order_offset_by_key = {}
-    for key, perm in hf.orders.items():
-        order_offset_by_key[key] = len(orders_flat)
-        orders_flat.extend(perm)
-    anchors = []
-    order_offs = []
-    total = 0
-    blocks_meta = []
-    for by in range(ys_b):
-        for bx in range(xs_b):
-            acs = int(lg.acs_map[by, bx])
-            if acs < 0:
-                continue
-            strat = STRATEGIES.get(acs)
-            if strat is None:
-                raise BitstreamError("invalid AC strategy %d" % acs)
-            qf = int(lg.qf_map[by, bx])
-            dc_idx = dc_context_idx(
-                bcm, (dc_q[1, by, bx], dc_q[0, by, bx], dc_q[2, by, bx]))
-            bctx = [bcm.context(dc_idx, qf, strat.order_bucket, c)
-                    for c in range(3)]
-            anchors.extend([bx, by, strat.covered, strat.log2_covered,
-                            strat.num_coeffs, strat.cx, strat.cy,
-                            total, bctx[0], bctx[1], bctx[2]])
-            for c in range(3):
-                key = (pass_index, strat.order_bucket, c)
-                order_offs.append(order_offset_by_key.get(key, -1))
-            blocks_meta.append((bx, by, acs, strat.num_coeffs, total))
-            total += 3 * strat.num_coeffs
-    n_anchors = len(blocks_meta)
+    cov_l, l2_l, nc_l, cx_l, cy_l, ob_l, valid_l = _strategy_luts()
+    acs_map = np.asarray(lg.acs_map)
+    sel = acs_map >= 0
+    bys, bxs = np.nonzero(sel)          # raster order (matches stream)
+    ids = acs_map[sel]
+    if ids.size and (int(ids.max()) >= len(valid_l)
+                     or not valid_l[ids].all()):
+        bad = ids[~valid_l[np.minimum(ids, len(valid_l) - 1)]
+                  | (ids >= len(valid_l))]
+        raise BitstreamError("invalid AC strategy %d" % int(bad[0]))
+    qfv = np.asarray(lg.qf_map)[sel].astype(np.int64)
+    # dc ctx index: thresholds over (x, y, b) DC values
+    dc_idx = np.zeros(ids.shape, np.int64)
+    for c, row in enumerate((1, 0, 2)):
+        th = bcm.dc_thresholds[c]
+        if th:
+            sub = (np.asarray(dc_q[row])[sel][None, :]
+                   > np.asarray(th)[:, None]).sum(0)
+            dc_idx = dc_idx * (len(th) + 1) + sub
+    qft = np.asarray(bcm.qf_thresholds)
+    qf_idx = ((qfv[None, :] > qft[:, None]).sum(0)
+              if qft.size else np.zeros(ids.shape, np.int64))
+    nq = len(bcm.qf_thresholds) + 1
+    cmap_arr = np.asarray(bcm.ctx_map)
+    obv = ob_l[ids]
+    ncv = nc_l[ids]
+    n_anchors = len(ids)
+    anchors_a = np.empty((max(n_anchors, 1), 11), np.int32)
+    offs64 = np.zeros(n_anchors + 1, np.int64)
+    np.cumsum(3 * ncv.astype(np.int64), out=offs64[1:])
+    total = int(offs64[-1])
+    if n_anchors:
+        anchors_a[:, 0] = bxs
+        anchors_a[:, 1] = bys
+        anchors_a[:, 2] = cov_l[ids]
+        anchors_a[:, 3] = l2_l[ids]
+        anchors_a[:, 4] = ncv
+        anchors_a[:, 5] = cx_l[ids]
+        anchors_a[:, 6] = cy_l[ids]
+        anchors_a[:, 7] = offs64[:-1]
+        for c in range(3):
+            cidx = (c ^ 1) if c < 2 else 2
+            ii = (((cidx * NUM_ORDERS + obv.astype(np.int64)) * nq
+                   + qf_idx) * bcm.num_dc_ctxs + dc_idx)
+            anchors_a[:, 8 + c] = cmap_arr[ii]
+    anchors_a = np.ascontiguousarray(anchors_a)
+    orders_a, bucket_off = _native_orders(hf, pass_index)
+    offs_a = (np.ascontiguousarray(bucket_off[obv].reshape(-1))
+              if n_anchors else np.zeros(1, np.int32))
     out = np.zeros(max(total, 1), np.int32)
-    anchors_a = np.asarray(anchors, np.int32)
-    orders_a = np.asarray(orders_flat if orders_flat else [0], np.int32)
-    offs_a = np.asarray(order_offs if order_offs else [0], np.int32)
     ne = native_mod.NativeEntropy(dec, br)
     i32p = ctypes.POINTER(ctypes.c_int32)
     rc = ne.lib.decode_ac_group_native(
@@ -521,8 +593,11 @@ def _read_pass_group_native(native_mod, dec, br, lf, hf, lg, xs_b, ys_b,
     if not dec.check_final_state():
         raise BitstreamError("AC group checksum failed")
     blocks = []
-    for (bx, by, acs, size, off) in blocks_meta:
-        vb = VarBlock(bx=bx, by=by, strategy=acs)
+    for i in range(n_anchors):
+        off = int(offs64[i])
+        size = int(ncv[i])
+        vb = VarBlock(bx=int(bxs[i]), by=int(bys[i]),
+                      strategy=int(ids[i]))
         for c in range(3):
             vb.values[c] = out[off + c * size: off + (c + 1) * size]
         blocks.append(vb)
@@ -1226,17 +1301,31 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
             if blocks is None:
                 blocks = blocks_p
                 if pass_shift[0]:
-                    sh = np.int64(1) << pass_shift[0]
-                    for vb in blocks:
-                        for c in vb.values:
-                            vb.values[c] = vb.values[c].astype(np.int64)                                 * sh
+                    base = _dense_base(blocks)
+                    if base is not None:
+                        # native blocks view one dense array: shift it
+                        # in place (coefficients stay far from 2^31)
+                        base <<= pass_shift[0]
+                    else:
+                        sh = np.int64(1) << pass_shift[0]
+                        for vb in blocks:
+                            for c in vb.values:
+                                vb.values[c] = \
+                                    vb.values[c].astype(np.int64) * sh
             else:
-                sh = np.int64(1) << pass_shift[p]
-                for vb, vbp in zip(blocks, blocks_p):
-                    for c in vb.values:
-                        vb.values[c] = (vb.values[c].astype(np.int64)
-                                        + vbp.values[c].astype(np.int64)
-                                        * sh)
+                base = _dense_base(blocks)
+                base_p = _dense_base(blocks_p)
+                if base is not None and base_p is not None \
+                        and base.shape == base_p.shape:
+                    # anchors/offsets are identical across passes
+                    base += base_p << pass_shift[p]
+                else:
+                    sh = np.int64(1) << pass_shift[p]
+                    for vb, vbp in zip(blocks, blocks_p):
+                        for c in vb.values:
+                            vb.values[c] = (
+                                vb.values[c].astype(np.int64)
+                                + vbp.values[c].astype(np.int64) * sh)
             if lf.mfd is not None:
                 try:
                     lf.mfd.read_group(br_g, gi, ndc, ng, pass_index=p)
