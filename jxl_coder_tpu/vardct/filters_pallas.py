@@ -447,17 +447,31 @@ def _kernel_chain(img_hbm, aux_hbm, out_ref, sbuf, abuf, sems, asems, *,
     dma(i % 2, i).wait()
     adma(i % 2, i).wait()
     stk = sbuf[i % 2]
+    _chain_math([stk[c] for c in range(3)], abuf[i % 2], i, out_ref,
+                tile=tile, width=width, height=height, cs=cs, gw1=gw1,
+                gw2=gw2, epf_iters=epf_iters, pass2_scale=pass2_scale,
+                to_srgb=to_srgb, bits=bits)
 
+
+def _chain_math(chans, inv_buf, i, out_ref, *, tile, width, height, cs,
+                gw1, gw2, epf_iters, pass2_scale, to_srgb, bits,
+                pad=PAD):
+    """Shared gaborish + EPF1 (+EPF2) (+sRGB) tile computation.
+
+    chans: three (tile + 2*pad, width) row windows (rows i*tile-pad ..,
+    edge-replicated at global borders); inv_buf: (tile + 2*pad, width)
+    pixel-expanded EPF1 inverse-sigma rows i*tile-pad .. .
+    """
     norm = 1.0 + 4.0 * (gw1 + gw2)
     k = np.array([[gw2, gw1, gw2], [gw1, 1.0, gw1], [gw2, gw1, gw2]],
                  np.float32) / norm
     t6 = tile + 6          # gaborish rows: global [i*tile-3, i*tile+tile+2]
     te = tile + 2          # EPF1 output rows: global [i*tile-1, i*tile+tile]
-    base = PAD - 4
+    base = pad - 4
     grow = jax.lax.broadcasted_iota(jnp.int32, (t6, 1), 0) + i * tile - 3
 
     def gab_channel(c):
-        img = stk[c]
+        img = chans[c]
         imgp = jnp.concatenate([img[:, :1], img, img[:, -1:]], axis=1)
         g = jnp.zeros((t6, width), jnp.float32)
         for dy in range(3):
@@ -491,9 +505,10 @@ def _kernel_chain(img_hbm, aux_hbm, out_ref, sbuf, abuf, sems, asems, *,
                           2 + ox + tx:2 + ox + tx + width]
         return acc
 
-    # inv arrives pixel-expanded, padded by PAD rows each side; local
-    # row j of the EPF1 range (global i*tile+j-1) is abuf row j+3.
-    inv_ext = abuf[i % 2][3:3 + te, :]
+    # inv arrives pixel-expanded, padded by `pad` rows each side; local
+    # row j of the EPF1 range (global i*tile+j-1) is buffer row
+    # j + pad - 1.
+    inv_ext = inv_buf[pad - 1:pad - 1 + te, :]
     act_ext = inv_ext < 0.0
     grow1 = (jax.lax.broadcasted_iota(jnp.int32, (te, width), 0)
              + i * tile - 1)
@@ -600,6 +615,166 @@ def fused_real_filters(img_padded: jnp.ndarray, inv_blocks: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(img_padded, aux)
+
+
+# ---------------------------------------------------------------------------
+# Three-plane variant: consumes the synthesis outputs directly (no
+# stack+pad HBM pass).  Row halos are handled in-kernel: edge tiles DMA
+# only the in-image rows and replicate the border row into the halo.
+
+PAD3 = 8   # 3-plane kernel halo: Mosaic DMA slices need 8-row alignment
+
+
+def _kernel_chain3(x_hbm, y_hbm, b_hbm, aux_hbm, out_ref, sbuf, abuf,
+                   sems, asems, *, tile: int, width: int, height: int,
+                   cs: tuple, gw1: float, gw2: float, epf_iters: int,
+                   pass2_scale: float, to_srgb: bool, bits: int):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    PAD_ = PAD3
+    win = tile + 2 * PAD_
+    chans_hbm = (x_hbm, y_hbm, b_hbm)
+
+    def issue(slot, idx):
+        """Branch-keyed DMA sets for tile idx: edge tiles copy only the
+        in-image rows (the halo is filled by replication after wait)."""
+
+        def chan_copy(c, src_rows, dst_off, length):
+            return pltpu.make_async_copy(
+                chans_hbm[c].at[pl.ds(src_rows, length), :],
+                sbuf.at[slot, c, pl.ds(dst_off, length)],
+                sems.at[slot, c])
+
+        def acopy(src_rows, dst_off, length):
+            return pltpu.make_async_copy(
+                aux_hbm.at[pl.ds(src_rows, length), :],
+                abuf.at[slot, pl.ds(dst_off, length)],
+                asems.at[slot])
+
+        if n == 1:
+            ops = [chan_copy(c, 0, PAD_, tile) for c in range(3)]
+            ops.append(acopy(0, PAD_, tile))
+            return {(True, True): ops}
+        # write the start as an explicit multiple of 8 so Mosaic's
+        # divisibility analysis accepts the dynamic sublane offset
+        start = (idx * (tile // 8) - PAD_ // 8) * 8
+        return {
+            (True, False): (
+                [chan_copy(c, 0, PAD_, tile + PAD_) for c in range(3)]
+                + [acopy(0, PAD_, tile + PAD_)]),
+            (False, True): (
+                [chan_copy(c, start, 0, tile + PAD_)
+                 for c in range(3)]
+                + [acopy(start, 0, tile + PAD_)]),
+            (False, False): (
+                [chan_copy(c, start, 0, win) for c in range(3)]
+                + [acopy(start, 0, win)]),
+        }
+
+    def do(table, idx, action):
+        first = idx == 0
+        last = idx == n - 1
+        if len(table) == 1:
+            for op in table[(True, True)]:
+                getattr(op, action)()
+            return
+
+        @pl.when(first)
+        def _():
+            for op in table[(True, False)]:
+                getattr(op, action)()
+
+        @pl.when(jnp.logical_and(jnp.logical_not(first), last))
+        def _():
+            for op in table[(False, True)]:
+                getattr(op, action)()
+
+        @pl.when(jnp.logical_and(jnp.logical_not(first),
+                                 jnp.logical_not(last)))
+        def _():
+            for op in table[(False, False)]:
+                getattr(op, action)()
+
+    @pl.when(i == 0)
+    def _():
+        do(issue(0, 0), 0, "start")
+
+    @pl.when(i + 1 < n)
+    def _():
+        do(issue((i + 1) % 2, i + 1), i + 1, "start")
+
+    do(issue(i % 2, i), i, "wait")
+
+    # replicate the border rows into the halo (edge tiles only)
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(3):
+            v = sbuf[slot, c]
+            sbuf[slot, c, 0:PAD_, :] = jnp.broadcast_to(
+                v[PAD_:PAD_ + 1, :], (PAD_, width))
+        av = abuf[slot]
+        abuf[slot, 0:PAD_, :] = jnp.broadcast_to(
+            av[PAD_:PAD_ + 1, :], (PAD_, width))
+
+    @pl.when(i == n - 1)
+    def _():
+        top = tile + PAD_   # first in-halo row below the DMA'd data
+        for c in range(3):
+            v = sbuf[slot, c]
+            sbuf[slot, c, top:win, :] = jnp.broadcast_to(
+                v[top - 1:top, :], (win - top, width))
+        av = abuf[slot]
+        abuf[slot, top:win, :] = jnp.broadcast_to(
+            av[top - 1:top, :], (win - top, width))
+
+    _chain_math([sbuf[slot, c] for c in range(3)], abuf[slot], i, out_ref,
+                tile=tile, width=width, height=height, cs=cs, gw1=gw1,
+                gw2=gw2, epf_iters=epf_iters, pass2_scale=pass2_scale,
+                to_srgb=to_srgb, bits=bits, pad=PAD_)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "epf_iters", "pass2_scale", "gw1", "gw2", "to_srgb", "bits"))
+def fused_real_filters3(X: jnp.ndarray, Y: jnp.ndarray, B: jnp.ndarray,
+                        inv_blocks: jnp.ndarray,
+                        tile: int = 16, epf_iters: int = 2,
+                        pass2_scale: float = 6.5,
+                        gw1: float = 0.115169525, gw2: float = 0.061248592,
+                        to_srgb: bool = False, bits: int = 8
+                        ) -> jnp.ndarray:
+    """Gaborish + EPF1 (+ EPF2) (+ sRGB) from three UNPADDED planes.
+
+    X/Y/B: (H, W) f32; inv_blocks: (H/8, W/8) per-block EPF1 slope
+    (negative where active, 0 inactive).  Equivalent to
+    fused_real_filters but without the stack+pad HBM pass.
+    """
+    from .dec_real import EPF_CHANNEL_SCALE
+    h, w = Y.shape
+    assert h % tile == 0 and tile % 8 == 0, (h, tile)
+    aux = jnp.repeat(jnp.repeat(inv_blocks, 8, 0), 8, 1)[:h]
+    kernel = functools.partial(
+        _kernel_chain3, tile=tile, width=w, height=h,
+        cs=tuple(float(c) for c in EPF_CHANNEL_SCALE),
+        gw1=float(gw1), gw2=float(gw2), epf_iters=int(epf_iters),
+        pass2_scale=float(pass2_scale), to_srgb=to_srgb, bits=bits)
+    out_dt = jnp.float32 if not to_srgb else (
+        jnp.uint8 if bits <= 8 else jnp.uint16)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, h, w), out_dt),
+        grid=(h // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec((3, tile, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, tile + 2 * PAD3, w), jnp.float32),
+            pltpu.VMEM((2, tile + 2 * PAD3, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(X, Y, B, aux)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "to_srgb"))

@@ -263,18 +263,15 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
         gw = np.asarray(gabw)
         uniform = bool(np.all(gw.reshape(3, 2) == gw.reshape(3, 2)[0]))
         if tile is not None and uniform:
-            from .filters_pallas import fused_real_filters, PAD
+            from .filters_pallas import fused_real_filters3
             active = sigma >= EPF_SIGMA_GATE
             inv = jnp.where(active,
                             KINV_SIGMA * EPF1_INV_SCALE
                             / jnp.maximum(sigma, 1e-9), 0.0)
-            img = jnp.stack([X, Y, B])
-            img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)),
-                          mode="edge")
-            out = fused_real_filters(img, inv.astype(jnp.float32),
-                                     tile=tile, epf_iters=epf_iters,
-                                     pass2_scale=pass2_scale,
-                                     gw1=float(gw[0]), gw2=float(gw[1]))
+            out = fused_real_filters3(X, Y, B, inv.astype(jnp.float32),
+                                      tile=tile, epf_iters=epf_iters,
+                                      pass2_scale=pass2_scale,
+                                      gw1=float(gw[0]), gw2=float(gw[1]))
             return out[0], out[1], out[2]
     if gab:
         X = gaborish_device(X, gabw[0], gabw[1])

@@ -182,11 +182,21 @@ def dc_xyb_planes(dc, dc_steps):
 
 
 def synth_from_dcp(coeffs, dcp, qf, xf, bf, table, igs, qm_x, qm_b):
-    """Dequant + CfL + IDCT given already-smoothed XYB DC planes."""
+    """Dequant + CfL + IDCT given already-smoothed XYB DC planes.
+
+    HBM-lean formulation: the DC coefficient never enters the matmul
+    (basis row 0 is constant 1, so DC contributes a per-block constant
+    added in pixel space, fused into the transpose's output); the
+    dequant/CfL elementwise chains fuse into the einsum operand reads
+    instead of materializing three full-size deq arrays.
+    """
     _, ys, xs, _ = coeffs.shape
     inv_qac = (igs / qf.astype(jnp.float32))[None, :, :, None]
     qm = jnp.asarray([qm_x, 1.0, qm_b], jnp.float32)[:, None, None, None]
-    deq = coeffs * table[:, None, None, :] * inv_qac * qm
+    # zero the DC position via the table so no .at[].set pass is needed
+    # (table may arrive as numpy or as a traced jnp array)
+    tab0 = jnp.asarray(table).at[:, 0].set(0.0)
+    deq = coeffs * tab0[:, None, None, :] * inv_qac * qm
     deqY = deq[1]
     deqX = deq[0] + xf[:, :, None] * deqY
     deqB = deq[2] + bf[:, :, None] * deqY
@@ -194,9 +204,9 @@ def synth_from_dcp(coeffs, dcp, qf, xf, bf, table, igs, qm_x, qm_b):
 
     def synth(dq, dcplane):
         km = dq.reshape(ys, xs, 8, 8)
-        km = km.at[:, :, 0, 0].set(dcplane)
         pix = jnp.einsum("yxkl,km,ln->yxmn", km, A, A,
                          precision=jax.lax.Precision.HIGHEST)
+        pix = pix + dcplane[:, :, None, None]
         return jnp.transpose(pix, (0, 2, 1, 3)).reshape(ys * 8, xs * 8)
 
     return synth(deqX, dcp[0]), synth(deqY, dcp[1]), synth(deqB, dcp[2])
@@ -220,7 +230,11 @@ def _fused_filters_ok(H, W):
         return None
     if W % 128:
         return None
-    for t in (24, 16, 8):
+    # VMEM scales with tile*W (double-buffered scratch + gaborish/EPF
+    # intermediates); tile 24 at 4K width sits right at the 16MB scoped
+    # limit, so cap the tile by width
+    tiles = (24, 16, 8) if W <= 2048 else (16, 8)
+    for t in tiles:
         if H % t == 0:
             return t
     return None
@@ -244,13 +258,12 @@ def apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab, epf_iters):
     tile = (_fused_filters_ok(H, W)
             if (gab and epf_iters in (1, 2)) else None)
     if tile is not None:
-        # one VMEM pass for gaborish + EPF1 (+ EPF2) — real semantics
-        from .filters_pallas import fused_real_filters, PAD
+        # one VMEM pass for gaborish + EPF1 (+ EPF2) — real semantics;
+        # the 3-plane kernel consumes the synthesis outputs directly
+        from .filters_pallas import fused_real_filters3
         _, inv = _epf_inv_map(qf, sharp, igs)
-        img = jnp.stack([Xp, Yp, Bp])
-        img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)), mode="edge")
-        out = fused_real_filters(img, inv, tile=tile,
-                                 epf_iters=epf_iters)
+        out = fused_real_filters3(Xp, Yp, Bp, inv, tile=tile,
+                                  epf_iters=epf_iters)
         return out[0], out[1], out[2]
     if gab:
         w1, w2 = np.float32(0.115169525), np.float32(0.061248592)
@@ -289,13 +302,12 @@ def reconstruct_dct8_frame(coeffs, dc, qf, sharp, xf, bf, table,
     tile = (_fused_filters_ok(H, W)
             if (gab and epf_iters in (1, 2)) else None)
     if tile is not None:
-        # filters + sRGB8 in one fused VMEM pass
-        from .filters_pallas import fused_real_filters, PAD
+        # filters + sRGB8 in one fused VMEM pass, straight off the
+        # synthesis outputs (no stack+pad HBM round trip)
+        from .filters_pallas import fused_real_filters3
         _, inv = _epf_inv_map(qf, sharp, igs)
-        img = jnp.stack([Xp, Yp, Bp])
-        img = jnp.pad(img, ((0, 0), (PAD, PAD), (0, 0)), mode="edge")
-        rgb = fused_real_filters(img, inv, tile=tile,
-                                 epf_iters=epf_iters, to_srgb=True)
+        rgb = fused_real_filters3(Xp, Yp, Bp, inv, tile=tile,
+                                  epf_iters=epf_iters, to_srgb=True)
         return jnp.moveaxis(rgb, 0, -1)
     Xp, Yp, Bp = apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab,
                                       epf_iters)
