@@ -130,11 +130,16 @@ def sharded_reconstruct_real(mesh: Mesh, gab: bool = True, epf: bool = True,
                              dc_smooth: bool = True):
     """Build a jitted sharded decoder for real-format DCT8 frames.
 
+    `epf` takes the epf_iters count (bool True means 1); iters 1 and 2
+    (the default-distance chain) are supported — the 8-pixel-row halo
+    covers gaborish(1) + EPF1 reads(2+1) + EPF2(1).
+
     Returns fn(coeffs (3,ys,xs,64), dc (3,ys,xs), qf, sharp, xf, bf
     (ys,xs), table (3,64), igs, quant_dc, dcq (3,), qm_x, qm_b) ->
     (H, W, 3) uint8.  `ys` must be divisible by the mesh size.
     """
     from ..vardct import tpu_real as tr
+    epf_iters = int(epf)
     axis = mesh.axis_names[0]
     n = int(np.prod(mesh.devices.shape))
 
@@ -181,11 +186,21 @@ def sharded_reconstruct_real(mesh: Mesh, gab: bool = True, epf: bool = True,
                 # halo row of interior shards (cropped); at the true image
                 # borders restore edge-pad semantics for EPF's reads:
                 slab = _fix_global_halo(slab, halo, idx, n)
-            if epf:
+            if epf_iters >= 1:
                 sigma = (tr.EPF_SIGMA_PER * sharp.astype(jnp.float32)
                          * igs / jnp.maximum(qf.astype(jnp.float32), 1.0))
                 sigp = _exchange_halo(sigma[None], 1, axis)[0]
                 X2, Y2, B2 = tr.epf1_device(slab[0], slab[1], slab[2], sigp)
+                if epf_iters >= 2:
+                    # EPF1 polluted its outermost halo row (it read past
+                    # the exchanged region); at true image borders the
+                    # single-device path edge-replicates the EPF1 OUTPUT
+                    # for pass 2 — restore both before the pass-2 reads.
+                    slab2 = _fix_global_halo(jnp.stack([X2, Y2, B2]),
+                                             halo, idx, n)
+                    from ..vardct.tpu_full import _epf2_device
+                    X2, Y2, B2 = _epf2_device(slab2[0], slab2[1],
+                                              slab2[2], sigp, 6.5)
                 slab = jnp.stack([X2, Y2, B2])
             slab = slab[:, halo:-halo, :]
             Xp, Yp, Bp = slab[0], slab[1], slab[2]

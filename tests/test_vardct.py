@@ -157,7 +157,8 @@ def test_sharded_real_reconstruct_matches_single_device():
     dcq = np.asarray([0.6, 1.0, 1.5], np.float32)
     one = np.float32(1.0)
     mesh = G.make_mesh(8)
-    for gab, epf, dcs in [(True, True, True), (False, True, False)]:
+    for gab, epf, dcs in [(True, True, True), (False, True, False),
+                          (True, 2, True)]:
         ref = np.asarray(tr.reconstruct_dct8_frame(
             co, dc, qf, sh, xf, bf, tb, igs, qdc, dcq, one, one,
             gab, epf, not dcs))
