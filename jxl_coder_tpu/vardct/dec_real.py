@@ -1074,6 +1074,19 @@ def apply_epf2(X, Y, B, sigma_map, sigma_scale=6.5):
     return out[0], out[1], out[2]
 
 
+def mirror_pad_region(p: np.ndarray, h: int, w: int) -> None:
+    """Fill the block-padding region of a plane with libjxl's Mirror()
+    reflection of the true image content (row h+j = row h-1-j), in
+    place.  The filters then see the same neighbours the reference
+    render pipeline sees at the image edge."""
+    H8, W8 = p.shape
+    eh, ew = H8 - h, W8 - w
+    if eh > 0:
+        p[h:H8, :] = p[h - eh:h, :][::-1]
+    if ew > 0:
+        p[:, w:W8] = p[:, w - ew:w][:, ::-1]
+
+
 def _apply_filters_chain(X, Y, B, rf, sigma):
     X, Y, B = apply_gaborish(X, Y, B, rf)
     if rf.epf_iters >= 1:
@@ -1366,7 +1379,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                            for vb in blocks]
             device_rgb = TF.reconstruct_frame_device(
                 lf, fh, blocks_glob, qf_map, sharp_map,
-                ytox_glob, ytob_glob, dc_glob, bits_)
+                ytox_glob, ytob_glob, dc_glob, bits_,
+                crop_h=h, crop_w=w)
         except Exception:
             if os.environ.get("JXL_TPU_DEVICE_STRICT", "0") != "0":
                 raise
@@ -1389,6 +1403,12 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         if rf.epf_iters >= 1:
             lf_sigma = EPF_SIGMA_PER * sharp_map \
                 * (lf.inv_global_scale / np.maximum(qf_map, 1))
+        if rf.gab or rf.epf_iters >= 1:
+            # libjxl's render pipeline filters with MIRRORED borders at
+            # the TRUE image edge, not the block-padded edge: replace
+            # the padded rows/cols with reflections before filtering
+            for p in (X, Y, B):
+                mirror_pad_region(p, h, w)
         X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
     if getattr(lf, "patches", None) is not None:
         if ref_frames is None:

@@ -316,7 +316,7 @@ def _xyb_to_srgb16_device(X, Y, B):
 
 @functools.lru_cache(maxsize=32)
 def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
-              pass2_scale):
+              pass2_scale, crop_h=None, crop_w=None):
     import jax
     import jax.numpy as jnp
     from .tpu_real import xyb_to_srgb8_device
@@ -327,6 +327,20 @@ def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
         for fam, (sid, n_pad, bh, bw, cov, special) in zip(fams, desc):
             planes = _synth_family(planes, dc_glob, fam, sid, n_pad,
                                    bh, bw, cov, special, qm)
+        if (gab or epf_iters >= 1) and (crop_h < H8 or crop_w < W8):
+            # mirror the block padding at the true image edge before
+            # filtering (libjxl render-pipeline border semantics)
+            eh, ew = H8 - crop_h, W8 - crop_w
+            fixed = []
+            for p in planes:
+                if eh > 0:
+                    p = p.at[crop_h:].set(
+                        p[crop_h - eh:crop_h][::-1])
+                if ew > 0:
+                    p = p.at[:, crop_w:].set(
+                        p[:, crop_w - ew:crop_w][:, ::-1])
+                fixed.append(p)
+            planes = fixed
         X, Y, B = planes
         if epf_iters >= 1:
             sigma = (EPF_SIGMA_PER * sharp_map.astype(jnp.float32)
@@ -345,7 +359,8 @@ def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
 
 def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
                              ytox_glob, ytob_glob, dc_glob,
-                             bits: int) -> np.ndarray:
+                             bits: int, crop_h: int = None,
+                             crop_w: int = None) -> np.ndarray:
     """Whole-frame device reconstruction: scan-indexed varblocks (frame
     coords) -> (H8, W8, 3) uint8/uint16 sRGB on the padded block grid.
     dc_glob: dict {0,1,2} of already-smoothed XYB DC planes."""
@@ -358,10 +373,13 @@ def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
     else:
         gabw = np.asarray([0.115169525, 0.061248592] * 3, np.float32)
     dc = np.stack([dc_glob[c] for c in range(3)]).astype(np.float32)
-    fn = _compiled(desc, ys_b * 8, xs_b * 8, int(bits), bool(rf.gab),
+    H8, W8 = ys_b * 8, xs_b * 8
+    fn = _compiled(desc, H8, W8, int(bits), bool(rf.gab),
                    int(rf.epf_iters), tuple(float(g) for g in gabw),
                    float(rf.epf_pass0_sigma_scale),
-                   float(rf.epf_pass2_sigma_scale))
+                   float(rf.epf_pass2_sigma_scale),
+                   int(crop_h) if crop_h else H8,
+                   int(crop_w) if crop_w else W8)
     out = fn(fams, dc, qf_map.astype(np.int32),
              sharp_map.astype(np.int32),
              np.float32(lf.inv_global_scale), qm)
