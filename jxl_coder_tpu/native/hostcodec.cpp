@@ -735,10 +735,11 @@ void xyb_to_srgb(const double* X, const double* Y, const double* B,
 }
 
 static inline double edge_at(const double* p, int H, int W, int y, int x) {
-    if (y < 0) y = 0;
-    if (y >= H) y = H - 1;
-    if (x < 0) x = 0;
-    if (x >= W) x = W - 1;
+    // libjxl Mirror(): -1 -> 0, -2 -> 1, H -> H-1, H+1 -> H-2
+    if (y < 0) y = -y - 1;
+    if (y >= H) y = 2 * H - 1 - y;
+    if (x < 0) x = -x - 1;
+    if (x >= W) x = 2 * W - 1 - x;
     return p[(int64_t)y * W + x];
 }
 

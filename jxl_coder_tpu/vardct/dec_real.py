@@ -950,7 +950,7 @@ def apply_epf1(X, Y, B, sigma_map):
     (border AND interior responses, sharpness lut exactly linear)."""
     H, W = Y.shape
     planes = [X, Y, B]
-    pad = [np.pad(p, 2, mode="edge") for p in planes]
+    pad = [np.pad(p, 2, mode="symmetric") for p in planes]
     offs = ((0, 1), (0, -1), (1, 0), (-1, 0))
     taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
     active = sigma_map >= EPF_SIGMA_GATE
@@ -995,7 +995,7 @@ def apply_epf0(X, Y, B, sigma_map, sigma_scale=0.9):
     iters=2 decodes (research/epf_kernel_probe.py)."""
     H, W = Y.shape
     planes = [X, Y, B]
-    pad = [np.pad(p, 3, mode="edge") for p in planes]
+    pad = [np.pad(p, 3, mode="symmetric") for p in planes]
     active = sigma_map >= EPF_SIGMA_GATE
     with np.errstate(divide="ignore"):
         inv = np.where(active,

@@ -37,6 +37,12 @@ _OPSIN = np.array([[0.30, 0.622, 0.078],
 
 NUM_CTXS = 15
 LAMBDA_MULT = 1.5
+# Decode-side restoration defaults matching libjxl e7 at d1.0: EPF one
+# iteration with uniform sharpness 4 and adaptive DC smoothing ON
+# (flags=0) — the smoothing recovers ~2.4dB in the low band on smooth
+# gradients for free.
+EPF_ITERS = 1
+EPF_SHARPNESS = 4
 DC_STEPS = (0.000244140625, 0.001953125, 0.00390625)  # x, y, b
 
 
@@ -88,21 +94,26 @@ def _gaborish_sharpen(plane: np.ndarray, w1: float = 0.115169525,
     return out
 
 
-def _adaptive_qf(Y: np.ndarray, base_qf: int, ys_b: int, xs_b: int
-                 ) -> np.ndarray:
-    """Per-block quant field from local activity of the (sharpened)
-    luma plane.  Smooth/gradient blocks get finer quantization (banding
-    is visible there), busy blocks rely on contrast masking and give
-    bits back.  Encoder-side heuristic only — any field is
-    wire-conformant."""
+# Nominal luma step multiplier (igs/qf) at distance 1.0, measured from
+# libjxl e7 streams on low-activity content (qf 6 at global scale 7340);
+# and the contrast-masking curve fitted to libjxl's content-adaptive
+# global scale (igs x1.27 on sparse detail, x1.6 on dense noise).
+BASE_STEP_MULT = 1.488
+MASK_COEF = 4.3
+MASK_EXP = 0.68
+MASK_MAX = 3.0
+
+
+def _masking_field(Y: np.ndarray, ys_b: int, xs_b: int) -> np.ndarray:
+    """Per-block contrast-masking multiplier from local activity of the
+    (sharpened) luma plane: noisy/busy blocks tolerate proportionally
+    coarser quantization (libjxl raises its global quant scale the same
+    way — measured igs 8.9 -> 14.3 on noise at fixed qf)."""
     gy, gx = np.gradient(Y)
     act = np.sqrt(gy * gy + gx * gx)
     blk = act.reshape(ys_b, 8, xs_b, 8).mean(axis=(1, 3))
-    med = max(np.median(blk), 1e-6)
-    ratio = np.clip(blk / med, 0.05, 20.0)
-    mult = np.clip(ratio ** -0.25, 0.7, 1.5)
-    qf = np.clip(np.rint(base_qf * mult), 1, 255).astype(np.int32)
-    return qf
+    return np.clip(1.0 + MASK_COEF * np.power(np.maximum(blk, 0.0),
+                                              MASK_EXP), 1.0, MASK_MAX)
 
 
 def _estimate_cfl(coY, coX, coB, ys_b: int, xs_b: int):
@@ -363,12 +374,28 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         Y = _gaborish_sharpen(Y)
         B = _gaborish_sharpen(B)
 
-    gs = 7340
+    # content-adaptive global scale: per-block target step
+    # s_b = BASE_STEP_MULT * distance * masking; the global scale
+    # carries the masking median and the integer qf field the rest
+    mask = _masking_field(Y, ys_b, xs_b)
+    # scale the global quant scale with distance AND masking so the
+    # integer qf field keeps its resolution around 6 (libjxl keeps
+    # qf_med 5-6 at every distance; igs carries the rest)
+    igs_target = 8.929 * distance * float(np.median(mask))
+    gs = int(np.clip(round(65536.0 / igs_target), 257, 65535))
     igs = 65536.0 / gs
-    base_qf = int(np.clip(round(7.0 / distance), 1, 255))
-    qdc = int(np.clip(round(10.0 / distance), 1, 1024))
-    dc_steps = [d * igs / qdc for d in DC_STEPS]
-    qf_map = _adaptive_qf(Y, base_qf, ys_b, xs_b)
+    s_field = BASE_STEP_MULT * distance * mask
+    qf_map = np.clip(np.rint(igs / s_field), 1, 255).astype(np.int32)
+    base_qf = int(np.clip(round(igs / (BASE_STEP_MULT * distance)),
+                          1, 255))
+    # DC step stays proportional to distance only (masking must not
+    # coarsen DC: banding): quant_dc rises with the global scale
+    qdc = int(np.clip(round(igs / (0.893 * distance)), 1, 1024))
+    # extra_precision halves the DC step in the mid-distance band where
+    # DC banding dominates (libjxl writes ep=1 for 2<=d<8)
+    extra_precision = 1 if 1.5 <= distance < 6.0 else 0
+    dc_steps = [d * igs / qdc / (1 << extra_precision)
+                for d in DC_STEPS]
 
     order = S.scan_to_basis(0)
     tabs = [S.dequant_table(0, c).astype(np.float64) * igs
@@ -404,10 +431,17 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     # ---- frame assembly
     m = ImageMetadata()
     hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
-    fh = FrameHeader(encoding=Encoding.VARDCT, flags=128,
-                     x_qm_scale=2, b_qm_scale=2)
+    xqm = 3 if distance >= 2.0 else 2
+    fh = FrameHeader(encoding=Encoding.VARDCT, flags=0,
+                     x_qm_scale=xqm, b_qm_scale=2)
     fh.restoration_filter.gab = use_gab
-    fh.restoration_filter.epf_iters = 0
+    # decoding-speed tiers progressively drop decode-side filters
+    # (reference JxlDecodingSpeed semantics): ds>=1 drops EPF, ds>=2
+    # also drops gaborish (via use_gab above)
+    epf_it = EPF_ITERS if (use_gab and decoding_speed < 1) else 0
+    if epf_it and distance >= 2.0:
+        epf_it = 3
+    fh.restoration_filter.epf_iters = epf_it
 
     gd_b = 32                     # AC group: 32x32 blocks
     lf_b = 256                    # LF group: 256x256 blocks
@@ -434,7 +468,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         gw = min(lf_b, xs_b - lx)
         gh = min(lf_b, ys_b - ly)
         w_ = BitWriter()
-        w_.u(0, 2)
+        w_.u(extra_precision, 2)
         w_.append_writer(_modular_substream([
             Channel(gw, gh, data=np.ascontiguousarray(
                 dc_int[i, ly:ly + gh, lx:lx + gw], np.int32))
@@ -460,7 +494,8 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                     data=np.ascontiguousarray(
                         ytob[ty0:ty0 + ch, tx0:tx0 + cw], np.int32)),
             Channel(nb, 2, data=blockinfo),
-            Channel(gw, gh, data=np.zeros((gh, gw), np.int32))],
+            Channel(gw, gh, data=np.full((gh, gw), EPF_SHARPNESS,
+                                         np.int32))],
             learn=True, max_leaves=24))
         return w_
 

@@ -478,10 +478,18 @@ def _chain_math(chans, inv_buf, i, out_ref, *, tile, width, height, cs,
             for dx in range(3):
                 g = g + k[dy, dx] * imgp[base + dy:base + dy + t6,
                                          dx:dx + width]
-        g = jnp.where(grow < 0, g[3:4, :], g)
-        g = jnp.where(grow > height - 1, g[3 + tile - 1:3 + tile, :], g)
-        return jnp.concatenate([g[:, :1], g[:, :1], g,
-                                g[:, -1:], g[:, -1:]], axis=1)
+        # out-of-image gaborish rows -> libjxl Mirror() of the edge
+        # rows (-1 -> 0, -2 -> 1, -3 -> 2); only the first/last grid
+        # step has such rows, and they sit at window positions 0..2 /
+        # t6-3..t6-1 whose mirror targets are inside the window
+        gmt = jnp.concatenate([jnp.flip(g[3:6, :], 0), g[3:, :]], 0)
+        g = jnp.where(grow < 0, gmt, g)
+        gmb = jnp.concatenate([g[:t6 - 3, :],
+                               jnp.flip(g[t6 - 6:t6 - 3, :], 0)], 0)
+        g = jnp.where(grow > height - 1, gmb, g)
+        # x edges: symmetric (Mirror) by 2 columns
+        return jnp.concatenate([g[:, 1:2], g[:, 0:1], g,
+                                g[:, -1:], g[:, -2:-1]], axis=1)
 
     gabs = [gab_channel(c) for c in range(3)]
 

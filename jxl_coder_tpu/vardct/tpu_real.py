@@ -85,7 +85,8 @@ def epf_device(X, Y, B, sigma_map, offs=EPF_OFFS_PLUS4,
     H, W = Y.shape
     planes = (X, Y, B)
     R = max(abs(o[0]) for o in offs) + (1 if patch else 0)
-    pad = [jnp.pad(p, R, mode="edge") for p in planes]
+    # libjxl Mirror() convention: -1 -> 0, -2 -> 1 ("symmetric")
+    pad = [jnp.pad(p, R, mode="symmetric") for p in planes]
     taps = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)) if patch \
         else ((0, 0),)
     active = sigma_map >= EPF_SIGMA_GATE

@@ -233,13 +233,14 @@ def test_decoding_speed_drops_filters():
     from jxl_coder_tpu.bitstream.container import extract_codestream
     from jxl_coder_tpu.bitstream.headers import read_image_header
     from jxl_coder_tpu.bitstream.frame_header import read_frame_header
-    for ds, gab in ((0, True), (2, False), (4, False)):
+    for ds, gab, epf in ((0, True, 1), (1, True, 0), (2, False, 0),
+                         (4, False, 0)):
         data = api.encode(img, lossless=False, quality=90,
                           decoding_speed=ds)
         br = BitReader(extract_codestream(data).codestream)
         hdr = read_image_header(br)
         fh = read_frame_header(br, hdr)
-        assert fh.restoration_filter.epf_iters == 0
+        assert fh.restoration_filter.epf_iters == epf
         assert fh.restoration_filter.gab is gab
 
 
