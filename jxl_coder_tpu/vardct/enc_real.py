@@ -99,6 +99,7 @@ def _gaborish_sharpen(plane: np.ndarray, w1: float = 0.115169525,
 # and the contrast-masking curve fitted to libjxl's content-adaptive
 # global scale (igs x1.27 on sparse detail, x1.6 on dense noise).
 BASE_STEP_MULT = 1.488
+AC_DEADZONE = 0.58
 MASK_COEF = 4.3
 MASK_EXP = 0.68
 MASK_MAX = 3.0
@@ -169,6 +170,9 @@ def _quantize_biased(ratio: np.ndarray, c: int) -> np.ndarray:
         take = e < best_e
         best_q = np.where(take, q, best_q)
         best_e = np.where(take, e, best_e)
+    # deadzone: rate of a lone +-1 exceeds its distortion value below
+    # ~0.58 steps (measured RD-positive on photo/noise/smooth probes)
+    best_q = np.where(np.abs(ratio) < AC_DEADZONE, 0, best_q)
     return best_q
 
 
