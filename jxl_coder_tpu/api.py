@@ -571,6 +571,59 @@ def decode_frames(data: bytes):
         raise InvalidJXLError(str(e)) from e
 
 
+def decode_thumbnail(data: bytes):
+    """Fast 1/8-scale preview: VarDCT frames decode only their DC image
+    (no AC entropy decode, no filters).  Returns (pixels, BasicInfo)
+    with pixels at ceil(size/8).  Modular frames fall back to a full
+    decode + 8x box downsample."""
+    import numpy as np
+    from .bitstream.reader import BitReader
+    from .bitstream.headers import read_image_header
+    from .bitstream.frame_header import read_frame_header, read_toc, \
+        Encoding
+    info = basic_info(data)
+    try:
+        c = _container.extract_codestream(data)
+        cs = c.codestream
+        br = BitReader(cs)
+        hdr = read_image_header(br)
+        dc_frames = {}
+        while True:
+            fh = read_frame_header(br, hdr)
+            ng, ndc = fh.counts(hdr)
+            n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+                2 + ndc + ng * fh.passes.num_passes)
+            toc = read_toc(br, n)
+            if fh.frame_type == 1:
+                dc_frames[fh.lf_level] = _decode_lf_frame(
+                    cs, hdr, fh, toc, dc_frames)
+                br.pos = toc.end_offset * 8
+                continue
+            if fh.frame_type == 2:
+                br.pos = toc.end_offset * 8
+                continue
+            break
+        if fh.encoding != Encoding.MODULAR and fh.upsampling == 1:
+            from .vardct.dec_real import decode_vardct_frame
+            out = decode_vardct_frame(
+                cs, hdr, fh, toc,
+                dc_frame=dc_frames.get(fh.lf_level + 1), dc_only=True)
+            out = apply_orientation(out, hdr.metadata.orientation)
+            return out, info
+    except BitstreamError as e:
+        raise InvalidJXLError(str(e)) from e
+    # Modular (or upsampled) path: full decode + box downsample
+    full, info = decode(data)
+    h, w = full.shape[:2]
+    th, tw = -(-h // 8), -(-w // 8)
+    ph, pw = th * 8, tw * 8
+    pad = np.pad(full, ((0, ph - h), (0, pw - w)) + ((0, 0),) *
+                 (full.ndim - 2), mode="edge")
+    small = pad.reshape(th, 8, tw, 8, -1).mean(axis=(1, 3))
+    return np.rint(small).astype(full.dtype).reshape(
+        th, tw, *full.shape[2:]), info
+
+
 def decode_sampled(data: bytes, width: int, height: int,
                    preferred_color_config: int = PreferredColorConfig.DEFAULT,
                    scale_mode: int = ScaleMode.FIT,
@@ -587,7 +640,14 @@ def decode_sampled(data: bytes, width: int, height: int,
     from .ops.resize import rescale_image
     from .ops import pack as _pack
 
-    pixels, info = decode(data)
+    info0 = basic_info(data)
+    if (0 < width <= -(-info0.xsize // 8)
+            and 0 < height <= -(-info0.ysize // 8)):
+        # target fits in the 1/8 DC image: decode only the DC
+        # (no AC entropy decode) and rescale from there
+        pixels, info = decode_thumbnail(data)
+    else:
+        pixels, info = decode(data)
     maxv = 255.0 if pixels.dtype == np.uint8 else 65535.0
     if width > 0 and height > 0 and \
             (width, height) != (pixels.shape[1], pixels.shape[0]):

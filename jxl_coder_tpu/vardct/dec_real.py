@@ -1179,7 +1179,8 @@ def _apply_filters_parallel(X, Y, B, rf, sigma, band_rows=512):
 
 def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                         return_xyb: bool = False,
-                        ref_frames=None) -> np.ndarray:
+                        ref_frames=None,
+                        dc_only: bool = False) -> np.ndarray:
     """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
 
     Handles multi-pass (progressive AC) streams: per-group coefficient
@@ -1286,6 +1287,25 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         dc_glob = adaptive_dc_smoothing(dc_glob,
                                         {0: steps[0], 1: steps[1],
                                          2: steps[2]})
+    if dc_only:
+        # 1/8-scale preview straight from the (smoothed) DC image — no
+        # AC sections are even entropy-decoded.  The reference cannot do
+        # this (it full-decodes then rescales, JniDecoding.cpp:124-136);
+        # libjxl exposes the same capability as progressive DC.
+        th, tw = -(-h // 8), -(-w // 8)
+        Xd = dc_glob[0][:th, :tw]
+        Yd = dc_glob[1][:th, :tw]
+        Bd = dc_glob[2][:th, :tw]
+        m_ = hdr.metadata
+        bits_ = m_.bit_depth.bits_per_sample
+        ce_ = m_.colour_encoding
+        if ce_ is not None and ce_.have_gamma:
+            return xyb_planes_to_gamma(Xd, Yd, Bd, ce_.gamma / 1e7,
+                                       bits_)
+        if bits_ > 8:
+            return xyb_planes_to_srgb16(Xd, Yd, Bd)
+        return xyb_planes_to_srgb8(Xd, Yd, Bd)
+
     from . import tpu_full as TF
     use_device = (TF.device_enabled() and not return_xyb
                   and fh.upsampling == 1

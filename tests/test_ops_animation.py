@@ -285,3 +285,25 @@ def test_trace_spans_and_config():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cfg.encode(img, quality=130)
+
+
+def test_decode_thumbnail_dc_only():
+    """decode_thumbnail returns the 1/8 DC preview without touching the
+    AC sections; decode_sampled routes tiny targets through it."""
+    from conftest import asset
+    data = asset("first_jxl.jxl")
+    th, info = api.decode_thumbnail(data)
+    assert th.shape == (96, 96, 3) and th.dtype == np.uint8
+    full, _ = api.decode(data)
+    small = full.reshape(96, 8, 96, 8, 3).mean(axis=(1, 3))
+    # the DC image is the encoder's lowpass of the source; it tracks a
+    # box-downsample closely but not exactly
+    assert np.abs(small - th.astype(np.float64)).mean() < 2.0
+
+    out, _ = api.decode_sampled(data, 64, 64)
+    assert out.shape == (64, 64, 4)
+
+    # lossless/Modular input falls back to decode + box downsample
+    img = np.arange(48 * 48 * 3, dtype=np.uint8).reshape(48, 48, 3)
+    th2, _ = api.decode_thumbnail(api.encode(img, lossless=True))
+    assert th2.shape == (6, 6, 3)
