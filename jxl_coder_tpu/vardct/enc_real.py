@@ -153,6 +153,19 @@ def _token_cost(vals: np.ndarray, cov: int) -> float:
     return 2.0 + 1.1 * last + np.sum(np.log2(1.0 + mag)) + 1.0 * len(mag)
 
 
+def _token_cost_vec(vals: np.ndarray, cov: int) -> np.ndarray:
+    """Vectorized _token_cost: vals (..., size) -> rate (...)."""
+    seg = vals[..., cov:]
+    nz = seg != 0
+    any_nz = nz.any(-1)
+    last = np.where(any_nz,
+                    nz.shape[-1] - np.argmax(nz[..., ::-1], axis=-1), 0)
+    mag = np.abs(seg).astype(np.float64)
+    bits = np.where(nz, np.log2(1.0 + mag), 0.0).sum(-1)
+    cnt = nz.sum(-1)
+    return np.where(any_nz, 2.0 + 1.1 * last + bits + cnt, 2.0)
+
+
 _D_WEIGHTS = (8.0, 1.0, 0.35)   # X, Y, B distortion weights (XYB space)
 
 
@@ -238,81 +251,153 @@ def _quantize_block(coeff: np.ndarray, strategy: int, qf: int, igs: float,
     return out, dist
 
 
+def _quantize_batch(coeff, strategy, qfv, igs, fxv, fbv, tabs_cache,
+                    dq_dc_blk):
+    """Batched _quantize_block: coeff (N, 3, bh, bw), qfv/fxv/fbv (N,),
+    dq_dc_blk (N, 3, cy, cx) -> (vals (N, 3, size) int64, dist (N,))."""
+    from . import synthesis as S
+    key = strategy
+    if key not in tabs_cache:
+        tabs_cache[key] = (S.scan_to_basis(strategy),
+                           [S.dequant_table(strategy, c).astype(np.float64)
+                            for c in range(3)])
+    order, tabs = tabs_cache[key]
+    st = STRATEGIES[strategy]
+    cov = st.covered
+    size = st.num_coeffs
+    n = coeff.shape[0]
+    inv_qac = igs / qfv.astype(np.float64)            # (N,)
+    idx = order[cov:]
+    area = float(cov * 64)
+    flat = coeff.reshape(n, 3, size)
+    vals = np.zeros((n, 3, size), np.int64)
+    stepY = tabs[1][idx][None, :] * inv_qac[:, None]
+    fY = flat[:, 1][:, idx]
+    qy = _quantize_biased(fY / stepY, 1)
+    vals[:, 1, cov:] = qy
+    dqY = S.adjust_quant_bias(qy, 1) * stepY
+    dist = area * _D_WEIGHTS[1] * np.sum((dqY - fY) ** 2, axis=-1)
+    for c, f in ((0, fxv), (2, fbv)):
+        tgt = flat[:, c][:, idx]
+        sub = tgt - f[:, None] * dqY
+        step = tabs[c][idx][None, :] * inv_qac[:, None]
+        q = _quantize_biased(sub / step, c)
+        vals[:, c, cov:] = q
+        rec = S.adjust_quant_bias(q, c) * step + f[:, None] * dqY
+        dist += area * _D_WEIGHTS[c] * np.sum((rec - tgt) ** 2, axis=-1)
+    if dq_dc_blk is not None:
+        # LLF reconstruction error (decoder rebuilds it from DC means)
+        cy, cx = st.cy, st.cx
+        anY, anX = S.ana_basis(cy), S.ana_basis(cx)
+        rs = np.outer(S.resample_vec(cy), S.resample_vec(cx))
+        bw_ = st.cx * 8
+        pos = [(j // st.cx) * bw_ + (j % st.cx) for j in range(cov)]
+        llf = np.einsum("ky,ncyx,lx->nckl", anY, dq_dc_blk, anX) \
+            * rs[None, None]
+        llf = llf.reshape(n, 3, cov)
+        tl = coeff.reshape(n, 3, size)[:, :, pos]
+        d2 = np.sum((llf - tl) ** 2, axis=-1)
+        for c in range(3):
+            dist += area * _D_WEIGHTS[c] * d2[:, c]
+    return vals, dist
+
+
 def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
                        ys_b, xs_b, dq_dc, lam):
-    """Greedy varblock rate+distortion selection: try DCT16X16 on
-    aligned 2x2 quads, then DCT16X8 / DCT8X16 pairs, else DCT8.
-    Returns (acs_map, values per anchor, qf per anchor)."""
+    """Greedy varblock rate+distortion selection, vectorized: every
+    candidate shape is quantized for ALL its aligned positions in one
+    batch, then a greedy largest-first pass picks winners from the
+    precomputed cost maps.  Returns (acs_map, values per anchor, qf per
+    anchor)."""
     from . import synthesis as S
     tabs_cache = {}
     acs_map = np.full((ys_b, xs_b), -1, np.int32)
     vals_map = {}
     qf_sel = np.array(qf_map, np.int32)
 
-    def dct8_vals(by, bx):
-        coeff = np.stack([co8[c][by, bx] for c in range(3)])
-        return _quantize_block(coeff, 0, int(qf_map[by, bx]), igs,
-                               fx_blk[by, bx], fb_blk[by, bx], tabs_cache,
-                               dq_dc[:, by:by + 1, bx:bx + 1])
-
-    def region_coeffs(by, bx, cy, cx):
-        h, w = cy * 8, cx * 8
-        region = np.stack([p[by * 8:by * 8 + h, bx * 8:bx * 8 + w]
-                           for p in (X, Y, B)])
-        anaH = S.ana_basis(h)
-        anaW = S.ana_basis(w)
-        return np.einsum("ky,cyx,lx->ckl", anaH, region, anaW)
-
-    def cost_of(cand, cov):
-        vals, dist = cand
-        rate = sum(_token_cost(np.asarray(vals[c]), cov)
-                   for c in (1, 0, 2))
-        return rate + lam * dist
-
-    cand8 = {}
-
-    def get8(by, bx):
-        if (by, bx) not in cand8:
-            cand8[(by, bx)] = dct8_vals(by, bx)
-        return cand8[(by, bx)]
+    # DCT8 baseline for every block
+    coeff8 = np.stack([co8[c] for c in range(3)], axis=2).reshape(
+        ys_b * xs_b, 3, 8, 8)
+    dqdc8 = np.transpose(dq_dc, (1, 2, 0)).reshape(
+        ys_b * xs_b, 3, 1, 1)
+    vals8, dist8 = _quantize_batch(
+        coeff8, 0, qf_map.ravel().astype(np.float64), igs,
+        fx_blk.ravel(), fb_blk.ravel(), tabs_cache, dqdc8)
+    rate8 = _token_cost_vec(vals8, 1).sum(-1)
+    cost8 = (rate8 + lam * dist8).reshape(ys_b, xs_b)
+    vals8 = vals8.reshape(ys_b, xs_b, 3, -1)
 
     # candidate strategies, largest first (strategy id, cy, cx)
     cands = [(5, 4, 4), (10, 4, 2), (11, 2, 4), (4, 2, 2), (6, 2, 1),
              (7, 1, 2)]
-    for by in range(0, ys_b):
-        for bx in range(0, xs_b):
+    cand_data = {}
+    planes = np.stack([X, Y, B])
+    for sid, cy, cx in cands:
+        nyc, nxc = ys_b // cy, xs_b // cx
+        if nyc == 0 or nxc == 0:
+            continue
+        h, w = cy * 8, cx * 8
+        # all aligned regions: (3, nyc, h, nxc, w) -> (N, 3, h, w)
+        reg = planes[:, :nyc * h, :nxc * w].reshape(
+            3, nyc, h, nxc, w).transpose(1, 3, 0, 2, 4).reshape(
+            nyc * nxc, 3, h, w)
+        anaH = S.ana_basis(h)
+        anaW = S.ana_basis(w)
+        coeff = np.einsum("ky,ncyx,lx->nckl", anaH, reg, anaW,
+                          optimize=True)
+        qfm = qf_map[:nyc * cy, :nxc * cx].reshape(
+            nyc, cy, nxc, cx).min(axis=(1, 3)).ravel().astype(np.float64)
+        fxa = fx_blk[:nyc * cy:cy, :nxc * cx:cx].ravel()
+        fba = fb_blk[:nyc * cy:cy, :nxc * cx:cx].ravel()
+        dqb = dq_dc[:, :nyc * cy, :nxc * cx].reshape(
+            3, nyc, cy, nxc, cx).transpose(1, 3, 0, 2, 4).reshape(
+            nyc * nxc, 3, cy, cx)
+        vals, dist = _quantize_batch(coeff, sid, qfm, igs, fxa, fba,
+                                     tabs_cache, dqb)
+        rate = _token_cost_vec(vals, cy * cx).sum(-1)
+        cand_data[sid] = (vals.reshape(nyc, nxc, 3, -1),
+                          (rate + lam * dist).reshape(nyc, nxc),
+                          qfm.reshape(nyc, nxc).astype(np.int32))
+
+    # summed-area table for O(1) DCT8 cost sums over any rectangle
+    sat = np.zeros((ys_b + 1, xs_b + 1))
+    sat[1:, 1:] = cost8.cumsum(0).cumsum(1)
+
+    def c8sum(by, bx, cy, cx):
+        return (sat[by + cy, bx + cx] - sat[by, bx + cx]
+                - sat[by + cy, bx] + sat[by, bx])
+
+    for by in range(ys_b):
+        for bx in range(xs_b):
             if acs_map[by, bx] != -1:
                 continue
             placed = False
             for sid, cy, cx in cands:
                 if by % cy or bx % cx:
                     continue
-                if by + cy > ys_b or bx + cx > xs_b:
+                if by + cy > ys_b or bx + cx > xs_b or sid not in \
+                        cand_data:
                     continue
                 if not np.all(acs_map[by:by + cy, bx:bx + cx] == -1):
                     continue
-                qfm = int(qf_map[by:by + cy, bx:bx + cx].min())
-                coeff = region_coeffs(by, bx, cy, cx)
-                vm = _quantize_block(coeff, sid, qfm, igs,
-                                     fx_blk[by, bx], fb_blk[by, bx],
-                                     tabs_cache,
-                                     dq_dc[:, by:by + cy, bx:bx + cx])
-                cm = cost_of(vm, cy * cx)
-                c8 = sum(cost_of(get8(by + dy, bx + dx), 1)
-                         for dy in range(cy) for dx in range(cx))
+                vgrid, cgrid, qgrid = cand_data[sid]
+                cm = cgrid[by // cy, bx // cx]
                 # big transforms must clear a stronger bar: greedy
                 # largest-first can otherwise beat 4 smaller merges
                 thresh = 0.90 if cy * cx > 4 else 0.98
-                if cm < c8 * thresh:
+                if cm < c8sum(by, bx, cy, cx) * thresh:
                     acs_map[by:by + cy, bx:bx + cx] = -2
                     acs_map[by, bx] = sid
-                    vals_map[(by, bx)] = vm[0]
-                    qf_sel[by:by + cy, bx:bx + cx] = qfm
+                    v = vgrid[by // cy, bx // cx]
+                    vals_map[(by, bx)] = {c: v[c] for c in range(3)}
+                    qf_sel[by:by + cy, bx:bx + cx] = \
+                        qgrid[by // cy, bx // cx]
                     placed = True
                     break
             if not placed:
                 acs_map[by, bx] = 0
-                vals_map[(by, bx)] = get8(by, bx)[0]
+                v = vals8[by, bx]
+                vals_map[(by, bx)] = {c: v[c] for c in range(3)}
     return acs_map, vals_map, qf_sel
 
 
