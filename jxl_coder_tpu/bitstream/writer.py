@@ -96,12 +96,38 @@ class BitWriter:
     def bit_pos(self) -> int:
         return len(self._buf) * 8 + self._nacc
 
+    def append_bits(self, data: bytes, nbits: int) -> None:
+        """Bulk-append `nbits` LSB-first bits from `data`."""
+        if nbits <= 0:
+            return
+        nbytes_in = (nbits + 7) // 8
+        if self._nacc == 0:
+            full = nbits // 8
+            self._buf.extend(data[:full])
+            rem = nbits - full * 8
+            if rem:
+                self._acc = data[full] & ((1 << rem) - 1)
+                self._nacc = rem
+            return
+        big = int.from_bytes(data[:nbytes_in], "little")
+        if nbits < nbytes_in * 8:
+            big &= (1 << nbits) - 1
+        acc = self._acc | (big << self._nacc)
+        total = self._nacc + nbits
+        full = total // 8
+        if full:
+            self._buf.extend(
+                (acc & ((1 << (full * 8)) - 1)).to_bytes(full, "little"))
+            acc >>= full * 8
+        self._acc = acc
+        self._nacc = total - full * 8
+
     def append_writer(self, other: "BitWriter") -> None:
         """Concatenate another writer's bits (bit-granular)."""
-        for b in other._buf:
-            self.u(b, 8)
+        data = bytes(other._buf)
         if other._nacc:
-            self.u(other._acc, other._nacc)
+            data += bytes([other._acc & 0xFF])
+        self.append_bits(data, len(other._buf) * 8 + other._nacc)
 
     def to_bytes(self) -> bytes:
         out = bytes(self._buf)

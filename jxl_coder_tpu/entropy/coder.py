@@ -63,6 +63,10 @@ class HybridUintConfig:
         msbits = (token & ((1 << msb) - 1)) | (1 << msb)
         return ((((msbits << n) | br.u(n)) << lsb) | low)
 
+    def tokenize_vec(self, values):
+        """Vectorized token ids for an int array (histogram passes)."""
+        return _tokenize_values_vec(self, values)
+
     def tokenize(self, value: int):
         """value -> (token, extra_bits_value, extra_bits_count)."""
         if value < self.split:
@@ -78,6 +82,23 @@ class HybridUintConfig:
                     | (value & ((1 << lsb) - 1))))
         extra = (value >> lsb) & ((1 << nbits) - 1)
         return token, extra, nbits
+
+
+def _tokenize_values_vec(config, values):
+    """Vectorized HybridUintConfig.tokenize token ids (no extras)."""
+    import numpy as np
+    v = np.asarray(values, np.int64)
+    split = config.split
+    msb, lsb = config.msb_in_token, config.lsb_in_token
+    small = v < split
+    # bit_length - 1 via frexp (exact for |v| < 2^53)
+    n = np.frexp(np.maximum(v, 1).astype(np.float64))[1].astype(
+        np.int64) - 1
+    sh = np.maximum(n - msb, 0)
+    tok = (split + (((n - config.split_exponent) << (msb + lsb))
+                    | (((v >> sh) & ((1 << msb) - 1)) << lsb)
+                    | (v & ((1 << lsb) - 1))))
+    return np.where(small, v, tok)
 
 
 # --------------------------------------------------------------------------
@@ -496,24 +517,38 @@ class TokenStream:
         histograms) can emit just their symbols."""
         # lz77 disabled: a plain Bool field, 0 bit (no all_default)
         bw.bool(False)
+        # vectorized tokenization for the histogram passes
+        import numpy as np
+        if self.tokens:
+            arr = np.asarray(self.tokens, np.int64).reshape(-1, 2)
+            ctx_v = arr[:, 0]
+            tok_v = _tokenize_values_vec(config, arr[:, 1])
+            ntok = int(tok_v.max()) + 1
+        else:
+            ctx_v = tok_v = np.zeros(0, np.int64)
+            ntok = 1
         # cluster contexts by histogram similarity (greedy seeded
         # clustering); >8 clusters use the complex MTF cluster map
         cmap = [0] * self.num_contexts
         if self.num_contexts > 1:
-            per_ctx = [dict() for _ in range(self.num_contexts)]
-            for ctx, value in self.tokens:
-                token, _, _ = config.tokenize(value)
-                h = per_ctx[ctx]
-                h[token] = h.get(token, 0) + 1
+            counts = np.bincount(ctx_v * ntok + tok_v,
+                                 minlength=self.num_contexts * ntok
+                                 ).reshape(self.num_contexts, ntok)
+            per_ctx = [{int(t): int(row[t]) for t in np.nonzero(row)[0]}
+                       for row in counts]
             cmap, _nc = cluster_histograms(per_ctx)
         num_clusters = (max(cmap) + 1) if cmap else 1
         write_cluster_map(bw, cmap if self.num_contexts > 1 else [0])
-        per_cluster_hist = [dict() for _ in range(num_clusters)]
-        for ctx, value in self.tokens:
-            cl = cmap[ctx] if self.num_contexts > 1 else 0
-            token, extra, nbits = config.tokenize(value)
-            h = per_cluster_hist[cl]
-            h[token] = h.get(token, 0) + 1
+        cmap_a = np.asarray(cmap if self.num_contexts > 1
+                            else [0], np.int64)
+        cl_v = cmap_a[ctx_v] if self.num_contexts > 1 \
+            else np.zeros(len(tok_v), np.int64)
+        ccounts = np.bincount(cl_v * ntok + tok_v,
+                              minlength=num_clusters * ntok
+                              ).reshape(num_clusters, ntok)
+        per_cluster_hist = [
+            {int(t): int(row[t]) for t in np.nonzero(row)[0]}
+            for row in ccounts]
         if self.use_ans:
             from . import ans as _ans
             bw.bool(False)  # ANS backend
@@ -582,6 +617,8 @@ class TokenStream:
         """LIFO rANS emission: push all symbols, then interleave the
         decoder's refill words with the hybrid-uint extra bits."""
         cmap, config, tables = shared
+        if self._write_symbols_ans_native(bw, shared):
+            return
         enc = AnsEncoder()
         toks = []
         for ctx, value in self.tokens:
@@ -596,6 +633,63 @@ class TokenStream:
                 bw.u(words[i], 16)
             if nbits:
                 bw.u(extra, nbits)
+
+    def _write_symbols_ans_native(self, bw: BitWriter, shared) -> bool:
+        """C++ rANS stream writer (tokenize + reverse pass + emission);
+        returns False when the native library is unavailable."""
+        import numpy as np
+        try:
+            from .. import native as native_mod
+            lib = native_mod.get_lib()
+        except Exception:
+            lib = None
+        if lib is None or not hasattr(lib, "ans_stream_encode") \
+                or not self.tokens:
+            return False
+        cmap, config, tables = shared
+        from .ans import ANS_TAB_SIZE
+        max_alpha = max(len(t.freq) for t in tables)
+        ncl = len(tables)
+        freq = np.zeros((ncl, max_alpha), np.int32)
+        cum = np.zeros((ncl, max_alpha), np.int32)
+        rev = np.zeros((ncl, ANS_TAB_SIZE), np.int32)
+        for cl, t in enumerate(tables):
+            pack = getattr(t, "_enc_pack", None)
+            if pack is None:
+                f = np.asarray(t.freq, np.int32)
+                c_ = np.zeros(len(f), np.int32)
+                c_[1:] = np.cumsum(f)[:-1]
+                r = np.zeros(ANS_TAB_SIZE, np.int32)
+                for (sym, off), idx in t.reverse_map().items():
+                    r[c_[sym] + off] = idx
+                pack = t._enc_pack = (f, c_, r)
+            f, c_, r = pack
+            freq[cl, :len(f)] = f
+            cum[cl, :len(f)] = c_
+            rev[cl] = r
+        arr = np.asarray(self.tokens, np.int64).reshape(-1, 2)
+        ctxs = np.ascontiguousarray(arr[:, 0], np.int32)
+        vals = np.ascontiguousarray(arr[:, 1], np.int64)
+        cmap_a = np.asarray(cmap, np.int32)
+        n = len(vals)
+        cap_bits = 32 + n * 64 + 64
+        out = np.zeros((cap_bits + 7) // 8, np.uint8)
+        import ctypes
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        nbits = lib.ans_stream_encode(
+            ctxs.ctypes.data_as(i32p),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            cmap_a.ctypes.data_as(i32p), int(self.num_contexts),
+            int(config.split_exponent), int(config.msb_in_token),
+            int(config.lsb_in_token),
+            freq.ctypes.data_as(i32p), cum.ctypes.data_as(i32p),
+            rev.ctypes.data_as(i32p), int(max_alpha),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(cap_bits))
+        if nbits < 0:
+            return False
+        bw.append_bits(out.tobytes(), int(nbits))
+        return True
 
     def _write_lz77(self, bw: BitWriter, config: HybridUintConfig) -> None:
         """Serialize with distance-1 LZ77 runs (RLE of repeated values).

@@ -954,3 +954,96 @@ void filter_chain(double* X, double* Y, double* B, int H, int W,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// rANS stream writer: tokenize (hybrid uint) + reverse-pass state pushes +
+// forward LSB-first bit emission.  Mirrors entropy/coder.py
+// _write_symbols_ans / ans.AnsEncoder exactly.
+
+extern "C" {
+
+int64_t ans_stream_encode(
+    const int32_t* ctxs, const int64_t* values, int64_t n,
+    const int32_t* cmap, int32_t num_ctx,
+    int32_t split_exp, int32_t msb, int32_t lsb,
+    const int32_t* freq, const int32_t* cumfreq, const int32_t* rev,
+    int32_t max_alpha,
+    uint8_t* out, int64_t out_cap_bits)
+{
+    const int64_t split = (int64_t)1 << split_exp;
+    int32_t* tok = (int32_t*)malloc((size_t)n * 4);
+    uint64_t* extra = (uint64_t*)malloc((size_t)n * 8);
+    uint8_t* nbits = (uint8_t*)malloc((size_t)n);
+    int32_t* cls = (int32_t*)malloc((size_t)n * 4);
+    int32_t* words = (int32_t*)malloc((size_t)n * 4);
+    if (!tok || !extra || !nbits || !cls || !words) {
+        free(tok); free(extra); free(nbits); free(cls); free(words);
+        return -1;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        int64_t v = values[i];
+        cls[i] = num_ctx > 1 ? cmap[ctxs[i]] : 0;
+        if (v < split) {
+            tok[i] = (int32_t)v; extra[i] = 0; nbits[i] = 0;
+        } else {
+            int nlead = 63 - __builtin_clzll((uint64_t)v);
+            int nb = nlead - msb - lsb;
+            tok[i] = (int32_t)(split
+                + (((int64_t)(nlead - split_exp) << (msb + lsb))
+                   | (((v >> (nlead - msb)) & ((1 << msb) - 1)) << lsb)
+                   | (v & ((1 << lsb) - 1))));
+            extra[i] = ((uint64_t)v >> lsb) & (((uint64_t)1 << nb) - 1);
+            nbits[i] = (uint8_t)nb;
+        }
+    }
+    // reverse rANS pass (ANS_LOG_TAB_SIZE = 12, signature 0x13)
+    uint32_t state = 0x13u << 16;
+    for (int64_t i = n - 1; i >= 0; i--) {
+        int32_t cl = cls[i];
+        int32_t s = tok[i];
+        if (s >= max_alpha) {
+            free(tok); free(extra); free(nbits); free(cls); free(words);
+            return -3;
+        }
+        uint32_t f = (uint32_t)freq[(int64_t)cl * max_alpha + s];
+        if (f == 0) {
+            free(tok); free(extra); free(nbits); free(cls); free(words);
+            return -2;
+        }
+        if ((uint64_t)state >= ((uint64_t)f << 20)) {
+            // single-symbol clusters have f == 4096: the shift must not
+            // wrap in 32 bits
+            words[i] = (int32_t)(state & 0xFFFF);
+            state >>= 16;
+        } else {
+            words[i] = -1;
+        }
+        uint32_t off = state % f;
+        int32_t idx = rev[(int64_t)cl * 4096
+                          + cumfreq[(int64_t)cl * max_alpha + s] + off];
+        state = ((state / f) << 12) | (uint32_t)idx;
+    }
+    // forward emission
+    int64_t pos = 0;
+#define PUT(val_, nb_) do { \
+        uint64_t v_ = (val_); int rem_ = (nb_); \
+        if (pos + rem_ > out_cap_bits) { \
+            free(tok); free(extra); free(nbits); free(cls); free(words); \
+            return -4; } \
+        while (rem_ > 0) { \
+            int bib_ = (int)(pos & 7); \
+            int take_ = 8 - bib_; if (take_ > rem_) take_ = rem_; \
+            out[pos >> 3] |= (uint8_t)((v_ & ((1u << take_) - 1)) << bib_); \
+            v_ >>= take_; pos += take_; rem_ -= take_; } \
+    } while (0)
+    PUT(state, 32);
+    for (int64_t i = 0; i < n; i++) {
+        if (words[i] >= 0) PUT((uint32_t)words[i], 16);
+        if (nbits[i]) PUT(extra[i], nbits[i]);
+    }
+#undef PUT
+    free(tok); free(extra); free(nbits); free(cls); free(words);
+    return pos;
+}
+
+}  // extern "C"
