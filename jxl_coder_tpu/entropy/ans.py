@@ -245,7 +245,50 @@ def _quantize_for_shift(counts: List[int], shift: int):
     """Quantize counts to shift-representable values (omit position
     absorbs the normalization remainder exactly — the decoder computes
     it, so it has no representability constraint).  Returns
-    (final_counts, omit_pos) or None when the shift can't work."""
+    (final_counts, omit_pos) or None when the shift can't work.
+    Vectorized for large alphabets (the shift search calls this 14x
+    per histogram); small alphabets keep the scalar loop (numpy call
+    overhead dominates below ~48 symbols)."""
+    if len(counts) < 48:
+        return _quantize_for_shift_scalar(counts, shift)
+    import numpy as np
+    c = np.asarray(counts, np.int64)
+    alphabet = len(c)
+    code = np.frexp(np.maximum(c, 1).astype(np.float64))[1].astype(
+        np.int64)                       # bit_length for c >= 1
+    logm1 = code - 1
+    bitcount = np.maximum(
+        0, np.minimum(logm1, shift - ((ANS_LOG_TAB_SIZE - logm1) >> 1)))
+    step = np.int64(1) << (logm1 - bitcount)
+    base = np.int64(1) << logm1
+    qq = base + ((c - base + step // 2) // step) * step
+    qq = np.where(qq >= (base << 1), (base << 1) - step, qq)
+    q = np.where(c <= 1, c, qq)
+    # the decoder omits the FIRST position whose logcount strictly
+    # exceeds all before it == first occurrence of the max logcount;
+    # iterate until our omit choice agrees with that rule
+    omit = int(np.argmax(q))            # first max (ties -> lowest i)
+    total = int(q.sum())
+    for _ in range(alphabet + 1):
+        rem = ANS_TAB_SIZE - (total - int(q[omit]))
+        if rem <= 0:
+            return None
+        old = int(q[omit])
+        q[omit] = rem
+        total += rem - old
+        logs = np.where(q == 0, 0,
+                        np.frexp(np.maximum(q, 1).astype(np.float64))[1])
+        logs = np.where(q == 1, 1, logs)
+        dec_omit = int(np.argmax(logs))
+        if dec_omit == omit:
+            return q.tolist(), omit
+        q[omit] = old
+        total += old - rem
+        omit = dec_omit
+    return None
+
+
+def _quantize_for_shift_scalar(counts: List[int], shift: int):
     alphabet = len(counts)
     q = [0] * alphabet
     for i, c in enumerate(counts):
@@ -260,9 +303,6 @@ def _quantize_for_shift(counts: List[int], shift: int):
         if qq >= (1 << code):
             qq = (1 << code) - step
         q[i] = qq
-    # the decoder omits the FIRST position whose logcount strictly
-    # exceeds all before it == first occurrence of the max logcount;
-    # iterate until our omit choice agrees with that rule
     omit = max(range(alphabet), key=lambda i: (q[i], -i))
     for _ in range(alphabet + 1):
         rest = sum(q) - q[omit]
