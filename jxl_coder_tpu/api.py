@@ -214,7 +214,8 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
         distance = quality_to_distance(int(q))
         from .vardct.enc_real import encode_vardct_real
         return encode_vardct_real(pixels, distance=distance,
-                                  decoding_speed=decoding_speed)
+                                  decoding_speed=decoding_speed,
+                                  effort=effort)
 
     m = ImageMetadata()
     m.xyb_encoded = False

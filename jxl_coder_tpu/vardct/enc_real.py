@@ -1,10 +1,14 @@
 """Real-format VarDCT still encoder (wire-compatible with libjxl).
 
-Round-1 shape: DCT8-only strategy grid, uniform quant field derived
-from the target distance, no filters (gaborish off, EPF off, adaptive
-DC smoothing skipped via frame flag 0x80), CfL at base factors (Y
-subtracted from B; X coded raw).  Multi-group images produce the full
-section layout: LfGlobal | LfGroup* | HfGlobal | PassGroup*.
+RD varblock selection over DCT8..DCT32X32 (vectorized per candidate
+shape), content-adaptive global quant scale with a contrast-masking
+field, per-tile chroma-from-luma, gaborish-sharpened input with the
+full decode-side restoration chain signalled (gaborish + EPF +
+adaptive DC smoothing), extra_precision DC in the mid-distance band,
+AC deadzone, learned MA trees for the DC/meta streams, clustered rANS
+histograms (native C++ stream writer).  Multi-group images produce
+the full section layout: LfGlobal | LfGroup* | HfGlobal | PassGroup*.
+Effort (1-10) controls the candidate breadth (_EFFORT_CANDS).
 """
 
 from __future__ import annotations
@@ -166,6 +170,16 @@ def _token_cost_vec(vals: np.ndarray, cov: int) -> np.ndarray:
     return np.where(any_nz, 2.0 + 1.1 * last + bits + cnt, 2.0)
 
 
+# effort tiers (JxlEffort.kt 1-10) -> RD candidate breadth
+_EFFORT_CANDS = {
+    # sid, cy, cx — largest first
+    'full': [(5, 4, 4), (10, 4, 2), (11, 2, 4), (4, 2, 2), (6, 2, 1),
+             (7, 1, 2)],
+    'mid': [(4, 2, 2), (6, 2, 1), (7, 1, 2)],
+    'fast': [],
+}
+
+
 _D_WEIGHTS = (8.0, 1.0, 0.35)   # X, Y, B distortion weights (XYB space)
 
 
@@ -303,7 +317,8 @@ def _quantize_batch(coeff, strategy, qfv, igs, fxv, fbv, tabs_cache,
 
 
 def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
-                       ys_b, xs_b, dq_dc, lam):
+                       ys_b, xs_b, dq_dc, lam,
+                       cands=_EFFORT_CANDS['full']):
     """Greedy varblock rate+distortion selection, vectorized: every
     candidate shape is quantized for ALL its aligned positions in one
     batch, then a greedy largest-first pass picks winners from the
@@ -327,9 +342,6 @@ def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
     cost8 = (rate8 + lam * dist8).reshape(ys_b, xs_b)
     vals8 = vals8.reshape(ys_b, xs_b, 3, -1)
 
-    # candidate strategies, largest first (strategy id, cy, cx)
-    cands = [(5, 4, 4), (10, 4, 2), (11, 2, 4), (4, 2, 2), (6, 2, 1),
-             (7, 1, 2)]
     cand_data = {}
     planes = np.stack([X, Y, B])
     for sid, cy, cx in cands:
@@ -447,7 +459,8 @@ def _write_ac_tokens(ts, acs_map, vals_map, xs_b, ys_b):
 
 
 def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
-                       decoding_speed: int = 0) -> bytes:
+                       decoding_speed: int = 0,
+                       effort: int = 7) -> bytes:
     """uint8 (H, W, 3) sRGB -> real-format VarDCT codestream."""
     H, W, _ = pixels.shape
     xs_b, ys_b = -(-W // 8), -(-H // 8)
@@ -514,8 +527,11 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     step_ref = (igs / max(base_qf, 1)) * float(
         np.median(S.dequant_table(0, 1)))
     lam = LAMBDA_MULT / (step_ref * step_ref)
+    cands = _EFFORT_CANDS['full'] if effort >= 6 else (
+        _EFFORT_CANDS['mid'] if effort >= 3 else _EFFORT_CANDS['fast'])
     acs_map, vals_map, qf_map = _select_strategies(
-        co, X, Y, B, qf_map, igs, fx_blk, fb_blk, ys_b, xs_b, dq_dc, lam)
+        co, X, Y, B, qf_map, igs, fx_blk, fb_blk, ys_b, xs_b, dq_dc, lam,
+        cands=cands)
 
     # ---- frame assembly
     m = ImageMetadata()
