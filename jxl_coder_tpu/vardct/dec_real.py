@@ -1074,19 +1074,6 @@ def apply_epf2(X, Y, B, sigma_map, sigma_scale=6.5):
     return out[0], out[1], out[2]
 
 
-def mirror_pad_region(p: np.ndarray, h: int, w: int) -> None:
-    """Fill the block-padding region of a plane with libjxl's Mirror()
-    reflection of the true image content (row h+j = row h-1-j), in
-    place.  The filters then see the same neighbours the reference
-    render pipeline sees at the image edge."""
-    H8, W8 = p.shape
-    eh, ew = H8 - h, W8 - w
-    if eh > 0:
-        p[h:H8, :] = p[h - eh:h, :][::-1]
-    if ew > 0:
-        p[:, w:W8] = p[:, w - ew:w][:, ::-1]
-
-
 def _apply_filters_chain(X, Y, B, rf, sigma):
     X, Y, B = apply_gaborish(X, Y, B, rf)
     if rf.epf_iters >= 1:
@@ -1423,13 +1410,21 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         if rf.epf_iters >= 1:
             lf_sigma = EPF_SIGMA_PER * sharp_map \
                 * (lf.inv_global_scale / np.maximum(qf_map, 1))
-        if rf.gab or rf.epf_iters >= 1:
-            # libjxl's render pipeline filters with MIRRORED borders at
-            # the TRUE image edge, not the block-padded edge: replace
-            # the padded rows/cols with reflections before filtering
-            for p in (X, Y, B):
-                mirror_pad_region(p, h, w)
-        X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
+        if (rf.gab or rf.epf_iters >= 1) and (X.shape[0] > h
+                                              or X.shape[1] > w):
+            # libjxl's render pipeline filters at the TRUE image size
+            # with Mirror() borders; filtering the block-padded plane
+            # (even with mirrored padding content) diverges when the
+            # footprint crosses the padded edge (EPF0 reads 3 past the
+            # border but the padding can be 1-2 samples wide).  Crop,
+            # filter, and write back.
+            Xc, Yc, Bc = (np.ascontiguousarray(p[:h, :w])
+                          for p in (X, Y, B))
+            Xc, Yc, Bc = _apply_filters_parallel(Xc, Yc, Bc, rf,
+                                                 lf_sigma)
+            X[:h, :w], Y[:h, :w], B[:h, :w] = Xc, Yc, Bc
+        else:
+            X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
     if getattr(lf, "patches", None) is not None:
         if ref_frames is None:
             raise BitstreamError(

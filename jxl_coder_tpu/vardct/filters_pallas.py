@@ -481,11 +481,14 @@ def _chain_math(chans, inv_buf, i, out_ref, *, tile, width, height, cs,
         # out-of-image gaborish rows -> libjxl Mirror() of the edge
         # rows (-1 -> 0, -2 -> 1, -3 -> 2); only the first/last grid
         # step has such rows, and they sit at window positions 0..2 /
-        # t6-3..t6-1 whose mirror targets are inside the window
-        gmt = jnp.concatenate([jnp.flip(g[3:6, :], 0), g[3:, :]], 0)
+        # t6-3..t6-1 whose mirror targets are inside the window.
+        # (row-reversal via explicit slices: Mosaic has no rev lowering)
+        gmt = jnp.concatenate([g[5:6, :], g[4:5, :], g[3:4, :],
+                               g[3:, :]], 0)
         g = jnp.where(grow < 0, gmt, g)
-        gmb = jnp.concatenate([g[:t6 - 3, :],
-                               jnp.flip(g[t6 - 6:t6 - 3, :], 0)], 0)
+        gmb = jnp.concatenate([g[:t6 - 3, :], g[t6 - 4:t6 - 3, :],
+                               g[t6 - 5:t6 - 4, :],
+                               g[t6 - 6:t6 - 5, :]], 0)
         g = jnp.where(grow > height - 1, gmb, g)
         # x edges: symmetric (Mirror) by 2 columns
         return jnp.concatenate([g[:, 1:2], g[:, 0:1], g,

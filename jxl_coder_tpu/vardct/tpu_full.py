@@ -259,7 +259,15 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
                                EPF1_INV_SCALE)
         import jax.numpy as jnp
         H, W = Y.shape
-        tile = _fused_filters_ok(H, W)
+        # cropped (true-size) planes: mirror-pad rows to a tile multiple
+        # with >= 4 halo rows so the fused kernel's own edge handling
+        # never reads past correctly mirrored content, then crop back
+        pad_h = 0
+        if H % 8 or (-H) % 8 < 4:
+            padded = H + 4
+            padded += (-padded) % 8
+            pad_h = padded - H
+        tile = _fused_filters_ok(H + pad_h, W)
         gw = np.asarray(gabw)
         uniform = bool(np.all(gw.reshape(3, 2) == gw.reshape(3, 2)[0]))
         if tile is not None and uniform:
@@ -268,11 +276,27 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
             inv = jnp.where(active,
                             KINV_SIGMA * EPF1_INV_SCALE
                             / jnp.maximum(sigma, 1e-9), 0.0)
-            out = fused_real_filters3(X, Y, B, inv.astype(jnp.float32),
+            Xp, Yp, Bp = X, Y, B
+            if pad_h:
+                Xp, Yp, Bp = (jnp.pad(p, ((0, pad_h), (0, 0)),
+                                      mode="symmetric")
+                              for p in (X, Y, B))
+                nb = (H + pad_h + 7) // 8 - sigma.shape[0]
+                if nb > 0:
+                    sigma_p = jnp.pad(sigma, ((0, nb), (0, 0)),
+                                      mode="edge")
+                else:
+                    sigma_p = sigma
+                active = sigma_p >= EPF_SIGMA_GATE
+                inv = jnp.where(active,
+                                KINV_SIGMA * EPF1_INV_SCALE
+                                / jnp.maximum(sigma_p, 1e-9), 0.0)
+            out = fused_real_filters3(Xp, Yp, Bp,
+                                      inv.astype(jnp.float32),
                                       tile=tile, epf_iters=epf_iters,
                                       pass2_scale=pass2_scale,
                                       gw1=float(gw[0]), gw2=float(gw[1]))
-            return out[0], out[1], out[2]
+            return out[0, :H], out[1, :H], out[2, :H]
     if gab:
         X = gaborish_device(X, gabw[0], gabw[1])
         Y = gaborish_device(Y, gabw[2], gabw[3])
@@ -328,19 +352,11 @@ def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
             planes = _synth_family(planes, dc_glob, fam, sid, n_pad,
                                    bh, bw, cov, special, qm)
         if (gab or epf_iters >= 1) and (crop_h < H8 or crop_w < W8):
-            # mirror the block padding at the true image edge before
-            # filtering (libjxl render-pipeline border semantics)
-            eh, ew = H8 - crop_h, W8 - crop_w
-            fixed = []
-            for p in planes:
-                if eh > 0:
-                    p = p.at[crop_h:].set(
-                        p[crop_h - eh:crop_h][::-1])
-                if ew > 0:
-                    p = p.at[:, crop_w:].set(
-                        p[:, crop_w - ew:crop_w][:, ::-1])
-                fixed.append(p)
-            planes = fixed
+            # filter at the TRUE image size with Mirror() borders (the
+            # reference render-pipeline semantics); non-128-multiple
+            # widths take the unfused jnp filter path, which handles
+            # arbitrary shapes
+            planes = [p[:crop_h, :crop_w] for p in planes]
         X, Y, B = planes
         if epf_iters >= 1:
             sigma = (EPF_SIGMA_PER * sharp_map.astype(jnp.float32)
