@@ -267,7 +267,7 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
             padded = H + 4
             padded += (-padded) % 8
             pad_h = padded - H
-        tile = _fused_filters_ok(H + pad_h, W)
+        tile = _fused_filters_ok(H + pad_h, W, f32_out=True)
         gw = np.asarray(gabw)
         uniform = bool(np.all(gw.reshape(3, 2) == gw.reshape(3, 2)[0]))
         if tile is not None and uniform:

@@ -225,16 +225,16 @@ def synth_dct8_planes(coeffs, dc, qf, xf, bf, table,
     return synth_from_dcp(coeffs, dcp, qf, xf, bf, table, igs, qm_x, qm_b)
 
 
-def _fused_filters_ok(H, W):
+def _fused_filters_ok(H, W, f32_out=False):
     import jax
     if jax.devices()[0].platform == "cpu":
         return None
     if W % 128:
         return None
     # VMEM scales with tile*W (double-buffered scratch + gaborish/EPF
-    # intermediates); tile 24 at 4K width sits right at the 16MB scoped
-    # limit, so cap the tile by width
-    tiles = (24, 16, 8) if W <= 2048 else (16, 8)
+    # intermediates); the f32 output block at tile 24 exceeds the 16MB
+    # scoped limit at 4K widths, so cap that variant by width
+    tiles = (24, 16, 8) if (not f32_out or W <= 2048) else (16, 8)
     for t in tiles:
         if H % t == 0:
             return t
@@ -256,7 +256,7 @@ def apply_filters_device(Xp, Yp, Bp, qf, sharp, igs, gab, epf_iters):
     """epf_iters: 0-3 (bool True means 1, matching the old signature)."""
     epf_iters = int(epf_iters)
     H, W = Yp.shape
-    tile = (_fused_filters_ok(H, W)
+    tile = (_fused_filters_ok(H, W, f32_out=True)
             if (gab and epf_iters in (1, 2)) else None)
     if tile is not None:
         # one VMEM pass for gaborish + EPF1 (+ EPF2) — real semantics;

@@ -459,3 +459,36 @@ def test_decode_parity_all_distances(dist):
     ours, _ = api.decode(data)
     d = np.abs(ours.astype(int) - theirs[..., :3].astype(int))
     assert d.max() <= 4 and d.mean() < 0.05, (d.max(), d.mean())
+
+
+@pytest.mark.skipif(not HAVE_LIBJXL, reason="libjxl not available")
+def test_fuzz_interop_nonaligned_sizes():
+    """Randomized encode/decode interop across non-block-aligned sizes,
+    channel counts, bit depths, efforts and decoding speeds (regression
+    for the double-mirrored filter borders at padded edges)."""
+    rng = np.random.default_rng(42)
+    for _ in range(12):
+        h = int(rng.integers(8, 150))
+        w = int(rng.integers(8, 150))
+        nch = int(rng.choice([1, 3, 4]))
+        bits = int(rng.choice([8, 8, 16]))
+        dt = np.uint8 if bits == 8 else np.uint16
+        img = rng.integers(0, 1 << bits, (h, w, nch)).astype(dt)
+        if rng.random() < 0.5:
+            d = api.encode(img, lossless=True,
+                           effort=int(rng.integers(1, 9)))
+            r, _ = api.decode(d)
+            assert np.array_equal(r.reshape(img.shape), img)
+            if bits == 8:
+                t, _ = refjxl.decode(d)
+                tt = t[..., :nch] if t.ndim == 3 else t
+                assert np.array_equal(tt.reshape(img.shape), img)
+        elif nch == 3 and bits == 8:
+            d = api.encode(img, lossless=False,
+                           quality=int(rng.integers(20, 100)),
+                           effort=int(rng.integers(1, 9)),
+                           decoding_speed=int(rng.integers(0, 5)))
+            r, _ = api.decode(d)
+            t, _ = refjxl.decode(d)
+            dd = np.abs(r.astype(int) - t[..., :3].astype(int))
+            assert dd.max() <= 4, dd.max()
