@@ -1294,11 +1294,15 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         return xyb_planes_to_srgb8(Xd, Yd, Bd)
 
     from . import tpu_full as TF
+    _ce = hdr.metadata.colour_encoding
     use_device = (TF.device_enabled() and not return_xyb
                   and fh.upsampling == 1
                   and getattr(lf, "patches", None) is None
                   and getattr(lf, "splines", None) is None
-                  and getattr(lf, "noise_lut", None) is None)
+                  and getattr(lf, "noise_lut", None) is None
+                  # pure-gamma TRC output happens on host from the XYB
+                  # planes; the device pipeline emits sRGB
+                  and not (_ce is not None and _ce.have_gamma))
     device_groups = []
 
     def _decode_group(gi):

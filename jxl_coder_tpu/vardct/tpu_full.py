@@ -248,7 +248,10 @@ def _synth_family(planes, dc_glob, fam, sid, n_pad, bh, bw, cov,
 
 
 def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
-                          pass0_scale, pass2_scale):
+                          pass0_scale, pass2_scale, to_srgb_bits=None):
+    """Filter chain; when to_srgb_bits is 8 or 16 and the fused kernel
+    applies, the sRGB conversion happens in-kernel and the return value
+    is a single (3, H, W) uint array instead of three planes."""
     from .tpu_real import gaborish_device, epf1_device
     if gab and epf_iters in (1, 2):
         # fused Pallas gaborish + EPF1 (+ EPF2) when shapes allow; the
@@ -267,7 +270,8 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
             padded = H + 4
             padded += (-padded) % 8
             pad_h = padded - H
-        tile = _fused_filters_ok(H + pad_h, W, f32_out=True)
+        tile = _fused_filters_ok(H + pad_h, W,
+                                 f32_out=to_srgb_bits is None)
         gw = np.asarray(gabw)
         uniform = bool(np.all(gw.reshape(3, 2) == gw.reshape(3, 2)[0]))
         if tile is not None and uniform:
@@ -295,7 +299,11 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
                                       inv.astype(jnp.float32),
                                       tile=tile, epf_iters=epf_iters,
                                       pass2_scale=pass2_scale,
-                                      gw1=float(gw[0]), gw2=float(gw[1]))
+                                      gw1=float(gw[0]), gw2=float(gw[1]),
+                                      to_srgb=to_srgb_bits is not None,
+                                      bits=to_srgb_bits or 8)
+            if to_srgb_bits is not None:
+                return out[:, :H]
             return out[0, :H], out[1, :H], out[2, :H]
     if gab:
         X = gaborish_device(X, gabw[0], gabw[1])
@@ -364,8 +372,13 @@ def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
                                          1.0))
         else:
             sigma = jnp.zeros_like(qf_map, jnp.float32)
-        X, Y, B = _filters_chain_device(X, Y, B, sigma, gab, epf_iters,
-                                        gabw, pass0_scale, pass2_scale)
+        res = _filters_chain_device(X, Y, B, sigma, gab, epf_iters,
+                                    gabw, pass0_scale, pass2_scale,
+                                    to_srgb_bits=int(bits) if bits <= 8
+                                    else 16)
+        if not isinstance(res, tuple):
+            return jnp.moveaxis(res, 0, -1)
+        X, Y, B = res
         if bits > 8:
             return _xyb_to_srgb16_device(X, Y, B)
         return xyb_to_srgb8_device(X, Y, B)
