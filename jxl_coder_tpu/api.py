@@ -209,6 +209,13 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
         if nch == 4:
             pixels = pixels[:, :, :3]
             nch = 3
+        # the VarDCT front-end works in 8-bit sRGB units (the reference
+        # normalizes encode inputs the same way, JxlEncoder.cpp:118-152)
+        if pixels.dtype == np.uint16:
+            pixels = (pixels >> 8).astype(np.uint8)
+        elif pixels.dtype.kind == "f":
+            pixels = np.clip(np.rint(pixels * 255.0), 0,
+                             255).astype(np.uint8)
         from .vardct.quant import quality_to_distance
         q = quality if quality is not None else 90
         distance = quality_to_distance(int(q))
