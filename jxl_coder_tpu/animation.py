@@ -128,8 +128,8 @@ class AnimatedImage:
             dtype = np.uint8 if bits <= 8 else np.uint16
             return np.stack([np.clip(p, 0, maxval) for p in planes],
                             axis=-1).astype(dtype)
-        return codec.decode_vardct_still(self.codestream, hdr, fh,
-                                         entry.toc)
+        from .vardct.dec_real import decode_vardct_frame
+        return decode_vardct_frame(self.codestream, hdr, fh, entry.toc)
 
 
 class AnimatedEncoder:
@@ -180,7 +180,7 @@ class AnimatedEncoder:
             if nch == 1:
                 ce.colour_space = ColourSpace.GREY
             m.colour_encoding = ce
-        if nch == 4:
+        if nch == 4 and self.lossless:
             ec = ExtraChannelInfo(type=ExtraChannelType.ALPHA)
             ec.bit_depth = BitDepth(False, bits, 0)
             m.extra_channels = [ec]
@@ -272,17 +272,29 @@ def decode_frames_batch(img: "AnimatedImage", indices=None,
     from .vardct import frame as VF
     from .vardct import pipeline as P
     from .parallel import groups as G
+    from .bitstream.reader import BitstreamError
 
     if indices is None:
         indices = list(range(img.frames_count))
     hdr = img.image_header
     datas = []
-    for i in indices:
-        e = img.frames[i]
-        if e.header.encoding != Encoding.VARDCT:
-            raise NotImplementedError("batch decode is for VarDCT frames")
-        datas.append(VF.decode_vardct_frame(img.codestream, hdr, e.header,
-                                            e.toc))
+    try:
+        for i in indices:
+            e = img.frames[i]
+            if e.header.encoding != Encoding.VARDCT:
+                raise NotImplementedError(
+                    "batch decode is for VarDCT frames")
+            datas.append(VF.decode_vardct_frame(img.codestream, hdr,
+                                                e.header, e.toc))
+    except BitstreamError:
+        # real-format frames (the current encoder output): per-frame
+        # reconstruction — the host entropy stages run in a thread pool
+        # (GIL-released native loops) and the device reconstruction per
+        # frame when JXL_TPU_DEVICE=1
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, len(indices))) as ex:
+            outs = list(ex.map(img.get_frame, indices))
+        return np.stack(outs)
     d0 = datas[0]
     ny, nx = d0.qf.shape
     ac = np.stack([d.ac for d in datas])

@@ -283,9 +283,11 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
 def decode(data: bytes):
     """Decode a JXL file to (pixels, BasicInfo).
 
-    pixels: uint8/uint16 (H, W, C) with C in 1/3/4.
-    Currently supports the Modular (lossless) path; VarDCT lands with the
-    device pipeline.
+    pixels: uint8/uint16 (H, W, C) with C in 1/3/4.  Both coding paths
+    are supported: Modular (bit-exact lossless) and full VarDCT
+    (multi-size DCT, CfL, gaborish/EPF, patches, splines, noise,
+    progressive DC/AC, upsampling, ICC); with JXL_TPU_DEVICE=1 the
+    post-entropy VarDCT reconstruction runs on the TPU.
     """
     import numpy as np
     from .bitstream.reader import BitReader

@@ -506,30 +506,11 @@ def encode_vardct_frame_into(bw: BitWriter, hdr: ImageHeader, fh,
 
     pixels: (H, W, 3) uint8/uint16 sRGB at the frame's size.
     """
-    import jax.numpy as jnp
-    from .vardct import pipeline as P
-    from .vardct import frame as VF
-    from .ops.color import srgb_to_linear
-    from .vardct.xyb import linear_rgb_to_xyb
-
-    h, w, _ = pixels.shape
-    maxval = 255.0 if pixels.dtype == np.uint8 else 65535.0
-    ph = -(-h // 8) * 8
-    pw = -(-w // 8) * 8
-    arr = np.asarray(pixels, np.float32) / maxval
-    arr = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-    srgb = jnp.asarray(arr.transpose(2, 0, 1))
-    xyb = linear_rgb_to_xyb(srgb_to_linear(srgb))
-    ny, nx = ph // 8, pw // 8
-    qf = jnp.full((ny, nx), 8, jnp.int32)
-    ac, dc = P.quantize_coeffs(xyb, qf, jnp.float32(distance))
-    ty, tx = -(-ny // 8), -(-nx // 8)
-    data = VF.VarDctFrameData(
-        ac=np.asarray(ac), dc=np.asarray(dc), qf=np.asarray(qf),
-        cfl_x=np.zeros((ty, tx), np.int32),
-        cfl_b=np.full((ty, tx), 64, np.int32),
-        distance=float(distance))
-    VF.encode_vardct_frame(bw, hdr, fh, data)
+    from .vardct.enc_real import encode_vardct_real
+    if pixels.dtype == np.uint16:
+        pixels = (np.asarray(pixels) >> 8).astype(np.uint8)
+    encode_vardct_real(pixels, distance=distance, fh=fh, hdr=hdr,
+                       into_bw=bw)
 
 
 DEFAULT_DC_QUANT = (1.0 / 4096, 1.0 / 512, 1.0 / 256)

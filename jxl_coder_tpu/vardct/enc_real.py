@@ -460,8 +460,14 @@ def _write_ac_tokens(ts, acs_map, vals_map, xs_b, ys_b):
 
 def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                        decoding_speed: int = 0,
-                       effort: int = 7) -> bytes:
-    """uint8 (H, W, 3) sRGB -> real-format VarDCT codestream."""
+                       effort: int = 7, fh=None, hdr=None,
+                       into_bw=None) -> bytes:
+    """uint8 (H, W, 3) sRGB -> real-format VarDCT codestream.
+
+    With fh/hdr/into_bw given, writes ONE frame (header + TOC +
+    sections) into an existing stream instead — the animated-encoder
+    entry point; caller-owned fh fields (duration, blending, is_last)
+    are preserved, encoder-owned ones are set here."""
     H, W, _ = pixels.shape
     xs_b, ys_b = -(-W // 8), -(-H // 8)
     pw, ph = xs_b * 8, ys_b * 8
@@ -534,11 +540,18 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         cands=cands)
 
     # ---- frame assembly
-    m = ImageMetadata()
-    hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
+    if hdr is None:
+        m = ImageMetadata()
+        hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
     xqm = 3 if distance >= 2.0 else 2
-    fh = FrameHeader(encoding=Encoding.VARDCT, flags=0,
-                     x_qm_scale=xqm, b_qm_scale=2)
+    if fh is None:
+        fh = FrameHeader(encoding=Encoding.VARDCT, flags=0,
+                         x_qm_scale=xqm, b_qm_scale=2)
+    else:
+        fh.encoding = Encoding.VARDCT
+        fh.flags = 0
+        fh.x_qm_scale = xqm
+        fh.b_qm_scale = 2
     fh.restoration_filter.gab = use_gab
     # decoding-speed tiers progressively drop decode-side filters
     # (reference JxlDecodingSpeed semantics): ds>=1 drops EPF, ds>=2
@@ -670,6 +683,12 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         payloads.append(hf.to_bytes())
         payloads.extend(sections)
 
+    if into_bw is not None:
+        write_frame_header(into_bw, fh, hdr)
+        write_toc(into_bw, [len(p) for p in payloads])
+        for p in payloads:
+            into_bw.append_bits(p, len(p) * 8)
+        return b""
     bw = BitWriter()
     write_image_header(bw, hdr)
     write_frame_header(bw, fh, hdr)

@@ -2,10 +2,10 @@
 
 Host side parses entropy streams into dense arrays; everything after
 that — dequant, CfL, IDCT (batched matmuls on the MXU), adaptive DC
-smoothing, gaborish, EPF stage 1, XYB->sRGB8 (including the bit-exact
-FastLinearToSRGB exponent trick) — runs on device in one jitted
-program.  DCT8-only fast path; mixed-strategy groups fall back to the
-numpy reference path.
+smoothing, gaborish, EPF passes 0-2, XYB->sRGB8/16 (including the
+bit-exact FastLinearToSRGB exponent trick) — runs on device in one
+jitted program.  This module is the DCT8-only fast path; tpu_full.py
+extends it to every transform family.
 """
 
 from __future__ import annotations
