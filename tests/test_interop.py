@@ -492,3 +492,27 @@ def test_fuzz_interop_nonaligned_sizes():
             t, _ = refjxl.decode(d)
             dd = np.abs(r.astype(int) - t[..., :3].astype(int))
             assert dd.max() <= 4, dd.max()
+
+
+@pytest.mark.skipif(not HAVE_LIBJXL, reason="libjxl not available")
+def test_animated_lossy_encode_libjxl_decodes():
+    """Our animated lossy streams are real wire format: libjxl's
+    one-shot decoder (which surfaces the LAST frame) matches our
+    last-frame decode within 1 code."""
+    from jxl_coder_tpu.animation import AnimatedEncoder, AnimatedImage
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.clip(np.stack([120 + 100 * np.sin(xx / 9),
+                             128 + 60 * np.cos(yy / 7),
+                             100 + 80 * np.sin((xx + yy) / 11)], -1),
+                   0, 255).astype(np.uint8)
+    enc = AnimatedEncoder(64, 48, lossless=False, quality=85)
+    for i in range(4):
+        enc.add_frame(np.clip(base.astype(int) + i * 12, 0,
+                              255).astype(np.uint8), 40)
+    data = enc.encode()
+    img = AnimatedImage(data)
+    assert img.frames_count == 4
+    last = img.get_frame(3)
+    theirs, _ = refjxl.decode(data)
+    d = np.abs(last[..., :3].astype(int) - theirs[..., :3].astype(int))
+    assert d.max() <= 1, d.max()
