@@ -254,29 +254,43 @@ def read_lf_group(br: BitReader, lf: LfGlobal, xs_b: int, ys_b: int,
     lg = LfGroup(extra_precision=ep, dc=dc_img, nb_blocks=count,
                  acm=acm)
     # varblock walk: raster over the LF group, consuming one blockinfo
-    # entry per uncovered anchor (only 8x8 strategies for now)
+    # entry per uncovered anchor
     acs_row = acm.channels[2].data[0]
     qf_row = acm.channels[2].data[1]
     acs_map = np.full((ys_b, xs_b), -1, np.int32)
     from .strategies import STRATEGIES as _S_
     qf_map = np.zeros((ys_b, xs_b), np.int32)
-    vi = 0
-    for by in range(ys_b):
-        for bx in range(xs_b):
-            if acs_map[by, bx] != -1:
-                continue
-            if vi >= count:
-                raise BitstreamError("too few AC metadata entries")
-            strategy = int(acs_row[vi])
-            st = _S_.get(strategy)
-            if st is None:
-                raise BitstreamError("invalid AC strategy %d" % strategy)
-            if bx + st.cx > xs_b or by + st.cy > ys_b:
-                raise BitstreamError("AC strategy overflows group")
-            acs_map[by:by + st.cy, bx:bx + st.cx] = -2
-            acs_map[by, bx] = strategy
-            qf_map[by:by + st.cy, bx:bx + st.cx] = int(qf_row[vi]) + 1
-            vi += 1
+    cov_l, l2_l, nc_l, cx_l, cy_l, ob_l, valid_l = _strategy_luts()
+    sids = np.asarray(acs_row[:count], np.int64)
+    if sids.size and (int(sids.max(initial=0)) >= len(valid_l)
+                      or not valid_l[np.minimum(
+                          sids, len(valid_l) - 1)].all()):
+        raise BitstreamError("invalid AC strategy")
+    if count == ys_b * xs_b and sids.size \
+            and (cx_l[sids] == 1).all() and (cy_l[sids] == 1).all():
+        # all single-block strategies: the walk is a plain raster fill
+        acs_map[:] = sids.reshape(ys_b, xs_b)
+        qf_map[:] = np.asarray(qf_row[:count]).reshape(ys_b, xs_b) + 1
+        vi = count
+    else:
+        vi = 0
+        for by in range(ys_b):
+            for bx in range(xs_b):
+                if acs_map[by, bx] != -1:
+                    continue
+                if vi >= count:
+                    raise BitstreamError("too few AC metadata entries")
+                strategy = int(acs_row[vi])
+                st = _S_.get(strategy)
+                if st is None:
+                    raise BitstreamError(
+                        "invalid AC strategy %d" % strategy)
+                if bx + st.cx > xs_b or by + st.cy > ys_b:
+                    raise BitstreamError("AC strategy overflows group")
+                acs_map[by:by + st.cy, bx:bx + st.cx] = -2
+                acs_map[by, bx] = strategy
+                qf_map[by:by + st.cy, bx:bx + st.cx] = int(qf_row[vi]) + 1
+                vi += 1
     if vi != count:
         raise BitstreamError("unused AC metadata entries")
     lg.acs_map = acs_map
