@@ -307,3 +307,40 @@ def test_decode_thumbnail_dc_only():
     img = np.arange(48 * 48 * 3, dtype=np.uint8).reshape(48, 48, 3)
     th2, _ = api.decode_thumbnail(api.encode(img, lossless=True))
     assert th2.shape == (6, 6, 3)
+
+
+def test_sharded_frame_reconstruct_synthetic():
+    """The mesh GOP path (frames sharded over devices) matches the
+    single-device legacy pipeline on synthetic per-frame arrays.
+    (Real-format streams route decode_frames_batch through per-frame
+    reconstruction; this keeps the shard_map program itself covered.)"""
+    import jax
+    import jax.numpy as jnp
+    from jxl_coder_tpu.parallel import groups as G
+    from jxl_coder_tpu.vardct import pipeline as P
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    r = rng()
+    N, ny, nx = 8, 8, 8
+    ac = r.integers(-20, 20, (N, 3, ny, nx, 8, 8)).astype(np.int32)
+    dc = r.integers(-100, 100, (N, 3, ny, nx)).astype(np.int32)
+    qf = np.full((N, ny, nx), 8, np.int32)
+    fx = np.zeros((N, ny, nx), np.float32)
+    fb = np.ones((N, ny, nx), np.float32)
+    dist = jnp.float32(1.0)
+    mesh = G.make_mesh(8)
+    fn = G.sharded_frame_reconstruct(mesh, epf_iters=1, gab=True)
+    out = np.asarray(fn(jnp.asarray(ac), jnp.asarray(dc),
+                        jnp.asarray(qf), jnp.asarray(fx),
+                        jnp.asarray(fb), dist))
+    halo = P.filter_halo(1, True)
+    for i in range(N):
+        img = P.dequant_idct(jnp.asarray(ac[i]), jnp.asarray(dc[i]),
+                             jnp.asarray(qf[i]), jnp.asarray(fx[i]),
+                             jnp.asarray(fb[i]), dist)
+        ref = P.apply_filters(
+            P.pad_rows(img, halo),
+            P.pad_rows(P.inv_sigma_map(jnp.asarray(qf[i]), dist), halo),
+            1, True)
+        assert np.abs(out[i] - np.asarray(ref)).max() < 1e-4
