@@ -104,18 +104,80 @@ class AnimatedImage:
 
     def get_frame(self, i: int, scale_width: int = 0,
                   scale_height: int = 0) -> np.ndarray:
-        """Decode frame i.  O(1): only frame i's sections are touched
-        (REPLACE blending; blended modes fall back to sequential)."""
+        """Decode frame i.  O(1) when frame i is a full-canvas REPLACE
+        frame (only its sections are touched); cropped or blended frames
+        fall back to sequential composition from the nearest cached
+        state — the analogue of the reference's Rewind + SkipFrames
+        re-decode (interop/JxlAnimatedDecoder.cpp:40-57), but resumable:
+        monotone playback stays O(1) per frame."""
         entry = self.frames[i]
         fh = entry.header
-        if fh.blending_info.mode != BlendMode.REPLACE:
-            raise NotImplementedError(
-                "non-REPLACE frame blending decode is on the roadmap")
-        out = self._decode_entry(entry)
+        hdr = self.image_header
+        full = (fh.blending_info.mode == BlendMode.REPLACE
+                and not fh.have_crop and fh.frame_type in (0, 3))
+        if full:
+            out = self._decode_entry(entry)[:hdr.ysize, :hdr.xsize]
+        else:
+            out = self._compose_to(i)
         if scale_width > 0 and scale_height > 0:
             from .ops.resize import rescale_image
             out = rescale_image(out, scale_width, scale_height)
         return out
+
+    def _compose_to(self, target: int) -> np.ndarray:
+        """Sequentially compose frames up to `target`, returning its
+        full-canvas pixels.  Keeps a resumable cursor (ref slots, LF
+        frames, last canvas) so successive calls with increasing indices
+        re-decode nothing."""
+        from . import api as _api
+        hdr = self.image_header
+        m = hdr.metadata
+        st = getattr(self, "_seq", None)
+        if st is not None and st["last_idx"] == target:
+            return st["last"].copy()
+        if st is None or st["next"] > target:
+            st = {"next": 0, "ref_slots": {}, "dc": {}, "ref_xyb": {},
+                  "last": None, "last_idx": -1}
+            self._seq = st
+        cs = self.codestream
+        canvas = st["last"]
+        for idx in range(st["next"], target + 1):
+            fh = self.frames[idx].header
+            toc = self.frames[idx].toc
+            if fh.frame_type == 1:  # LF frame
+                st["dc"][fh.lf_level] = _api._decode_lf_frame(
+                    cs, hdr, fh, toc, st["dc"])
+                continue
+            if fh.frame_type == 2 and fh.save_before_color_transform:
+                st["ref_xyb"][fh.save_as_reference] = \
+                    _api._decode_reference_frame(cs, hdr, fh, toc,
+                                                 st["dc"])
+                continue
+            pix = _api._decode_one_frame(
+                cs, hdr, fh, toc, dc_frame=st["dc"].get(fh.lf_level + 1),
+                ref_frames=st["ref_xyb"] if st["ref_xyb"] else None)
+            if fh.frame_type == 2:  # REFERENCE_ONLY, stored raw
+                st["ref_slots"][fh.save_as_reference] = pix
+                canvas = pix
+                continue
+            if (not fh.have_crop and pix.shape[0] >= hdr.ysize
+                    and pix.shape[1] >= hdr.xsize
+                    and fh.blending_info.mode == BlendMode.REPLACE):
+                canvas = pix[:hdr.ysize, :hdr.xsize]
+            else:
+                base = st["ref_slots"].get(fh.blending_info.source)
+                if base is None:
+                    canvas = np.zeros(
+                        (hdr.ysize, hdr.xsize, pix.shape[2]), pix.dtype)
+                else:
+                    canvas = base.copy()
+                _api._compose_frame(canvas, pix, fh, m)
+            if not fh.is_last:
+                st["ref_slots"][fh.save_as_reference] = canvas
+        st["next"] = target + 1
+        st["last"] = canvas
+        st["last_idx"] = target
+        return canvas.copy()
 
     def _decode_entry(self, entry: FrameIndexEntry) -> np.ndarray:
         hdr = self.image_header

@@ -665,6 +665,19 @@ def decode_sampled(data: bytes, width: int, height: int,
                                scale_mode=scale_mode,
                                filter_id=resize_filter,
                                premultiplied=info.alpha_premultiplied)
+    # HDR -> SDR fallback (JniDecoding.cpp:138-228): when the stream is
+    # PQ/HLG/wide-gamut and the requested output format cannot represent
+    # HDR (8-bit configs), tone map + gamut-convert to SDR sRGB.
+    from .ops import color as _color
+    ce = parse_header(data).metadata.colour_encoding
+    sdr_target = preferred_color_config in (
+        PreferredColorConfig.RGBA_8888, PreferredColorConfig.RGB_565,
+        PreferredColorConfig.HARDWARE) or (
+        preferred_color_config == PreferredColorConfig.DEFAULT
+        and info.bits_per_sample <= 8)
+    if sdr_target and pixels.shape[-1] >= 3 and \
+            _color.is_hdr_encoding(ce):
+        pixels = _color.hdr_to_sdr(pixels, ce, info.intensity_target)
     f = pixels.astype(np.float32) / maxv
     if f.shape[-1] == 1:
         f = np.repeat(f, 3, axis=-1)

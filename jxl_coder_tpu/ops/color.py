@@ -221,6 +221,38 @@ def luma_coeffs(primaries, white=ILLUMINANT_D65) -> np.ndarray:
     return gamut_rgb_to_xyz(primaries, white)[1].astype(np.float32)
 
 
+# Wire-value maps (bitstream/headers.py Primaries / WhitePoint enums)
+WIRE_PRIMARIES = {1: "srgb", 9: "bt2020", 11: "display_p3"}
+WIRE_WHITE = {1: ILLUMINANT_D65, 10: ILLUMINANT_E, 11: ILLUMINANT_DCI}
+
+
+def primaries_xy(ce):
+    """xy primaries of a ColourEncoding (CUSTOM uses the signalled xys)."""
+    if ce.primaries == 2 and ce.red is not None:  # CUSTOM
+        return (ce.red.as_float(), ce.green.as_float(),
+                ce.blue.as_float())
+    return PRIMARIES[WIRE_PRIMARIES.get(ce.primaries, "srgb")]
+
+
+def white_xy(ce):
+    if ce.white_point == 2 and ce.white is not None:  # CUSTOM
+        return ce.white.as_float()
+    return WIRE_WHITE.get(ce.white_point, ILLUMINANT_D65)
+
+
+def encoding_trc_to_linear(v, trc, intensity_target: float):
+    """Stream-encoded -> linear, extended-SDR convention (1.0 = SDR
+    white).  PQ scales absolute nits so SDR white (203 nits) is 1.0, as
+    the reference's avifToLinearPQ (Trc.cpp:197-208); HLG uses the
+    inverse OETF with peak == intensity_target."""
+    if trc == 16:   # PQ
+        return pq_to_linear(v) * (10000.0 / 203.0)
+    if trc == 18:   # HLG
+        return hlg_to_linear(v) * (intensity_target / 203.0)
+    fn = TRC_TO_LINEAR.get(trc, srgb_to_linear)
+    return fn(v)
+
+
 # --------------------------------------------------------------------------
 # BT.2408/2390-style tone mapping (Rec2408ToneMapper.cpp:32-99)
 
@@ -250,3 +282,71 @@ def rec2408_tone_map(rgb_linear: jnp.ndarray,
     scale = mapped_nits / (jnp.maximum(lum, 1e-9) * content_brightness)
     return rgb_linear * scale[None] * (content_brightness
                                        / display_brightness)
+
+
+def transfer_tone_rec2408(rgb_linear: jnp.ndarray,
+                          content_brightness: float,
+                          display_brightness: float = 250.0,
+                          white_point: float = 203.0,
+                          luma=None) -> jnp.ndarray:
+    """Fast BT.2408 rational luminance scale — the reference's
+    Rec2408ToneMapper (Rec2408ToneMapper.h ctor weights +
+    transferTone, Rec2408ToneMapper.cpp:81-99).
+
+    rgb_linear: (..., 3) extended-SDR linear (1.0 == `white_point` nits).
+    """
+    if luma is None:
+        luma = np.array([0.2627, 0.6780, 0.0593], np.float32)
+    ld = content_brightness / white_point
+    weight_a = (display_brightness / white_point) / (ld * ld)
+    weight_b = 1.0 / (display_brightness / white_point)
+    light = jnp.einsum("...c,c->...", rgb_linear,
+                       jnp.asarray(luma, jnp.float32))
+    scale = jnp.where(light == 0.0, 1.0,
+                      (1.0 + weight_a * light) / (1.0 + weight_b * light))
+    return jnp.minimum(rgb_linear * scale[..., None], 1.0)
+
+
+def hdr_to_sdr(pixels: np.ndarray, ce, intensity_target: float):
+    """HDR/wide-gamut decoded buffer -> SDR sRGB (Rec.709 primaries),
+    the reference's post-decode fallback pipeline
+    (JniDecoding.cpp:138-228 + applyColorMatrix,
+    colorspaces/ColorMatrix.cpp:35-118): linearize with the stream TRC,
+    BT.2408 tone map for PQ/HLG, 3x3 gamut matrix from the stream
+    primaries to Rec.709, re-encode with sRGB.
+
+    pixels: uint8/uint16 (H, W, C>=3) in the stream's colour encoding;
+    alpha (channel 3+) passes through untouched.  Returns same dtype.
+    """
+    arr = np.asarray(pixels)
+    maxv = 255.0 if arr.dtype == np.uint8 else 65535.0
+    f = jnp.asarray(arr[..., :3], jnp.float32) / maxv
+    trc = ce.transfer_function if not ce.have_gamma else None
+    if ce.have_gamma:
+        lin = gamma_to_linear(f, 1.0 / (ce.gamma / 1e7))
+    else:
+        lin = encoding_trc_to_linear(f, trc, intensity_target)
+    if trc in (16, 18):  # PQ / HLG: tone map (JniDecoding.cpp:140-156)
+        prim = primaries_xy(ce)
+        wp = white_xy(ce)
+        lin = transfer_tone_rec2408(
+            lin, intensity_target,
+            luma=gamut_rgb_to_xyz(prim, wp)[1].astype(np.float32))
+    src = gamut_rgb_to_xyz(primaries_xy(ce), white_xy(ce))
+    dst = gamut_xyz_to_rgb(PRIMARIES["srgb"], ILLUMINANT_D65)
+    m = (dst @ src).astype(np.float32)
+    lin = jnp.einsum("...c,dc->...d", lin, jnp.asarray(m))
+    out = np.asarray(jnp.clip(jnp.round(
+        linear_to_srgb(jnp.clip(lin, 0.0, 1.0)) * maxv), 0, maxv))
+    res = arr.copy()
+    res[..., :3] = out.astype(arr.dtype)
+    return res
+
+
+def is_hdr_encoding(ce) -> bool:
+    """True when the signalled colour encoding needs the SDR fallback
+    for 8-bit outputs (PQ/HLG transfer or wide-gamut primaries)."""
+    if ce is None or ce.want_icc:
+        return False
+    return (ce.transfer_function in (16, 18)
+            or ce.primaries not in (1,))

@@ -721,6 +721,81 @@ def xyb_planes_to_gamma(X, Y, B, gamma, bits):
     return out.astype(np.uint8 if bits <= 8 else np.uint16)
 
 
+def xyb_planes_to_encoding(X, Y, B, ce, bits, intensity_target):
+    """XYB -> output in the stream's signalled colour encoding
+    (non-sRGB TRC and/or primaries): unclamped linear sRGB -> gamut
+    matrix to the signalled primaries -> signalled transfer function.
+    libjxl's default output space for XYB streams is the signalled
+    encoding (the reference receives it that way,
+    interop/JxlDecoding.cpp:115-144 prefers it over ICC for named TRCs).
+
+    Conventions pinned empirically against libjxl 0.7 output:
+      - linear 1.0 == 255 nits (kDefaultIntensityTarget), independent
+        of the signalled intensity_target;
+      - PQ encodes absolute nits / 10000, sign-mirrored for
+        out-of-gamut negatives;
+      - HLG: display-relative (peak = intensity_target) with the
+        BT.2100 inverse OOTF, gamma = 1.2 * 1.111^log2(Lw/1000), OOTF
+        luminance taken in the *target* primaries.
+    Near black PQ is steep enough that +-1e-3 linear noise moves codes
+    by tens; parity tests bound the mean and the 99.9th percentile.
+    """
+    from ..ops import color as C
+    import jax.numpy as jnp
+    X = X.astype(np.float32)
+    Y = Y.astype(np.float32)
+    B = B.astype(np.float32)
+    g_r = Y + X + np.float32(_CBRT_BIAS)
+    g_g = Y - X + np.float32(_CBRT_BIAS)
+    g_b = B + np.float32(_CBRT_BIAS)
+    mixed = np.stack([g_r * g_r * g_r - np.float32(_BIAS),
+                      g_g * g_g * g_g - np.float32(_BIAS),
+                      g_b * g_b * g_b - np.float32(_BIAS)], axis=-1)
+    lin = mixed @ _OPSIN_INV.T.astype(np.float32)  # linear sRGB, 1=SDR
+    prim = C.primaries_xy(ce)
+    wp = C.white_xy(ce)
+    if prim != C.PRIMARIES["srgb"] or wp != C.ILLUMINANT_D65:
+        m = (C.gamut_xyz_to_rgb(prim, wp)
+             @ C.gamut_rgb_to_xyz(C.PRIMARIES["srgb"],
+                                  C.ILLUMINANT_D65)).astype(np.float32)
+        lin = lin @ m.T
+    trc = ce.transfer_function
+    it = float(intensity_target) if intensity_target else 255.0
+    v = jnp.asarray(lin)
+    sign = jnp.sign(v)
+    if trc == 16:    # PQ
+        enc = sign * C.linear_to_pq(jnp.abs(v) * (255.0 / 10000.0))
+    elif trc == 18:  # HLG with inverse OOTF
+        disp = v * (255.0 / it)
+        gam = 1.2 * 1.111 ** np.log2(it / 1000.0)
+        luma = jnp.asarray(
+            C.gamut_rgb_to_xyz(prim, wp)[1].astype(np.float32))
+        yd = jnp.einsum("...c,c->...", disp, luma)
+        f = jnp.where(yd > 1e-9,
+                      jnp.abs(yd) ** np.float32((1.0 - gam) / gam), 0.0)
+        scene = disp * f[..., None]
+        enc = jnp.sign(scene) * C.linear_to_hlg(
+            jnp.minimum(jnp.abs(scene), 1.0))
+    else:
+        enc = sign * C.LINEAR_TO_TRC.get(
+            trc, C.linear_to_srgb)(jnp.abs(v))
+    enc = np.asarray(enc)
+    maxv = (1 << bits) - 1
+    out = np.clip(np.floor(enc * maxv + 0.5), 0, maxv)
+    return out.astype(np.uint8 if bits <= 8 else np.uint16)
+
+
+def _is_srgb_output(ce) -> bool:
+    """True when the signalled encoding is the default sRGB output the
+    fast paths emit (sRGB TRC or unknown, sRGB primaries, D65)."""
+    if ce is None:
+        return True
+    if ce.have_gamma:
+        return False
+    return (ce.transfer_function in (13, 2)
+            and ce.primaries in (1,) and ce.white_point in (1,))
+
+
 def xyb_planes_to_srgb8(X, Y, B):
     out = _native_xyb_to_srgb(X, Y, B, 8)
     if out is not None:
@@ -1303,6 +1378,10 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         if ce_ is not None and ce_.have_gamma:
             return xyb_planes_to_gamma(Xd, Yd, Bd, ce_.gamma / 1e7,
                                        bits_)
+        if not _is_srgb_output(ce_):
+            return xyb_planes_to_encoding(
+                Xd, Yd, Bd, ce_, bits_,
+                m_.tone_mapping.intensity_target)
         if bits_ > 8:
             return xyb_planes_to_srgb16(Xd, Yd, Bd)
         return xyb_planes_to_srgb8(Xd, Yd, Bd)
@@ -1314,9 +1393,9 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                   and getattr(lf, "patches", None) is None
                   and getattr(lf, "splines", None) is None
                   and getattr(lf, "noise_lut", None) is None
-                  # pure-gamma TRC output happens on host from the XYB
-                  # planes; the device pipeline emits sRGB
-                  and not (_ce is not None and _ce.have_gamma))
+                  # non-sRGB output encodings happen on host from the
+                  # XYB planes; the device pipeline emits sRGB
+                  and _is_srgb_output(_ce))
     device_groups = []
 
     def _decode_group(gi):
@@ -1493,6 +1572,10 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     if gamma is not None:
         rgb = xyb_planes_to_gamma(X, Y, B, gamma,
                                   bits)[:full_h, :full_w]
+    elif not _is_srgb_output(ce):
+        rgb = xyb_planes_to_encoding(
+            X, Y, B, ce, bits,
+            m.tone_mapping.intensity_target)[:full_h, :full_w]
     elif device_rgb is not None:
         rgb = device_rgb[:full_h, :full_w]
     elif bits > 8:

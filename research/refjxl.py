@@ -281,3 +281,96 @@ def encode_animation(frames, lossless=True, effort=3, distance=1.0,
         return bytes(out)
     finally:
         _lib.JxlEncoderDestroy(enc)
+
+
+# ---------------------------------------------------------------------------
+# Full-feature encode: custom JxlColorEncoding, 16-bit input, intensity
+
+
+class JxlColorEncoding(Structure):
+    """jxl/color_encoding.h (0.7) struct layout."""
+    _fields_ = [("color_space", c_int), ("white_point", c_int),
+                ("white_point_xy", ctypes.c_double * 2),
+                ("primaries", c_int),
+                ("primaries_red_xy", ctypes.c_double * 2),
+                ("primaries_green_xy", ctypes.c_double * 2),
+                ("primaries_blue_xy", ctypes.c_double * 2),
+                ("transfer_function", c_int),
+                ("gamma", ctypes.c_double),
+                ("rendering_intent", c_int)]
+
+
+def make_color_encoding(transfer_function=13, primaries=1, white_point=1,
+                        gamma=0.0):
+    """Wire-numbered JxlColorEncoding (values match our headers enums:
+    TRC 16=PQ/18=HLG/13=sRGB, primaries 1=sRGB/9=BT2100/11=P3)."""
+    ce = JxlColorEncoding()
+    ce.color_space = 0  # RGB
+    ce.white_point = white_point
+    ce.primaries = primaries
+    ce.transfer_function = transfer_function
+    ce.gamma = gamma
+    ce.rendering_intent = 1  # RELATIVE
+    return ce
+
+
+def encode_ex(pixels: np.ndarray, lossless: bool = False, effort: int = 7,
+              distance: float = 1.0, color_encoding=None,
+              intensity_target: float = 0.0,
+              container: bool = False) -> bytes:
+    """Encode uint8/uint16 (H, W, 3|4) with libjxl 0.7, optional custom
+    colour encoding + intensity target (for PQ/HLG streams)."""
+    h, w, nch = pixels.shape
+    bits = 16 if pixels.dtype == np.uint16 else 8
+    enc = _lib.JxlEncoderCreate(None)
+    try:
+        _lib.JxlEncoderUseContainer(enc, 1 if container else 0)
+        info = JxlBasicInfo()
+        _lib.JxlEncoderInitBasicInfo(byref(info))
+        info.xsize = w
+        info.ysize = h
+        info.bits_per_sample = bits
+        info.num_color_channels = 3
+        if nch == 4:
+            info.alpha_bits = bits
+            info.num_extra_channels = 1
+        if intensity_target:
+            info.intensity_target = intensity_target
+        info.uses_original_profile = 1 if lossless else 0
+        assert _lib.JxlEncoderSetBasicInfo(enc, byref(info)) == 0
+        if color_encoding is None:
+            ce = ctypes.create_string_buffer(1024)
+            _lib.JxlColorEncodingSetToSRGB(ce, 0)
+            assert _lib.JxlEncoderSetColorEncoding(enc, ce) == 0
+        else:
+            assert _lib.JxlEncoderSetColorEncoding(
+                enc, byref(color_encoding)) == 0
+        opts = _lib.JxlEncoderOptionsCreate(enc, None)
+        _lib.JxlEncoderOptionsSetEffort(opts, effort)
+        if lossless:
+            _lib.JxlEncoderOptionsSetLossless(opts, 1)
+        else:
+            _lib.JxlEncoderOptionsSetDistance(opts, distance)
+        typ = JXL_TYPE_UINT16 if bits == 16 else JXL_TYPE_UINT8
+        fmt = JxlPixelFormat(nch, typ, JXL_NATIVE_ENDIAN, 0)
+        arr = np.ascontiguousarray(
+            pixels, np.uint16 if bits == 16 else np.uint8)
+        assert _lib.JxlEncoderAddImageFrame(
+            opts, byref(fmt), arr.ctypes.data_as(c_void_p),
+            arr.nbytes) == 0
+        _lib.JxlEncoderCloseInput(enc)
+        out = bytearray()
+        chunk = (c_uint8 * 65536)()
+        while True:
+            ptr = ctypes.cast(chunk, POINTER(c_uint8))
+            avail = c_size_t(65536)
+            status = _lib.JxlEncoderProcessOutput(enc, byref(ptr),
+                                                  byref(avail))
+            out += bytes(chunk[:65536 - avail.value])
+            if status == JXL_ENC_SUCCESS:
+                break
+            if status != 2:
+                raise RuntimeError(f"encoder status {status}")
+        return bytes(out)
+    finally:
+        _lib.JxlEncoderDestroy(enc)

@@ -344,3 +344,21 @@ def test_sharded_frame_reconstruct_synthetic():
             P.pad_rows(P.inv_sigma_map(jnp.asarray(qf[i]), dist), halo),
             1, True)
         assert np.abs(out[i] - np.asarray(ref)).max() < 1e-4
+
+
+def test_random_access_cropped_blended_frames():
+    """get_frame(i) on cropped/blended frames must equal the sequential
+    full-composition decode (the reference re-decodes via Rewind +
+    SkipFrames, interop/JxlAnimatedDecoder.cpp:40-57)."""
+    import os
+    from tests.conftest import asset
+    from jxl_coder_tpu import api
+    data = asset("animated_jxl.jxl")
+    frames, durations, info = api.decode_frames(data)
+    img = anim.AnimatedImage(data)
+    assert img.frames_count == len(frames)
+    # random order exercises both cursor reuse and cursor reset
+    for i in (0, 3, 2, 7, 47):
+        got = img.get_frame(i)
+        assert got.shape == frames[i].shape
+        assert np.array_equal(got, frames[i]), f"frame {i} mismatch"
