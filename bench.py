@@ -1,20 +1,29 @@
-"""Headline benchmark: 4K VarDCT device decode throughput on one chip.
+"""Headline benchmark: 4K VarDCT decode on one chip, against a
+baseline measured from the system libjxl 0.7 on this machine.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Fields:
+  metric/value/unit     — device reconstruction throughput for the REAL
+                          multi-strategy 4K frame (actually-parsed
+                          coefficients: the 4K test stream is entropy-
+                          decoded on the host once, and the device
+                          pipeline — dequant + CfL + multi-size IDCT +
+                          gaborish + EPF + XYB->sRGB — is timed on the
+                          parsed state; BASELINE.md config[2]).
+  end_to_end_mps        — full bytes->pixels api.decode wall time for
+                          the same stream (host entropy decode + device
+                          reconstruction; the honest number the device
+                          rANS work moves).
+  libjxl_*_mps          — system libjxl 0.7 measured on this box (1 and
+                          2 threads; this host has 2 cores), plus the
+                          8-thread extrapolation at the measured 1->2
+                          scaling efficiency.
+  vs_baseline           — value / (2 x libjxl-8-thread extrapolation),
+                          i.e. headroom over the BASELINE.md target of
+                          2x libjxl 8-thread CPU decode.
 
-Measures the REAL-format device reconstruction pipeline (dequant + CfL
-+ IDCT on the MXU + adaptive DC smoothing + gaborish + EPF passes 1+2
-— the full default-distance libjxl filter chain — + bit-exact
-XYB->sRGB8) on 3840x2160 frames.  The inputs are actual
-parsed coefficients: a 4K test frame is encoded with the real-format
-encoder and its pass group entropy-decoded on the host once; the
-device loop then measures reconstruction throughput.  The K-frame loop
-runs ON DEVICE via lax.scan so one dispatch amortizes tunnel latency;
-completion is forced by fetching a device-side checksum
+The K-frame device loop runs via lax.scan so one dispatch amortizes
+tunnel latency; completion is forced by fetching a device-side checksum
 (block_until_ready is unreliable over the axon tunnel).
-
-vs_baseline: ratio against the BASELINE.md target of 2x libjxl
-8-thread CPU 4K VarDCT decode (240 MP/s; see BASELINE.md).
 """
 
 import json
@@ -23,10 +32,61 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ["JXL_TPU_DEVICE"] = "1"
 
 import numpy as np
 
-BASELINE_TARGET_MPS = 240.0  # 2x libjxl 8-thread CPU estimate
+STREAM_CACHE = "/tmp/jxl_tpu_bench4k_v2.jxl"
+W, H = 3840, 2160
+K = 16
+
+
+def _test_frame():
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    rng = np.random.default_rng(42)
+    img = np.stack([
+        128 + 90 * np.sin(yy / 97) + 40 * np.cos(xx / 53),
+        120 + 80 * np.sin((xx + yy) / 71) + 30 * np.sin(xx / 29),
+        110 + 70 * np.cos(yy / 41) + 50 * np.sin(xx / 113)], -1)
+    img += rng.normal(0, 6, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _get_stream():
+    """4K d1.0 e7 stream; prefer the system libjxl encoder (a true
+    reference stream with adaptive quant + multi-size strategies),
+    falling back to our own encoder."""
+    if os.path.exists(STREAM_CACHE):
+        return open(STREAM_CACHE, "rb").read(), "cached"
+    img = _test_frame()
+    src = "jxl_coder_tpu-encoder"
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "research"))
+        import refjxl
+        data = refjxl.encode_ex(img, distance=1.0, effort=7)
+        src = "libjxl-0.7-e7-d1.0"
+    except Exception:
+        from jxl_coder_tpu.vardct.enc_real import encode_vardct_real
+        data = encode_vardct_real(img, distance=1.0, effort=7)
+    with open(STREAM_CACHE, "wb") as f:
+        f.write(data)
+    return data, src
+
+
+def _measure_libjxl(data):
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "research"))
+        import refjxl
+        m1 = refjxl.measure_decode_mps(data, 1, reps=2)
+        m2 = refjxl.measure_decode_mps(data, 2, reps=2)
+        eff = m2 / (2.0 * m1)
+        m8 = m1 * 8.0 * eff
+        return m1, m2, m8
+    except Exception:
+        # libjxl unavailable: round-1 documented estimate
+        return None, None, 120.0
 
 
 def main():
@@ -38,67 +98,92 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from jxl_coder_tpu.vardct.tpu_real import reconstruct_dct8_frame
+    data, src = _get_stream()
+    m1, m2, m8 = _measure_libjxl(data)
 
-    w, h = 3840, 2160
-    ny, nx = h // 8, w // 8
-    K = 16
+    from jxl_coder_tpu import api
+    from jxl_coder_tpu.bitstream.reader import BitReader
+    from jxl_coder_tpu.bitstream import container as container_mod
+    from jxl_coder_tpu.bitstream.headers import read_image_header
+    from jxl_coder_tpu.bitstream.frame_header import (read_frame_header,
+                                                      read_toc)
+    from jxl_coder_tpu.vardct import dec_real, tpu_full as TF
 
-    # Real coefficient statistics: sparse AC with geometric magnitudes
-    rng = np.random.default_rng(0)
-    coeffs = np.zeros((3, ny, nx, 64), np.float32)
-    mask = rng.random((3, ny, nx, 64)) < 0.12
-    coeffs[mask] = rng.integers(-30, 30, int(mask.sum()))
-    coeffs[:, :, :, 0] = 0
-    dc = rng.integers(0, 400, (3, ny, nx)).astype(np.int32)
-    dc[1] //= 8
-    dc[2] -= 200
-    qf = np.full((ny, nx), 7, np.int32)
-    sharp = np.full((ny, nx), 4, np.int32)
+    # ---- end-to-end bytes -> pixels (host entropy + device synth) ----
+    t0 = time.perf_counter()
+    out, _ = api.decode(data)
+    e2e = time.perf_counter() - t0
+    e2e_mps = W * H / e2e / 1e6
 
-    from jxl_coder_tpu.vardct import synthesis as S
-    table = np.stack([S.dequant_table(0, c) for c in range(3)]).astype(
-        np.float32)
+    # ---- parse once, time device reconstruction on the real state ----
+    cs = container_mod.extract_codestream(data).codestream
+    br = BitReader(cs)
+    hdr = read_image_header(br)
+    fh = read_frame_header(br, hdr)
+    ng, ndc = fh.counts(hdr)
+    n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+        2 + ndc + ng * fh.passes.num_passes)
+    toc = read_toc(br, n)
+    state = {}
+    dec_real.decode_vardct_frame(cs, hdr, fh, toc, state_out=state)
+    if state.get("blocks_glob") is None:
+        raise SystemExit("device path unavailable for the bench stream")
 
-    co_d = jnp.asarray(coeffs)
-    dc_d = jnp.asarray(dc)
-    qf_d = jnp.asarray(qf)
-    sh_d = jnp.asarray(sharp)
-    xf_d = jnp.zeros((ny, nx), jnp.float32)
-    bf_d = jnp.ones((ny, nx), jnp.float32)
-    tb_d = jnp.asarray(table)
-    igs = np.float32(65536.0 / 7340)
-    dcq = (np.float32(0.000244140625), np.float32(0.001953125),
-           np.float32(0.00390625))
+    lf = state["lf"]
+    desc, fams, qm, perm_inv = TF.prepare_families(
+        lf, fh, state["blocks_glob"], state["qf_map"],
+        state["ytox_glob"], state["ytob_glob"])
+    ys_b, xs_b = state["qf_map"].shape
+    rf = fh.restoration_filter
+    if rf.gab and rf.gab_custom and rf.gab_weights is not None:
+        gabw = tuple(float(g) for g in rf.gab_weights)
+    else:
+        gabw = (0.115169525, 0.061248592) * 3
+    fn = TF._compiled(desc, ys_b * 8, xs_b * 8, int(state["bits"]),
+                      bool(rf.gab), int(rf.epf_iters), gabw,
+                      float(rf.epf_pass0_sigma_scale),
+                      float(rf.epf_pass2_sigma_scale),
+                      int(state["h"]), int(state["w"]))
+    dc = jnp.asarray(np.stack([state["dc_glob"][c] for c in range(3)])
+                     .astype(np.float32))
+    qf = jnp.asarray(state["qf_map"].astype(np.int32))
+    sharp = jnp.asarray(state["sharp_map"].astype(np.int32))
+    igs = np.float32(lf.inv_global_scale)
+    fams_d = jax.device_put(fams)
+    qm_d = jnp.asarray(qm)
+    perm_d = jnp.asarray(perm_inv)
 
     @jax.jit
-    def run_k(co, dcv, qfv, shv, xfv, bfv, tbv):
+    def run_k(fams_, dc_, qf_, sharp_, qm_, perm_):
         def body(carry, i):
-            c2 = co + i.astype(jnp.float32) * 1e-3  # defeat CSE
-            out = reconstruct_dct8_frame(
-                c2, dcv, qfv, shv, xfv, bfv, tbv, igs,
-                np.float32(10.0), dcq, np.float32(1.0), np.float32(1.0),
-                True, 2, False)
-            return carry + jnp.sum(out.astype(jnp.uint32)), None
-
+            dc2 = dc_ + i.astype(jnp.float32) * 1e-6  # defeat CSE
+            o = fn(fams_, dc2, qf_, sharp_, igs, qm_, perm_)
+            return carry + jnp.sum(o.astype(jnp.uint32)), None
         total, _ = jax.lax.scan(body, jnp.uint32(0), jnp.arange(K))
         return total
 
-    _ = int(run_k(co_d, dc_d, qf_d, sh_d, xf_d, bf_d, tb_d))
-
+    _ = int(run_k(fams_d, dc, qf, sharp, qm_d, perm_d))  # compile+warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = int(run_k(co_d, dc_d, qf_d, sh_d, xf_d, bf_d, tb_d))
-        dt = (time.perf_counter() - t0) / K
-        best = min(best, dt)
+        _ = int(run_k(fams_d, dc, qf, sharp, qm_d, perm_d))
+        best = min(best, (time.perf_counter() - t0) / K)
+    stage_mps = W * H / best / 1e6
 
-    mps = (w * h) / best / 1e6
+    target = 2.0 * m8
     print(json.dumps({
-        "metric": "4k_vardct_device_decode",
-        "value": round(mps, 2),
+        "metric": "4k_vardct_device_decode_real_coeffs",
+        "value": round(stage_mps, 2),
         "unit": "MP/s",
-        "vs_baseline": round(mps / BASELINE_TARGET_MPS, 3),
+        "vs_baseline": round(stage_mps / target, 3),
+        "end_to_end_mps": round(e2e_mps, 3),
+        "libjxl_1t_mps": round(m1, 1) if m1 else None,
+        "libjxl_2t_mps": round(m2, 1) if m2 else None,
+        "libjxl_8t_extrapolated_mps": round(m8, 1),
+        "baseline_target_mps": round(target, 1),
+        "stream": src,
+        "n_varblocks": len(state["blocks_glob"]),
+        "strategies": sorted({d[0] for d in desc}),
     }))
 
 

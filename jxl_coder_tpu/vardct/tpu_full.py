@@ -2,11 +2,12 @@
 
 Extends tpu_real.py (DCT8-only fast path) to the complete transform
 zoo: every strategy family present in a frame is reconstructed with
-one batched einsum chain on the MXU, scattered into the frame planes,
-then the restoration-filter chain (gaborish + EPF stages 0-2) and the
-XYB->sRGB transform run on device.  The host keeps only byte-level
-work: entropy decode into per-block coefficient arrays and the dense
-basis-ordered layout (a pure scatter/copy).
+one batched einsum chain on the MXU into dense 8x8 tile rows, the
+frame is assembled with a single gather (tile permutation computed on
+host — no device scatters), then the restoration-filter chain
+(gaborish + EPF stages 0-2) and the XYB->sRGB transform run on device.
+The host keeps only byte-level work: entropy decode into per-block
+coefficient arrays and the dense basis-ordered layout.
 
 Mirrors the host reference path (dec_real.reconstruct_group /
 _apply_filters_chain / xyb_planes_to_srgb*) in float32; the host path
@@ -82,8 +83,15 @@ def _special_resp(lf, sid, c):
 def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
                      ytox_glob: np.ndarray, ytob_glob: np.ndarray):
     """Group frame-global varblocks by strategy and build the dense
-    device inputs.  Returns (descriptor tuple, args tuple); descriptor
-    is hashable (part of the compile signature)."""
+    device inputs.  Returns (descriptor tuple, args tuple, qm,
+    perm_inv); descriptor is hashable (part of the compile signature).
+
+    perm_inv maps each destination 8x8 tile of the frame to its source
+    row in the concatenation of the per-family tile outputs — computed
+    on host (block positions are host data after entropy decode), so
+    the device assembles the frame with ONE dense gather instead of
+    per-family scatters (the round-1 scatter was ~20x slower than the
+    DCT8 dense path)."""
     igs = float(lf.inv_global_scale)
     cf = 1.0 / lf.cfl_color_factor
     qm = np.asarray([0.8 ** (fh.x_qm_scale - 2), 1.0,
@@ -92,6 +100,10 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
     by_sid: Dict[int, list] = {}
     for vb in blocks_global:
         by_sid.setdefault(vb.strategy, []).append(vb)
+
+    ys_b, xs_b = qf_map.shape
+    perm_inv = np.zeros(ys_b * xs_b, np.int32)
+    fam_offset = 0
 
     desc = []
     args = []
@@ -142,7 +154,18 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
                        inv_qac=inv_qac, xf=xf, bf=bf)
         desc.append((sid, n_pad, bh, bw, cov, special))
         args.append(fam)
-    return tuple(desc), tuple(args), qm
+        # destination tile indices for the one-gather frame assembly
+        sh, sw = bh // 8, bw // 8
+        byv = bys[:n].astype(np.int64)
+        bxv = bxs[:n].astype(np.int64)
+        for ty in range(sh):
+            for tx in range(sw):
+                dest = (byv + ty) * xs_b + (bxv + tx)
+                src = (fam_offset + np.arange(n, dtype=np.int64)
+                       * (sh * sw) + ty * sw + tx)
+                perm_inv[dest] = src
+        fam_offset += n_pad * sh * sw
+    return tuple(desc), tuple(args), qm, perm_inv
 
 
 def _epf2_device(X, Y, B, sigma_map, sigma_scale):
@@ -180,10 +203,27 @@ def _epf2_device(X, Y, B, sigma_map, sigma_scale):
     return out[0], out[1], out[2]
 
 
-def _synth_family(planes, dc_glob, fam, sid, n_pad, bh, bw, cov,
+@functools.lru_cache(maxsize=None)
+def _inv_matrix(bh: int, bw: int) -> np.ndarray:
+    """(K, K) full 2D inverse transform: kron of the 1D cosine bases,
+    built in float64 and cast once.  Row index = basis (k, l); columns
+    are permuted to 8x8-TILE order (ty, tx, py, px) so the matmul
+    output is already tile rows — no 6D transpose afterwards."""
+    Ah = S.cos_basis(bh).astype(np.float64)
+    Aw = S.cos_basis(bw).astype(np.float64)
+    R = np.kron(Ah, Aw)
+    sh, sw = bh // 8, bw // 8
+    cols = (np.arange(bh * bw)
+            .reshape(sh, 8, sw, 8).transpose(0, 2, 1, 3).ravel())
+    return R[:, cols].astype(np.float32)
+
+
+def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
                   special, qm):
-    """Dequant + CfL + inverse transform + scatter for one strategy
-    family.  planes: (3, H8, W8); dc_glob: (3, ys_b, xs_b)."""
+    """Dequant + CfL + inverse transform for one strategy family,
+    returning flat 8x8 tile rows (n_pad*sh*sw, 192) [(3, 8, 8) each] —
+    assembled into the frame by one gather in _compiled (no scatters).
+    dc_glob: (3, ys_b, xs_b)."""
     import jax
     import jax.numpy as jnp
     hi = jax.lax.Precision.HIGHEST
@@ -207,44 +247,42 @@ def _synth_family(planes, dc_glob, fam, sid, n_pad, bh, bw, cov,
             if c != 1:
                 p = p + (xf if c == 0 else bf)[:, None, None] * acY
             pix.append(p)
+        # (n, 3, 8, 8) -> (n, 192) flat tile rows (contiguous)
+        return jnp.stack(pix, axis=1).reshape(n_pad, 192)
     else:
         cy, cx = STRATEGIES[sid].cy, STRATEGIES[sid].cx
         cmat, tab = fam["cmat"], fam["tab"]
-        deq = cmat * tab[None] * inv_qac[:, None, None] \
-            * qm[None, :, None]
+        deq = cmat * (tab[None] * qm[None, :, None]) \
+            * inv_qac[:, None, None]
         dY = deq[:, 1]
         dX = deq[:, 0] + xf[:, None] * dY
         dB = deq[:, 2] + bf[:, None] * dY
+        cm3 = jnp.stack([dX, dY, dB], axis=1)          # (n, 3, K)
         anY = jnp.asarray(S.ana_basis(cy).astype(np.float32))
         anX = jnp.asarray(S.ana_basis(cx).astype(np.float32))
         rs = jnp.asarray(np.outer(S.resample_vec(cy),
                                   S.resample_vec(cx)).astype(np.float32))
-        Ah = jnp.asarray(S.cos_basis(bh).astype(np.float32))
-        Aw = jnp.asarray(S.cos_basis(bw).astype(np.float32))
         dyi = jnp.arange(cy)
         dxi = jnp.arange(cx)
         giy = jnp.clip(gy[:, None, None] + dyi[None, :, None],
                        0, dc_glob.shape[1] - 1)
         gix = jnp.clip(gx[:, None, None] + dxi[None, None, :],
                        0, dc_glob.shape[2] - 1)
-        pix = []
-        for c, dq in ((0, dX), (1, dY), (2, dB)):
-            cm = dq.reshape(-1, bh, bw)
-            dcb = dc_glob[c][giy, gix]
-            llf = jnp.einsum("ky,nyx,lx->nkl", anY, dcb, anX,
-                             precision=hi) * rs
-            cm = cm.at[:, :cy, :cx].set(llf)
-            pix.append(jnp.einsum("nkl,km,lo->nmo", cm, Ah, Aw,
-                                  precision=hi))
-
-    iy = jnp.arange(bh)
-    ix = jnp.arange(bw)
-    yy = bys[:, None, None] * 8 + iy[None, :, None]
-    xx = bxs[:, None, None] * 8 + ix[None, None, :]
-    out = []
-    for c in range(3):
-        out.append(planes[c].at[yy, xx].set(pix[c], mode="drop"))
-    return out
+        dcb = dc_glob[:, giy, gix]                     # (3, n, cy, cx)
+        llf = jnp.einsum("ky,cnyx,lx->cnkl", anY, dcb, anX,
+                         precision=hi) * rs
+        cm3 = cm3.reshape(n_pad, 3, bh, bw).at[:, :, :cy, :cx].set(
+            llf.transpose(1, 0, 2, 3))
+        # single MXU matmul: the full 2D inverse transform is the
+        # Kronecker product of the two cosine bases, columns already in
+        # tile order
+        Rm = jnp.asarray(_inv_matrix(bh, bw))
+        sh, sw = bh // 8, bw // 8
+        T = sh * sw
+        tiles = jnp.einsum("nck,kp->ncp", cm3.reshape(n_pad, 3, bh * bw),
+                           Rm, precision=hi)
+        tiles = tiles.reshape(n_pad, 3, T, 64).transpose(0, 2, 1, 3)
+        return tiles.reshape(n_pad * T, 192)
 
 
 def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
@@ -354,11 +392,19 @@ def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
     from .tpu_real import xyb_to_srgb8_device
     gabw = np.asarray(gabw_t, np.float32)
 
-    def fn(fams, dc_glob, qf_map, sharp_map, igs, qm):
-        planes = [jnp.zeros((H8, W8), jnp.float32) for _ in range(3)]
-        for fam, (sid, n_pad, bh, bw, cov, special) in zip(fams, desc):
-            planes = _synth_family(planes, dc_glob, fam, sid, n_pad,
-                                   bh, bw, cov, special, qm)
+    def fn(fams, dc_glob, qf_map, sharp_map, igs, qm, perm_inv):
+        fam_tiles = [
+            _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
+                          special, qm)
+            for fam, (sid, n_pad, bh, bw, cov, special)
+            in zip(fams, desc)]
+        all_tiles = (fam_tiles[0] if len(fam_tiles) == 1
+                     else jnp.concatenate(fam_tiles, axis=0))
+        ny, nx = H8 // 8, W8 // 8
+        frame = jnp.take(all_tiles, perm_inv, axis=0)  # (ny*nx, 192)
+        frame = frame.reshape(ny, nx, 3, 8, 8)
+        frame = frame.transpose(2, 0, 3, 1, 4).reshape(3, H8, W8)
+        planes = [frame[0], frame[1], frame[2]]
         if (gab or epf_iters >= 1) and (crop_h < H8 or crop_w < W8):
             # filter at the TRUE image size with Mirror() borders (the
             # reference render-pipeline semantics); non-128-multiple
@@ -393,8 +439,8 @@ def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
     """Whole-frame device reconstruction: scan-indexed varblocks (frame
     coords) -> (H8, W8, 3) uint8/uint16 sRGB on the padded block grid.
     dc_glob: dict {0,1,2} of already-smoothed XYB DC planes."""
-    desc, fams, qm = prepare_families(lf, fh, blocks_global, qf_map,
-                                      ytox_glob, ytob_glob)
+    desc, fams, qm, perm_inv = prepare_families(
+        lf, fh, blocks_global, qf_map, ytox_glob, ytob_glob)
     ys_b, xs_b = qf_map.shape
     rf = fh.restoration_filter
     if rf.gab and rf.gab_custom and rf.gab_weights is not None:
@@ -411,5 +457,5 @@ def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
                    int(crop_w) if crop_w else W8)
     out = fn(fams, dc, qf_map.astype(np.int32),
              sharp_map.astype(np.int32),
-             np.float32(lf.inv_global_scale), qm)
+             np.float32(lf.inv_global_scale), qm, perm_inv)
     return np.asarray(out)

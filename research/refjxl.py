@@ -374,3 +374,82 @@ def encode_ex(pixels: np.ndarray, lossless: bool = False, effort: int = 7,
         return bytes(out)
     finally:
         _lib.JxlEncoderDestroy(enc)
+
+
+# ---------------------------------------------------------------------------
+# Threaded decode (libjxl_threads runner) + throughput measurement
+
+_libthreads = None
+
+
+def _threads_lib():
+    global _libthreads
+    if _libthreads is None:
+        _libthreads = ctypes.CDLL(
+            "/usr/lib/x86_64-linux-gnu/libjxl_threads.so.0.7.0")
+        _libthreads.JxlThreadParallelRunnerCreate.restype = c_void_p
+        _libthreads.JxlThreadParallelRunnerCreate.argtypes = [
+            c_void_p, c_size_t]
+        _libthreads.JxlThreadParallelRunnerDestroy.argtypes = [c_void_p]
+        _lib.JxlDecoderSetParallelRunner.restype = c_int
+        _lib.JxlDecoderSetParallelRunner.argtypes = [
+            c_void_p, c_void_p, c_void_p]
+    return _libthreads
+
+
+def decode_threaded(data: bytes, threads: int = 0):
+    """Decode with the JxlThreadParallelRunner (the reference's decode
+    parallelism, interop/JxlDecoding.cpp:46,56-60)."""
+    import os as _os
+    if threads <= 0:
+        threads = _os.cpu_count() or 1
+    tl = _threads_lib()
+    runner = tl.JxlThreadParallelRunnerCreate(None, threads)
+    dec = _lib.JxlDecoderCreate(None)
+    try:
+        fn = ctypes.cast(tl.JxlThreadParallelRunner, c_void_p)
+        assert _lib.JxlDecoderSetParallelRunner(dec, fn, runner) == 0
+        assert _lib.JxlDecoderSubscribeEvents(
+            dec, JXL_DEC_BASIC_INFO | JXL_DEC_FULL_IMAGE) == 0
+        buf = ctypes.create_string_buffer(data, len(data))
+        _lib.JxlDecoderSetInput(dec, buf, len(data))
+        info = JxlBasicInfo()
+        out = None
+        fmt = None
+        while True:
+            status = _lib.JxlDecoderProcessInput(dec)
+            if status == JXL_DEC_BASIC_INFO:
+                assert _lib.JxlDecoderGetBasicInfo(dec, byref(info)) == 0
+            elif status == 5:  # JXL_DEC_NEED_IMAGE_OUT_BUFFER
+                nch = 3 + (1 if info.alpha_bits else 0)
+                typ = JXL_TYPE_UINT16 if info.bits_per_sample > 8 \
+                    else JXL_TYPE_UINT8
+                fmt = JxlPixelFormat(nch, typ, JXL_NATIVE_ENDIAN, 0)
+                dt = np.uint16 if info.bits_per_sample > 8 else np.uint8
+                out = np.empty((info.ysize, info.xsize, nch), dt)
+                assert _lib.JxlDecoderSetImageOutBuffer(
+                    dec, byref(fmt), out.ctypes.data_as(c_void_p),
+                    out.nbytes) == 0
+            elif status == JXL_DEC_FULL_IMAGE:
+                pass
+            elif status == JXL_DEC_SUCCESS:
+                return out, info
+            elif status == JXL_DEC_NEED_MORE_INPUT:
+                raise RuntimeError("truncated")
+            elif status == JXL_DEC_ERROR:
+                raise RuntimeError("decode error")
+    finally:
+        _lib.JxlDecoderDestroy(dec)
+        tl.JxlThreadParallelRunnerDestroy(runner)
+
+
+def measure_decode_mps(data: bytes, threads: int, reps: int = 3) -> float:
+    """Best-of-reps libjxl decode throughput in MP/s."""
+    import time as _time
+    out, info = decode_threaded(data, threads)  # warm page cache
+    best = float("inf")
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        decode_threaded(data, threads)
+        best = min(best, _time.perf_counter() - t0)
+    return info.xsize * info.ysize / best / 1e6
