@@ -110,9 +110,12 @@ def main():
     from jxl_coder_tpu.vardct import dec_real, tpu_full as TF
 
     # ---- end-to-end bytes -> pixels (host entropy + device synth) ----
-    t0 = time.perf_counter()
-    out, _ = api.decode(data)
-    e2e = time.perf_counter() - t0
+    _ = api.decode(data)  # warm: XLA compile (persistent-cached) + code
+    e2e = float("inf")
+    for _i in range(2):
+        t0 = time.perf_counter()
+        out, _ = api.decode(data)
+        e2e = min(e2e, time.perf_counter() - t0)
     e2e_mps = W * H / e2e / 1e6
 
     # ---- parse once, time device reconstruction on the real state ----

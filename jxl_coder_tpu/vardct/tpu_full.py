@@ -129,10 +129,11 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
         bf[:n] = lf.cfl_base_b + ytob_glob[ty, tx].astype(np.float64) * cf
 
         if special:
+            raw = np.stack([np.stack([vb.values[c] for c in range(3)])
+                            for vb in group])          # (n, 3, 64) int
             vals = np.zeros((n_pad, 3, 64), np.float32)
-            for i, vb in enumerate(group):
-                for c in range(3):
-                    vals[i, c] = S.adjust_quant_bias(vb.values[c], c)
+            for c in range(3):
+                vals[:n, c] = S.adjust_quant_bias(raw[:, c], c)
             resp = np.stack([_special_resp(lf, sid, c).astype(np.float32)
                              for c in range(3)])
             resp_y_def = S.response_matrix(sid, 1).astype(np.float32)
@@ -143,10 +144,11 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
             order = S.scan_to_basis(sid)
             idx = order[cov:]
             cmat = np.zeros((n_pad, 3, K), np.float32)
+            raw = np.stack([np.stack([vb.values[c] for c in range(3)])
+                            for vb in group])       # (n, 3, K) int
             sc = np.empty((n, 3, K - cov), np.float32)
-            for i, vb in enumerate(group):
-                for c in range(3):
-                    sc[i, c] = S.adjust_quant_bias(vb.values[c][cov:], c)
+            for c in range(3):
+                sc[:, c] = S.adjust_quant_bias(raw[:, c, cov:], c)
             cmat[:n, :, idx] = sc
             tab = np.stack([_dq_table(lf, sid, c)[:K].astype(np.float32)
                             for c in range(3)])
