@@ -21,7 +21,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                      # jax >= 0.6: public API (0.8 removes the
+    from jax import shard_map                   # experimental import)
+except ImportError:       # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..vardct import pipeline as pl
 
