@@ -494,6 +494,66 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
     return blocks
 
 
+def _entropy_device_pass_groups(cs, toc, lf, hf, ng, ndc, npasses,
+                                histo_bits, pass_shift, group_view):
+    """Decode every AC pass group on the TPU in lockstep (one lane per
+    group) and return {gi: VarBlocks}, or None when the stream uses a
+    backend the device kernel doesn't cover (prefix codes, LZ77,
+    extra-channel modular sub-streams interleaved after the AC tokens)
+    — callers then fall back to the host path."""
+    from ..entropy import device as ENTDEV
+    if getattr(lf, "mfd", None) is not None:
+        return None          # mfd reads trail the AC tokens per group
+    packs = []
+    for p in range(npasses):
+        pk = ENTDEV.pack_code(hf.accodes[p])
+        if pk is None:
+            return None
+        packs.append(pk)
+    num_ctxs = lf.bcm.num_ctxs
+    scheds = []
+    for gi in range(ng):
+        ax, ay, gw, gh, sub, dc_q = group_view(gi)
+        scheds.append(ENTDEV.build_group_schedule(lf, sub, gw, gh,
+                                                  dc_q, hf))
+    blocks_by_gi = None
+    for p in range(npasses):
+        gins = []
+        for gi in range(ng):
+            s = toc.section(2 + ndc + p * ng + gi)
+            gins.append(ENTDEV.GroupInput(
+                cs[s.offset:s.offset + s.size], histo_bits, num_ctxs,
+                scheds[gi]))
+        out, ok = ENTDEV.decode_pass_groups_device(packs[p], gins,
+                                                   num_ctxs)
+        if not ok.all():
+            if os.environ.get("JXL_TPU_ENTROPY_STRICT", "0") != "0":
+                raise BitstreamError(
+                    "device AC entropy decode failed checksum on groups"
+                    f" {np.nonzero(~ok)[0].tolist()}")
+            return None
+        pb = {gi: ENTDEV.unpack_to_varblocks(out[gi], scheds[gi], hf, p)
+              for gi in range(ng)}
+        if blocks_by_gi is None:
+            blocks_by_gi = pb
+            if pass_shift[0]:
+                sh = np.int64(1) << pass_shift[0]
+                for blocks in blocks_by_gi.values():
+                    for vb in blocks:
+                        for c in vb.values:
+                            vb.values[c] = \
+                                vb.values[c].astype(np.int64) * sh
+        else:
+            sh = np.int64(1) << pass_shift[p]
+            for gi in range(ng):
+                for vb, vbp in zip(blocks_by_gi[gi], pb[gi]):
+                    for c in vb.values:
+                        vb.values[c] = (vb.values[c].astype(np.int64)
+                                        + vbp.values[c].astype(np.int64)
+                                        * sh)
+    return blocks_by_gi
+
+
 _STRAT_LUTS = None
 
 
@@ -1399,7 +1459,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                   and _is_srgb_output(_ce))
     device_groups = []
 
-    def _decode_group(gi):
+    def _group_view(gi):
         ax = (gi % gx) * gd_b
         ay = (gi // gx) * gd_b
         gw = min(gd_b, xs_b - ax)
@@ -1408,8 +1468,44 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         lx, ly, lg = lgs[lgi]
         ox, oy = ax - lx, ay - ly
         sub = _lf_group_view(lg, ox, oy, gw, gh)
-        dc_q = np.stack([sub.dc.channels[1].data, sub.dc.channels[0].data,
+        dc_q = np.stack([sub.dc.channels[1].data,
+                         sub.dc.channels[0].data,
                          sub.dc.channels[2].data])
+        return ax, ay, gw, gh, sub, dc_q
+
+    # device-side entropy decode (opt-in): all AC pass groups decode in
+    # lockstep on the TPU; per-group VarBlocks come back bit-exact.
+    # Unsupported streams (prefix codes, LZ77) fall back to the host.
+    dev_blocks_by_gi = None
+    if not single and ng > 0:
+        from ..entropy import device as ENTDEV
+        if ENTDEV.entropy_device_enabled():
+            try:
+                dev_blocks_by_gi = _entropy_device_pass_groups(
+                    cs, toc, lf, hf, ng, ndc, npasses, histo_bits,
+                    pass_shift, _group_view)
+            except BitstreamError:
+                raise
+            except Exception:
+                if os.environ.get("JXL_TPU_ENTROPY_STRICT",
+                                  "0") != "0":
+                    raise
+                dev_blocks_by_gi = None
+
+    def _decode_group(gi):
+        ax, ay, gw, gh, sub, dc_q = _group_view(gi)
+        if dev_blocks_by_gi is not None:
+            blocks = dev_blocks_by_gi[gi]
+            if use_device:
+                device_groups.append((ax, ay, sub, blocks))
+                return
+            dc_view = {c: dc_glob[c][ay:ay + gh, ax:ax + gw]
+                       for c in range(3)}
+            gX, gY, gB = reconstruct_group(lf, sub, blocks, fh, dc_view)
+            X[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gX
+            Y[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gY
+            B[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gB
+            return
         blocks = None
         for p in range(npasses):
             br_g = brs(2 + ndc + p * ng + gi)
