@@ -845,6 +845,22 @@ def xyb_planes_to_encoding(X, Y, B, ce, bits, intensity_target):
     return out.astype(np.uint8 if bits <= 8 else np.uint16)
 
 
+def ycbcr_planes_to_rgb(Cb, Y, Cr, bits):
+    """JPEG-recompression frames: (Cb, Y, Cr) planes -> RGB.
+    BT.601 full-range constants as libjxl's YcbcrToRgb; the Y plane is
+    stored centred (the +128/255 offset lives here)."""
+    yp = Y.astype(np.float32) + np.float32(128.0 / 255.0)
+    Cb = Cb.astype(np.float32)
+    Cr = Cr.astype(np.float32)
+    r = yp + np.float32(1.402) * Cr
+    g = yp - np.float32(0.344136) * Cb - np.float32(0.714136) * Cr
+    b = yp + np.float32(1.772) * Cb
+    maxv = (1 << bits) - 1
+    out = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.floor(out * maxv + 0.5), 0, maxv)
+    return out.astype(np.uint8 if bits <= 8 else np.uint16)
+
+
 def _is_srgb_output(ce) -> bool:
     """True when the signalled encoding is the default sRGB output the
     fast paths emit (sRGB TRC or unknown, sRGB primaries, D65)."""
@@ -935,7 +951,13 @@ def reconstruct_group(lf: LfGlobal, lg: LfGroup,
     from . import synthesis as S
     ys_b, xs_b = lg.qf_map.shape
     igs = lf.inv_global_scale
-    qm = [0.8 ** (fh.x_qm_scale - 2), 1.0, 0.8 ** (fh.b_qm_scale - 2)]
+    # qm multipliers apply to the XYB X/B channels only; YCbCr frames
+    # (JPEG recompression) dequantize without them (pinned vs libjxl)
+    if fh.do_ycbcr:
+        qm = [1.0, 1.0, 1.0]
+    else:
+        qm = [0.8 ** (fh.x_qm_scale - 2), 1.0,
+              0.8 ** (fh.b_qm_scale - 2)]
     cf = 1.0 / lf.cfl_color_factor
     dc_planes = dc_view if dc_view is not None else \
         compute_dc_planes(lf, lg)
@@ -1450,6 +1472,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     from . import tpu_full as TF
     _ce = hdr.metadata.colour_encoding
     use_device = (TF.device_enabled() and not return_xyb
+                  and not fh.do_ycbcr
                   and fh.upsampling == 1
                   and getattr(lf, "patches", None) is None
                   and getattr(lf, "splines", None) is None
@@ -1678,7 +1701,9 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         # stream declares a pure power TRC (e.g. alpha_png_freepik's
         # 1/2.2): encode the linear output with it instead of sRGB
         gamma = ce.gamma / 1e7
-    if gamma is not None:
+    if fh.do_ycbcr:
+        rgb = ycbcr_planes_to_rgb(X, Y, B, bits)[:full_h, :full_w]
+    elif gamma is not None:
         rgb = xyb_planes_to_gamma(X, Y, B, gamma,
                                   bits)[:full_h, :full_w]
     elif not _is_srgb_output(ce):

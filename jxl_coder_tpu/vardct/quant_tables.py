@@ -174,7 +174,14 @@ def compute_table(enc: QuantEncoding, table_idx: int, c: int
         q = enc.qraw[c].astype(np.float64)
         if np.any(q <= 0):
             raise BitstreamError("RAW quant table non-positive")
-        return (q * enc.qraw_den).ravel() * _TABLE_SCALE_RAW
+        # RAW tables (JPEG recompression) are stored transposed
+        # relative to the canonical ky*W+kx order, and libjxl folds
+        # 1/(1-quant_bias[c]) into them so AdjustQuantBias cancels
+        # exactly at |coeff| == 1 — both pinned by single-coefficient
+        # probe streams against libjxl 0.7 output.
+        from .synthesis import QUANT_BIAS
+        return (q.T * enc.qraw_den).ravel() * (
+            _TABLE_SCALE_RAW / (1.0 - QUANT_BIAS[c]))
     if enc.mode == MODE_ID:
         w = np.full((8, 8), enc.weights[c][0])
         w[0, 1] = w[1, 0] = enc.weights[c][1]

@@ -94,8 +94,11 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
     DCT8 dense path)."""
     igs = float(lf.inv_global_scale)
     cf = 1.0 / lf.cfl_color_factor
-    qm = np.asarray([0.8 ** (fh.x_qm_scale - 2), 1.0,
-                     0.8 ** (fh.b_qm_scale - 2)], np.float32)
+    if getattr(fh, "do_ycbcr", False):
+        qm = np.ones(3, np.float32)
+    else:
+        qm = np.asarray([0.8 ** (fh.x_qm_scale - 2), 1.0,
+                         0.8 ** (fh.b_qm_scale - 2)], np.float32)
 
     by_sid: Dict[int, list] = {}
     for vb in blocks_global:

@@ -453,3 +453,106 @@ def measure_decode_mps(data: bytes, threads: int, reps: int = 3) -> float:
         decode_threaded(data, threads)
         best = min(best, _time.perf_counter() - t0)
     return info.xsize * info.ysize / best / 1e6
+
+
+# ---------------------------------------------------------------------------
+# JPEG recompression oracle (construct / reconstruct via libjxl 0.7)
+
+def jpeg_construct(jpeg_bytes: bytes, effort: int = 7) -> bytes:
+    """Lossless JPEG -> JXL exactly as the reference does it
+    (interop/JxlConstruction.hpp:45-102: StoreJPEGMetadata +
+    AddJPEGFrame)."""
+    enc = _lib.JxlEncoderCreate(None)
+    try:
+        _lib.JxlEncoderUseContainer.restype = c_int
+        assert _lib.JxlEncoderUseContainer(enc, 1) == 0
+        _lib.JxlEncoderStoreJPEGMetadata.restype = c_int
+        _lib.JxlEncoderStoreJPEGMetadata.argtypes = [c_void_p, c_int]
+        assert _lib.JxlEncoderStoreJPEGMetadata(enc, 1) == 0
+        opts = _lib.JxlEncoderOptionsCreate(enc, None)
+        _lib.JxlEncoderOptionsSetEffort(opts, effort)
+        _lib.JxlEncoderAddJPEGFrame.restype = c_int
+        _lib.JxlEncoderAddJPEGFrame.argtypes = [c_void_p, c_void_p,
+                                                c_size_t]
+        buf = ctypes.create_string_buffer(jpeg_bytes, len(jpeg_bytes))
+        assert _lib.JxlEncoderAddJPEGFrame(opts, buf,
+                                           len(jpeg_bytes)) == 0
+        _lib.JxlEncoderCloseInput(enc)
+        out = bytearray()
+        chunk = (c_uint8 * 65536)()
+        while True:
+            ptr = ctypes.cast(chunk, POINTER(c_uint8))
+            avail = c_size_t(65536)
+            status = _lib.JxlEncoderProcessOutput(enc, byref(ptr),
+                                                  byref(avail))
+            out += bytes(chunk[:65536 - avail.value])
+            if status == JXL_ENC_SUCCESS:
+                break
+            if status != 2:
+                raise RuntimeError(f"encoder status {status}")
+        return bytes(out)
+    finally:
+        _lib.JxlEncoderDestroy(enc)
+
+
+def jpeg_reconstruct(jxl_bytes: bytes) -> bytes:
+    """Recompressed JXL -> original JPEG bytes
+    (interop/JxlReconstruction.hpp:44-88 semantics)."""
+    JXL_DEC_JPEG_RECONSTRUCTION = 0x2000
+    JXL_DEC_JPEG_NEED_MORE_OUTPUT = 6
+    dec = _lib.JxlDecoderCreate(None)
+    try:
+        _lib.JxlDecoderSetJPEGBuffer.restype = c_int
+        _lib.JxlDecoderSetJPEGBuffer.argtypes = [c_void_p, c_void_p,
+                                                 c_size_t]
+        _lib.JxlDecoderReleaseJPEGBuffer.restype = c_size_t
+        _lib.JxlDecoderReleaseJPEGBuffer.argtypes = [c_void_p]
+        assert _lib.JxlDecoderSubscribeEvents(
+            dec, JXL_DEC_JPEG_RECONSTRUCTION | JXL_DEC_FULL_IMAGE
+            | JXL_DEC_BASIC_INFO) == 0
+        src = ctypes.create_string_buffer(jxl_bytes, len(jxl_bytes))
+        _lib.JxlDecoderSetInput(dec, src, len(jxl_bytes))
+        cap = 1 << 16
+        jbuf = ctypes.create_string_buffer(cap)
+        used_total = 0
+        set_buf = False
+        info = JxlBasicInfo()
+        out = None
+        while True:
+            status = _lib.JxlDecoderProcessInput(dec)
+            if status == JXL_DEC_JPEG_RECONSTRUCTION:
+                assert _lib.JxlDecoderSetJPEGBuffer(dec, jbuf, cap) == 0
+                set_buf = True
+            elif status == JXL_DEC_JPEG_NEED_MORE_OUTPUT:
+                remaining = _lib.JxlDecoderReleaseJPEGBuffer(dec)
+                used_total += cap - remaining
+                newcap = cap * 2
+                newbuf = ctypes.create_string_buffer(newcap)
+                ctypes.memmove(newbuf, jbuf, used_total)
+                jbuf, cap = newbuf, newcap
+                assert _lib.JxlDecoderSetJPEGBuffer(
+                    dec, ctypes.byref(jbuf, used_total),
+                    cap - used_total) == 0
+            elif status == JXL_DEC_BASIC_INFO:
+                _lib.JxlDecoderGetBasicInfo(dec, byref(info))
+            elif status == 5:  # NEED_IMAGE_OUT_BUFFER
+                nch = 3 + (1 if info.alpha_bits else 0)
+                fmt = JxlPixelFormat(nch, JXL_TYPE_UINT8,
+                                     JXL_NATIVE_ENDIAN, 0)
+                out = np.empty((info.ysize, info.xsize, nch), np.uint8)
+                _lib.JxlDecoderSetImageOutBuffer(
+                    dec, byref(fmt), out.ctypes.data_as(c_void_p),
+                    out.nbytes)
+            elif status in (JXL_DEC_FULL_IMAGE,):
+                pass
+            elif status == JXL_DEC_SUCCESS:
+                if set_buf:
+                    remaining = _lib.JxlDecoderReleaseJPEGBuffer(dec)
+                    used_total += cap - remaining
+                return bytes(jbuf[:used_total])
+            elif status == JXL_DEC_ERROR:
+                raise RuntimeError("decode error")
+            elif status == JXL_DEC_NEED_MORE_INPUT:
+                raise RuntimeError("truncated")
+    finally:
+        _lib.JxlDecoderDestroy(dec)
