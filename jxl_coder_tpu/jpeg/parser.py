@@ -89,6 +89,21 @@ class JpegData:
     vmax: int = 1
     mcus_x: int = 0
     mcus_y: int = 0
+    # jbrd-grade structure (jpeg/jbrd.py): everything needed to
+    # regenerate the header bytes exactly
+    marker_order: List[int] = dataclasses.field(default_factory=list)
+    app_payloads: List[bytes] = dataclasses.field(default_factory=list)
+    com_payloads: List[bytes] = dataclasses.field(default_factory=list)
+    dqt_meta: List[Tuple[int, int, bool]] = dataclasses.field(
+        default_factory=list)  # (precision, index, is_last) define order
+    dht_meta: List[Tuple[int, int, bool, List[int], List[int]]] = \
+        dataclasses.field(default_factory=list)
+    # (is_ac, id, is_last, counts16, values) in definition order
+    scan_components: List[Tuple[int, int, int]] = dataclasses.field(
+        default_factory=list)  # (component_id, dc_tbl, ac_tbl)
+    padding_bits: List[int] = dataclasses.field(default_factory=list)
+    # scan alignment filler bits in file order (restarts + final)
+    sof_marker: int = 0xC0
 
 
 class _ScanReader:
@@ -128,9 +143,16 @@ class _ScanReader:
             v = (v << 1) | self.read_bit()
         return v
 
-    def align_and_expect_rst(self, idx: int) -> None:
-        """Skip to byte boundary and consume RSTn marker."""
+    def drain_padding(self, out: list) -> None:
+        """Append the unread bits of the current byte (the encoder's
+        alignment filler, MSB-first file order) to `out`."""
+        for i in range(self.nbits - 1, -1, -1):
+            out.append((self.bitbuf >> i) & 1)
         self.nbits = 0
+
+    def align_and_expect_rst(self, idx: int, pads: list) -> None:
+        """Skip to byte boundary and consume RSTn marker."""
+        self.drain_padding(pads)
         if self.pos + 1 >= len(self.data):
             raise JpegError("missing restart marker")
         if self.data[self.pos] != 0xFF or \
@@ -175,6 +197,7 @@ def parse_jpeg(data: bytes) -> JpegData:
             raise JpegError("EOI before scan")
         seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
         seg = data[pos + 4:pos + 2 + seg_len]
+        j.marker_order.append(marker)
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -189,7 +212,9 @@ def parse_jpeg(data: bytes) -> JpegData:
                         np.int32)
                 j.quant[tq] = tbl
                 p += n
+                j.dqt_meta.append((pq, tq, p >= len(seg)))
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            j.sof_marker = marker
             j.precision = seg[0]
             j.height = int.from_bytes(seg[1:3], "big")
             j.width = int.from_bytes(seg[3:5], "big")
@@ -209,8 +234,13 @@ def parse_jpeg(data: bytes) -> JpegData:
                 tbl = HuffTable(counts, syms)
                 (j.ac_tables if tc else j.dc_tables)[th] = tbl
                 p += 17 + nsym
+                j.dht_meta.append((tc, th, p >= len(seg), counts, syms))
         elif marker == 0xDD:  # DRI
             j.restart_interval = int.from_bytes(seg[:2], "big")
+        elif 0xE0 <= marker <= 0xEF:  # APPn
+            j.app_payloads.append(data[pos + 1:pos + 2 + seg_len])
+        elif marker == 0xFE:  # COM
+            j.com_payloads.append(data[pos + 1:pos + 2 + seg_len])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             for i in range(ns):
@@ -218,6 +248,7 @@ def parse_jpeg(data: bytes) -> JpegData:
                 for c in j.components:
                     if c.id == cid:
                         c.td, c.ta = tt >> 4, tt & 15
+                j.scan_components.append((cid, tt >> 4, tt & 15))
             sos_pos = pos + 2 + seg_len
             j.header_bytes = data[:sos_pos]
             break
@@ -247,7 +278,7 @@ def parse_jpeg(data: bytes) -> JpegData:
     for my in range(j.mcus_y):
         for mx in range(j.mcus_x):
             if ri and mcu_count and mcu_count % ri == 0:
-                rd.align_and_expect_rst(rst_idx)
+                rd.align_and_expect_rst(rst_idx, j.padding_bits)
                 rst_idx = (rst_idx + 1) & 7
                 for c in j.components:
                     dc_pred[c.id] = 0
@@ -278,10 +309,12 @@ def parse_jpeg(data: bytes) -> JpegData:
                         c.coeffs[my * c.v + by, mx * c.h + bx] = block
             mcu_count += 1
     # trailer: align to byte, find EOI
+    rd.drain_padding(j.padding_bits)
     tpos = rd.pos
     # any remaining bits in current byte are padding
     while tpos < len(data) and not (data[tpos] == 0xFF
                                     and data[tpos + 1:tpos + 2] != b"\x00"):
         tpos += 1
     j.trailer_bytes = data[tpos:]
+    j.marker_order.append(0xD9)
     return j
