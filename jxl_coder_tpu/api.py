@@ -690,22 +690,35 @@ def decode_sampled(data: bytes, width: int, height: int,
 # ---- Convenience transcoders (JxlCoder.Convenience, JxlCoder.kt:141-185) -
 
 def construct(jpeg_data: bytes) -> bytes:
-    """Lossless JPEG -> JXL (Convenience.construct, JxlCoder.kt:173-175)."""
+    """Lossless JPEG -> JXL (Convenience.construct, JxlCoder.kt:173-175).
+
+    Emits the STANDARD wire format (jbrd box + do_ycbcr VarDCT frame)
+    that libjxl decodes and reconstructs byte-exactly; 4:2:0/4:2:2
+    sources fall back to the round-1 private container until the
+    subsampled grids land."""
+    from .jpeg import wire as _wire
     from .jpeg import transcode as _tc
     from .jpeg.parser import JpegError
     try:
-        return _tc.construct(jpeg_data)
+        try:
+            return _wire.construct(jpeg_data)
+        except JpegError:
+            return _tc.construct(jpeg_data)
     except JpegError as e:
         raise InvalidJXLError(str(e)) from e
 
 
 def reconstruct_jpeg(data: bytes) -> bytes:
     """JXL -> byte-identical original JPEG (Convenience.reconstructJPEG,
-    JxlCoder.kt:182-184)."""
+    JxlCoder.kt:182-184).  Accepts standard recompressed files (ours or
+    libjxl/cjxl's) and the round-1 private container."""
+    from .jpeg import wire as _wire
     from .jpeg import transcode as _tc
     from .jpeg.parser import JpegError
     try:
-        return _tc.reconstruct(data)
+        if _tc.is_constructed(data):
+            return _tc.reconstruct(data)
+        return _wire.reconstruct(data)
     except (JpegError, BitstreamError) as e:
         raise InvalidJXLError(str(e)) from e
 

@@ -116,11 +116,14 @@ def construct(jpeg_data: bytes) -> bytes:
 
 
 def is_constructed(data: bytes) -> bool:
+    """True only for the round-1 PRIVATE container (jxcf coefficient
+    box); standard recompressed files (jbrd + jxlc codestream) decode
+    through the normal path / jpeg.wire."""
     if data[:12] != container_mod.MAGIC_CONTAINER:
         return False
     try:
         for box in container_mod.parse_boxes(data):
-            if box.type == b"jbrd":
+            if box.type == b"jxcf":
                 return True
             if box.type in (b"jxlc", b"jxlp"):
                 return False

@@ -516,3 +516,48 @@ def test_animated_lossy_encode_libjxl_decodes():
     theirs, _ = refjxl.decode(data)
     d = np.abs(last[..., :3].astype(int) - theirs[..., :3].astype(int))
     assert d.max() <= 1, d.max()
+
+
+# ---- standard-wire JPEG recompression interop (round 2) -----------------
+
+def _jpeg_bytes(img_arr, quality=80, subsampling=0, **kw):
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img_arr).save(buf, format="JPEG", quality=quality,
+                                  subsampling=subsampling, **kw)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("quality", [50, 85, 95])
+def test_libjxl_reconstructs_our_construct(quality):
+    """libjxl must byte-exactly reconstruct the original JPEG from OUR
+    standard-wire construct() output (JxlConstruction.hpp semantics)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (56, 72, 3)).astype(np.uint8)
+    jpeg = _jpeg_bytes(img, quality)
+    jxl = api.construct(jpeg)
+    assert refjxl.jpeg_reconstruct(jxl) == jpeg
+
+
+def test_libjxl_decodes_our_construct_pixels():
+    import io
+    from PIL import Image
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    jpeg = _jpeg_bytes(img, 85)
+    px, _ = refjxl.decode(api.construct(jpeg))
+    pil = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+    assert np.abs(px[:, :, :3].astype(int) - pil.astype(int)).max() <= 24
+
+
+@pytest.mark.parametrize("quality,gray", [(50, False), (80, False),
+                                          (75, True)])
+def test_we_reconstruct_libjxl_construct(quality, gray):
+    """Byte-exact reconstruction of libjxl-constructed files, including
+    the integer chroma-from-luma undo (JxlReconstruction.hpp)."""
+    rng = np.random.default_rng(5)
+    shape = (56, 72) if gray else (56, 72, 3)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    jpeg = _jpeg_bytes(img, quality)
+    assert api.reconstruct_jpeg(refjxl.jpeg_construct(jpeg)) == jpeg

@@ -88,3 +88,59 @@ def test_reconstruct_rejects_plain_jxl():
     data = api.encode(np.zeros((8, 8, 3), np.uint8), lossless=True)
     with pytest.raises(api.InvalidJXLError):
         api.reconstruct_jpeg(data)
+
+
+# ---- standard wire format (jbrd + VarDCT frame), round 2 ----------------
+
+from jxl_coder_tpu.jpeg import wire as W  # noqa: E402
+from jxl_coder_tpu.jpeg import jbrd as JB  # noqa: E402
+
+
+@pytest.mark.parametrize("quality,gray", [(85, False), (40, False),
+                                          (95, False), (70, True)])
+def test_wire_construct_reconstruct_roundtrip(quality, gray):
+    img = _img(noise=10)
+    if gray:
+        img = img[:, :, 0]
+    jpeg = _jpeg(img, quality)
+    jxl = W.construct(jpeg)
+    # standard container: signature + jbrd + jxlc boxes
+    from jxl_coder_tpu.bitstream import container as C
+    cont = C.extract_codestream(jxl)
+    assert cont.jpeg_reconstruction_data is not None
+    assert cont.codestream[:2] == b"\xff\x0a"
+    assert W.reconstruct(jxl) == jpeg
+
+
+def test_wire_restart_markers_roundtrip():
+    jpeg = _jpeg(_img(64, 64, noise=6), 60, restart_marker_blocks=2)
+    assert W.reconstruct(W.construct(jpeg)) == jpeg
+
+
+def test_wire_api_decode_pixels():
+    jpeg = _jpeg(_img(noise=4), 85)
+    jxl = api.construct(jpeg)
+    px, info = api.decode(jxl)
+    pil = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+    assert px.shape == pil.shape
+    # IDCT implementation differences only (exact coefficients)
+    assert np.abs(px.astype(int) - pil.astype(int)).max() <= 16
+
+
+def test_jbrd_bundle_roundtrip():
+    jpeg = _jpeg(_img(noise=8), 75, comment=b"bundle-test")
+    j = parse_jpeg(jpeg)
+    d = JB.jbrd_from_jpeg(j)
+    d2 = JB.parse_jbrd(JB.write_jbrd(d))
+    assert d2.marker_order == d.marker_order
+    assert d2.app_data == d.app_data
+    assert d2.com_data == d.com_data
+    assert [(h.is_ac, h.id, h.counts, h.values) for h in d2.huffman] \
+        == [(h.is_ac, h.id, h.counts, h.values) for h in d.huffman]
+    assert d2.quant_idx == d.quant_idx
+
+
+def test_wire_420_falls_back_to_private_container():
+    jpeg = _jpeg(_img(noise=5), 80, subsampling=2)
+    jxl = api.construct(jpeg)           # falls back until 420 grids land
+    assert api.reconstruct_jpeg(jxl) == jpeg
