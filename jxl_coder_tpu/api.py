@@ -280,6 +280,30 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
     return bw.to_bytes()
 
 
+def _subsampled_jpeg_probe(data: bytes):
+    """If `data` is a recompressed-JPEG JXL whose frame uses chroma
+    subsampling, render it via jpeg.wire and return the pixels; else
+    None."""
+    try:
+        from .bitstream import container as _c
+        from .bitstream.reader import BitReader
+        from .bitstream.headers import read_image_header
+        from .bitstream.frame_header import read_frame_header
+        from .vardct.dec_real import jpeg_shifts
+        cont = _c.extract_codestream(data)
+        if cont.jpeg_reconstruction_data is None:
+            return None
+        br = BitReader(cont.codestream)
+        hdr = read_image_header(br)
+        fh = read_frame_header(br, hdr)
+        if jpeg_shifts(fh) is None:
+            return None
+    except BitstreamError:
+        return None
+    from .jpeg import wire as _wire
+    return _wire.decode_subsampled_to_pixels(data)
+
+
 def decode(data: bytes):
     """Decode a JXL file to (pixels, BasicInfo).
 
@@ -299,6 +323,19 @@ def decode(data: bytes):
     from .jpeg import transcode as _jpeg_tc
     if _jpeg_tc.is_constructed(data):
         pixels = _jpeg_tc.decode_to_pixels(data)
+        h, w, _ = pixels.shape
+        info = BasicInfo(xsize=w, ysize=h, bits_per_sample=8,
+                         float_samples=False, alpha=False,
+                         alpha_premultiplied=False, orientation=1,
+                         have_animation=False, intensity_target=255.0,
+                         uses_original_profile=True)
+        return pixels, info
+    # chroma-subsampled recompressed JPEGs need per-channel block
+    # grids: rendered by the jpeg.wire path (full-resolution jpeg
+    # frames go through the normal VarDCT decoder below)
+    _sub = _subsampled_jpeg_probe(data)
+    if _sub is not None:
+        pixels = _sub
         h, w, _ = pixels.shape
         info = BasicInfo(xsize=w, ysize=h, bits_per_sample=8,
                          float_samples=False, alpha=False,

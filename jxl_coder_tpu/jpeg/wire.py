@@ -62,8 +62,91 @@ def _jxl_channel_map(ncomp: int) -> List[int]:
     raise JpegError(f"unsupported JPEG component count {ncomp}")
 
 
+def _upsampling_values(j: JpegData) -> tuple:
+    """FrameHeader.jpeg_upsampling per jxl channel from the JPEG's
+    sampling factors: value 0=1x1, 1=2x2, 2=2x1, 3=1x2 upsampling."""
+    VAL = {(1, 1): 0, (2, 2): 1, (2, 1): 2, (1, 2): 3}
+    cmap = _jxl_channel_map(len(j.components))
+    vals = []
+    for c in range(3):
+        ci = cmap[c]
+        if ci < 0:
+            vals.append(0)
+            continue
+        comp = j.components[ci]
+        key = (comp.h, comp.v)
+        if key not in VAL:
+            raise JpegError(f"unsupported sampling factors {key}")
+        vals.append(VAL[key])
+    if len(j.components) == 1:
+        return (0, 0, 0)
+    return tuple(vals)
+
+
+def _frame_geometry(fh, hdr):
+    """(xs_b, ys_b, shifts): MCU-aligned full block grid + per-channel
+    stored-grid shifts for a (possibly chroma-subsampled) jpeg frame."""
+    from ..vardct import dec_real as D
+    w, h = fh.coded_size(hdr)
+    shifts = D.jpeg_shifts(fh)
+    if shifts is None:
+        return -(-w // 8), -(-h // 8), None
+    hs_max = max(hs for hs, _ in shifts)
+    vs_max = max(vs for _, vs in shifts)
+    xs_b = -(-w // (8 << hs_max)) << hs_max
+    ys_b = -(-h // (8 << vs_max)) << vs_max
+    return xs_b, ys_b, shifts
+
+
 # ---------------------------------------------------------------------------
 # construct
+
+def _write_jpeg_group_tokens(ts, coeffs, ax, ay, gw, gh, shifts):
+    """AC tokens for one 256px group of a chroma-subsampled DCT8-only
+    frame: raster over the full (luma) grid, subsampled channels
+    anchored at bx % 2^hs == 0 / by % 2^vs == 0, channel order
+    (1, 0, 2) — the mirror of dec_real.read_pass_group."""
+    from ..vardct.enc_real import NUM_CTXS
+    from ..vardct.dec_real import (DEFAULT_CTX_MAP, NONZERO_BUCKETS,
+                                   ZERO_DENSITY_CTX_COUNT, nonzero_ctx,
+                                   zero_density_ctx)
+    from ..bitstream.reader import pack_signed
+    nz_map = {c: np.zeros((gh >> shifts[c][1], gw >> shifts[c][0]),
+                          np.int32) for c in range(3)}
+    for by in range(gh):
+        for bx in range(gw):
+            for c in (1, 0, 2):
+                hs, vs = shifts[c]
+                if (bx & ((1 << hs) - 1)) or (by & ((1 << vs) - 1)):
+                    continue
+                cby, cbx = by >> vs, bx >> hs
+                vals = coeffs[c][(ay >> vs) + cby, (ax >> hs) + cbx]
+                nzm = nz_map[c]
+                if cby == 0:
+                    predicted = 32 if cbx == 0 else int(nzm[cby, cbx - 1])
+                elif cbx == 0:
+                    predicted = int(nzm[cby - 1, cbx])
+                else:
+                    predicted = (int(nzm[cby - 1, cbx])
+                                 + int(nzm[cby, cbx - 1]) + 1) // 2
+                bctx = DEFAULT_CTX_MAP[((c ^ 1) if c < 2 else 2) * 13]
+                nz = int(np.count_nonzero(vals[1:]))
+                nzm[cby, cbx] = nz
+                ts.add(nonzero_ctx(predicted, bctx, NUM_CTXS), nz)
+                ctx_off = NUM_CTXS * NONZERO_BUCKETS \
+                    + ZERO_DENSITY_CTX_COUNT * bctx
+                prev = 0 if nz > 4 else 1       # size >> 4 == 4
+                nzeros = nz
+                k = 1
+                while nzeros > 0:
+                    v = int(vals[k])
+                    ctx = ctx_off + zero_density_ctx(nzeros, k, 1, 0,
+                                                     prev)
+                    ts.add(ctx, pack_signed(v))
+                    prev = 1 if v else 0
+                    nzeros -= prev
+                    k += 1
+
 
 def write_jpeg_codestream(j: JpegData, _ytox=None, _ytob=None) -> bytes:
     """JPEG coefficients -> bare JXL codestream (one VarDCT frame).
@@ -74,40 +157,13 @@ def write_jpeg_codestream(j: JpegData, _ytox=None, _ytob=None) -> bytes:
                                    NUM_CTXS)
     from ..vardct.dec_real import (NONZERO_BUCKETS,
                                    ZERO_DENSITY_CTX_COUNT)
-    if any(c.h != 1 or c.v != 1 for c in j.components):
-        raise JpegError("construct: only 4:4:4 / grayscale JPEGs are "
-                        "supported so far (subsampled grids pending)")
     if j.precision != 8:
         raise JpegError("construct: only 8-bit JPEGs supported")
     W, H = j.width, j.height
-    xs_b, ys_b = -(-W // 8), -(-H // 8)
     ncomp = len(j.components)
     cmap = _jxl_channel_map(ncomp)
     perm = _scan_perm()
-
-    # per-jxl-channel scan-ordered coefficient array (ys_b, xs_b, 64)
-    coeffs = {}
-    dc_int = np.zeros((3, ys_b, xs_b), np.int64)
-    for c in range(3):
-        ci = cmap[c]
-        if ci < 0:
-            coeffs[c] = np.zeros((ys_b, xs_b, 64), np.int32)
-            continue
-        comp = j.components[ci]
-        if comp.blocks_h < ys_b or comp.blocks_w < xs_b:
-            raise JpegError("JPEG block grid smaller than frame grid")
-        cz = comp.coeffs[:ys_b, :xs_b]           # zigzag order
-        coeffs[c] = np.ascontiguousarray(cz[:, :, perm])
-    # modular DC channel order is (Y, X, B)
-    for mc, c in ((0, 1), (1, 0), (2, 2)):
-        ci = cmap[c]
-        if ci >= 0:
-            dc_int[mc] = j.components[ci].coeffs[:ys_b, :xs_b, 0]
-
-    # dcq: (x, y, b) = jpeg DC quant / 2040 (grayscale: Y replicated)
-    qtab = {c: j.quant[j.components[cmap[c]].tq] if cmap[c] >= 0
-            else j.quant[j.components[0].tq] for c in range(3)}
-    dcq = [qtab[c][0] / 2040.0 for c in range(3)]
+    ups = _upsampling_values(j)
 
     m = ImageMetadata()
     m.xyb_encoded = False
@@ -118,10 +174,38 @@ def write_jpeg_codestream(j: JpegData, _ytox=None, _ytob=None) -> bytes:
     m.colour_encoding = ce
     hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
     fh = FrameHeader(encoding=Encoding.VARDCT, flags=0x80,
-                     do_ycbcr=True, jpeg_upsampling=(0, 0, 0))
+                     do_ycbcr=True, jpeg_upsampling=ups)
     fh.restoration_filter.gab = False
     fh.restoration_filter.epf_iters = 0
     fh.is_last = True
+    xs_b, ys_b, shifts = _frame_geometry(fh, hdr)
+
+    def cdims(c):
+        if shifts is None:
+            return xs_b, ys_b
+        return xs_b >> shifts[c][0], ys_b >> shifts[c][1]
+
+    # per-jxl-channel scan-ordered coefficient array on its own grid
+    coeffs = {}
+    dc_chan = {}       # modular channel index (Y, X, B order) -> ints
+    for c in range(3):
+        cw_, ch_ = cdims(c)
+        ci = cmap[c]
+        if ci < 0:
+            coeffs[c] = np.zeros((ch_, cw_, 64), np.int32)
+            continue
+        comp = j.components[ci]
+        if comp.blocks_h < ch_ or comp.blocks_w < cw_:
+            raise JpegError("JPEG block grid smaller than frame grid")
+        cz = comp.coeffs[:ch_, :cw_]             # zigzag order
+        coeffs[c] = np.ascontiguousarray(cz[:, :, perm])
+    for mc, c in ((0, 1), (1, 0), (2, 2)):
+        dc_chan[mc] = coeffs[c][:, :, 0].astype(np.int32)
+
+    # dcq: (x, y, b) = jpeg DC quant / 2040 (grayscale: Y replicated)
+    qtab = {c: j.quant[j.components[cmap[c]].tq] if cmap[c] >= 0
+            else j.quant[j.components[0].tq] for c in range(3)}
+    dcq = [qtab[c][0] / 2040.0 for c in range(3)]
 
     gd_b, lf_b = 32, 256
     gx, gy = -(-xs_b // gd_b), -(-ys_b // gd_b)
@@ -153,10 +237,16 @@ def write_jpeg_codestream(j: JpegData, _ytox=None, _ytob=None) -> bytes:
         gh = min(lf_b, ys_b - ly)
         w_ = BitWriter()
         w_.u(0, 2)                           # extra_precision
-        w_.append_writer(_modular_substream([
-            Channel(gw, gh, data=np.ascontiguousarray(
-                dc_int[i, ly:ly + gh, lx:lx + gw], np.int32))
-            for i in range(3)], learn=True, max_leaves=24))
+        dc_chs = []
+        for mc, c in ((0, 1), (1, 0), (2, 2)):
+            hs, vs = (0, 0) if shifts is None else shifts[c]
+            dc_chs.append(Channel(
+                gw >> hs, gh >> vs, hshift=hs, vshift=vs,
+                data=np.ascontiguousarray(
+                    dc_chan[mc][ly >> vs:(ly + gh) >> vs,
+                                lx >> hs:(lx + gw) >> hs], np.int32)))
+        w_.append_writer(_modular_substream(dc_chs, learn=True,
+                                            max_leaves=24))
         nb = gw * gh                         # all blocks are DCT8
         cb = (nb - 1).bit_length() if nb > 1 else 0
         w_.u(nb - 1, cb)
@@ -203,11 +293,14 @@ def write_jpeg_codestream(j: JpegData, _ytox=None, _ytob=None) -> bytes:
         ay = (gi // gx) * gd_b
         gw = min(gd_b, xs_b - ax)
         gh = min(gd_b, ys_b - ay)
-        acs_map = np.zeros((gh, gw), np.int32)
-        vals = {(by, bx): {c: coeffs[c][ay + by, ax + bx]
-                           for c in range(3)}
-                for by in range(gh) for bx in range(gw)}
-        _write_ac_tokens(ts, acs_map, vals, gw, gh)
+        if shifts is None:
+            acs_map = np.zeros((gh, gw), np.int32)
+            vals = {(by, bx): {c: coeffs[c][ay + by, ax + bx]
+                               for c in range(3)}
+                    for by in range(gh) for bx in range(gw)}
+            _write_ac_tokens(ts, acs_map, vals, gw, gh)
+        else:
+            _write_jpeg_group_tokens(ts, coeffs, ax, ay, gw, gh, shifts)
 
     nctx = NUM_CTXS * (NONZERO_BUCKETS + ZERO_DENSITY_CTX_COUNT)
     if ng == 1 and ndc == 1:
@@ -272,9 +365,9 @@ def construct(jpeg_data: bytes) -> bytes:
 
 def read_jpeg_coefficients(cs: bytes):
     """Bare codestream of a JPEG-recompression frame -> (hdr, fh,
-    dc_int (3, ys_b, xs_b) modular-order ints, vals (3, ys_b, xs_b, 64)
-    scan-order ints with CfL already undone in the integer domain,
-    quant tables (3, 8, 8) transposed, ytox/ytob tile grids)."""
+    dc_int {modular chan: ints on its grid}, vals {jxl chan:
+    (ch, cw, 64) scan-order ints with CfL undone in the integer
+    domain}, quant tables (3, 8, 8) transposed, LfGlobal)."""
     from ..vardct import dec_real as D
     br = BitReader(cs)
     hdr = read_image_header(br)
@@ -282,7 +375,7 @@ def read_jpeg_coefficients(cs: bytes):
     if fh.encoding != Encoding.VARDCT or not fh.do_ycbcr:
         raise JpegError("not a JPEG-recompression VarDCT frame")
     w, h = fh.coded_size(hdr)
-    xs_b, ys_b = -(-w // 8), -(-h // 8)
+    xs_b, ys_b, shifts = _frame_geometry(fh, hdr)
     ng, ndc = fh.counts(hdr)
     npasses = fh.passes.num_passes
     if npasses != 1:
@@ -302,6 +395,10 @@ def read_jpeg_coefficients(cs: bytes):
         return BitReader(cs[s.offset:s.offset + s.size])
 
     lf = D.read_lf_global(brs(0), fh, hdr, w, h)
+    if shifts is not None and (lf.bcm.dc_thresholds != [[], [], []]
+                               or lf.bcm.qf_thresholds):
+        raise JpegError("dc/qf block-context thresholds with chroma "
+                        "subsampling are not supported")
     lf_b = 256
     gx_lf = -(-xs_b // lf_b)
     lgs = []
@@ -311,7 +408,7 @@ def read_jpeg_coefficients(cs: bytes):
         gw = min(lf_b, xs_b - lx)
         gh = min(lf_b, ys_b - ly)
         lgs.append((lx, ly, D.read_lf_group(brs(1 + gi), lf, gw, gh,
-                                            gi, ndc)))
+                                            gi, ndc, shifts=shifts)))
     hf = D.read_hf_global(brs(1 + ndc), lf, ng, npasses, ndc)
     if lf.quant_encodings is None \
             or lf.quant_encodings[0].mode != 7:
@@ -320,23 +417,33 @@ def read_jpeg_coefficients(cs: bytes):
     histo_bits = (hf.num_histograms - 1).bit_length() \
         if hf.num_histograms > 1 else 0
 
+    def cdims(c):
+        return D._chan_dims(xs_b, ys_b, shifts, c)
+
     gd_b = 32
     gx = -(-xs_b // gd_b)
-    dc_int = np.zeros((3, ys_b, xs_b), np.int64)
+    dc_int = {}
+    for mc, c in ((0, 1), (1, 0), (2, 2)):
+        cw_, ch_ = cdims(c)
+        dc_int[mc] = np.zeros((ch_, cw_), np.int64)
     ytox = np.zeros((-(-ys_b // 8), -(-xs_b // 8)), np.int64)
     ytob = np.zeros_like(ytox)
     for lx, ly, lg in lgs:
-        gh_, gw_ = lg.qf_map.shape
         if not (lg.acs_map == 0).all():
             raise JpegError("JPEG frame contains non-DCT8 strategies")
-        for mc in range(3):
-            dc_int[mc, ly:ly + gh_, lx:lx + gw_] = \
-                lg.dc.channels[mc].data
+        for mc, c in ((0, 1), (1, 0), (2, 2)):
+            hs, vs = (0, 0) if shifts is None else shifts[c]
+            d = lg.dc.channels[mc].data
+            dc_int[mc][ly >> vs:(ly >> vs) + d.shape[0],
+                       lx >> hs:(lx >> hs) + d.shape[1]] = d
         th_, tw_ = lg.ytox.shape
         ytox[ly // 8:ly // 8 + th_, lx // 8:lx // 8 + tw_] = lg.ytox
         ytob[ly // 8:ly // 8 + th_, lx // 8:lx // 8 + tw_] = lg.ytob
 
-    vals = np.zeros((3, ys_b, xs_b, 64), np.int32)
+    vals = {}
+    for c in range(3):
+        cw_, ch_ = cdims(c)
+        vals[c] = np.zeros((ch_, cw_, 64), np.int32)
     for gi in range(ng):
         ax = (gi % gx) * gd_b
         ay = (gi // gx) * gd_b
@@ -345,27 +452,39 @@ def read_jpeg_coefficients(cs: bytes):
         lgi = (ay // lf_b) * gx_lf + (ax // lf_b)
         lx, ly, lg = lgs[lgi]
         sub = D._lf_group_view(lg, ax - lx, ay - ly, gw, gh)
-        dc_q = np.stack([sub.dc.channels[1].data,
-                         sub.dc.channels[0].data,
-                         sub.dc.channels[2].data])
+        if shifts is None:
+            dc_q = np.stack([sub.dc.channels[1].data,
+                             sub.dc.channels[0].data,
+                             sub.dc.channels[2].data])
+        else:
+            # dc thresholds are empty (checked above): the context index
+            # is constant, the per-block dc values are never consulted
+            dc_q = np.zeros((3, gh, gw), np.int64)
         histo = 0
         sidx = 2 + ndc + gi
         b = brs(sidx)
         if histo_bits:
             histo = b.u(histo_bits)
         blocks = D.read_pass_group(b, lf, hf, sub, gw, gh, 0, histo,
-                                   dc_q)
+                                   dc_q, shifts=shifts)
         for vb in blocks:
-            for c in range(3):
-                vals[c, ay + vb.by, ax + vb.bx] = vb.values[c]
+            for c, v in vb.values.items():
+                hs, vs = (0, 0) if shifts is None else shifts[c]
+                vals[c][(ay + vb.by) >> vs, (ax + vb.bx) >> hs] = v
 
     lf.tile_ytox, lf.tile_ytob = ytox, ytob
     # integer-domain CfL undo (libjxl applies chroma-from-luma on the
     # quantized ints with a fixed-point scale; our own files write zero
-    # cmap so this is a no-op for them)
+    # cmap so this is a no-op for them, and libjxl disables CfL for
+    # subsampled jpeg frames)
     if ytox.any() or ytob.any() or lf.cfl_ytox_dc or lf.cfl_ytob_dc:
-        vals, dc_int = _undo_integer_cfl(vals, dc_int, qraw, ytox, ytob,
-                                         lf)
+        if shifts is not None:
+            raise JpegError("chroma-from-luma on a subsampled JPEG "
+                            "frame is not supported")
+        vals3 = np.stack([vals[0], vals[1], vals[2]])
+        vals3, _ = _undo_integer_cfl(vals3, dc_int, qraw, ytox, ytob,
+                                     lf)
+        vals = {c: vals3[c] for c in range(3)}
     return hdr, fh, dc_int, vals, qraw, lf
 
 
@@ -420,7 +539,7 @@ def jpeg_from_parts(jb: JB.JbrdData, hdr, fh, dc_int, vals, qraw,
                     xml: Optional[List[bytes]] = None) -> bytes:
     """Reassemble the byte-exact JPEG from bundle + coefficients."""
     W, H = hdr.size.xsize, hdr.size.ysize
-    xs_b, ys_b = -(-W // 8), -(-H // 8)
+    xs_b, ys_b, shifts = _frame_geometry(fh, hdr)
     ncomp = jb.num_components
     cmap = _jxl_channel_map(ncomp)
     perm = _scan_perm()
@@ -430,6 +549,8 @@ def jpeg_from_parts(jb: JB.JbrdData, hdr, fh, dc_int, vals, qraw,
     j.width, j.height = W, H
     j.precision = 8
     j.restart_interval = jb.restart_interval
+    hs_max = 0 if shifts is None else max(h for h, _ in shifts)
+    vs_max = 0 if shifts is None else max(v for _, v in shifts)
     # quant tables from RAW codestream tables (transposed back),
     # indexed by the jbrd quant metadata: table q.index serves the
     # first component that references it; that component's jxl channel
@@ -444,16 +565,18 @@ def jpeg_from_parts(jb: JB.JbrdData, hdr, fh, dc_int, vals, qraw,
         j.quant[q.index] = nat[ZIGZAG].astype(np.int32)
     # components
     for i, cid in enumerate(jb.component_ids):
-        comp = Component(cid, 1, 1, jb.quant_idx[i])
-        comp.blocks_w, comp.blocks_h = xs_b, ys_b
         jxl_c = cmap.index(i)
+        hs, vs = (0, 0) if shifts is None else shifts[jxl_c]
+        comp = Component(cid, (1 << hs_max) >> hs, (1 << vs_max) >> vs,
+                         jb.quant_idx[i])
+        comp.blocks_w, comp.blocks_h = xs_b >> hs, ys_b >> vs
         zz = np.ascontiguousarray(vals[jxl_c][:, :, inv])
         mc = {1: 0, 0: 1, 2: 2}[jxl_c]
         zz[:, :, 0] = dc_int[mc]
         comp.coeffs = zz
         j.components.append(comp)
-    j.hmax = j.vmax = 1
-    j.mcus_x, j.mcus_y = xs_b, ys_b
+    j.hmax, j.vmax = 1 << hs_max, 1 << vs_max
+    j.mcus_x, j.mcus_y = xs_b >> hs_max, ys_b >> vs_max
     # huffman tables
     for h in jb.huffman:
         counts, values = JB.strip_sentinel(h)
@@ -558,6 +681,53 @@ def _regenerate_header(jb: JB.JbrdData, j: JpegData,
         else:
             raise JpegError(f"cannot regenerate marker {m:#x}")
     return bytes(out)
+
+
+def decode_subsampled_to_pixels(data: bytes) -> np.ndarray:
+    """Render a chroma-subsampled recompressed-JPEG JXL to (H, W, 3)
+    uint8 RGB: per-channel dequant + batched IDCT, triangle (libjpeg
+    fancy / libjxl chroma) upsampling, BT.601 YCbCr->RGB."""
+    import jax.numpy as jnp
+    from ..vardct.dct import idct2d
+    cont = container_mod.extract_codestream(data)
+    hdr, fh, dc_int, vals, qraw, lf = \
+        read_jpeg_coefficients(cont.codestream)
+    W, H = hdr.size.xsize, hdr.size.ysize
+    xs_b, ys_b, shifts = _frame_geometry(fh, hdr)
+    perm = _scan_perm()
+    inv = np.argsort(perm)
+    planes = []
+    for c in (1, 0, 2):             # Y, Cb, Cr
+        v = vals[c][:, :, inv].astype(np.float32)    # zigzag order
+        mc = {1: 0, 0: 1, 2: 2}[c]
+        v[:, :, 0] = dc_int[mc]
+        qt = qraw[c].T.reshape(-1)[ZIGZAG].astype(np.float32)
+        deq = v * qt[None, None, :]
+        bh, bw = deq.shape[:2]
+        blocks = np.zeros((bh, bw, 64), np.float32)
+        blocks[:, :, ZIGZAG] = deq
+        pix = np.asarray(idct2d(jnp.asarray(
+            blocks.reshape(bh, bw, 8, 8))))
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        hs, vs = (0, 0) if shifts is None else shifts[c]
+        for axis, s in ((1, hs), (0, vs)):
+            for _ in range(s):
+                # triangle 2x upsampling ([3a+b]/4 taps, edge repeat)
+                p = np.moveaxis(plane, axis, 0)
+                up = np.empty((p.shape[0] * 2,) + p.shape[1:],
+                              p.dtype)
+                prev = np.vstack([p[:1], p[:-1]])
+                nxt = np.vstack([p[1:], p[-1:]])
+                up[0::2] = (3 * p + prev) / 4
+                up[1::2] = (3 * p + nxt) / 4
+                plane = np.moveaxis(up, 0, axis)
+        planes.append(plane[:H, :W])
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1) + 0.5, 0,
+                   255).astype(np.uint8)
 
 
 def reconstruct(data: bytes) -> bytes:

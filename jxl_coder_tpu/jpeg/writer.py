@@ -14,10 +14,13 @@ from .parser import JpegData, JpegError, _extend
 
 
 class _ScanWriter:
-    def __init__(self):
+    def __init__(self, padding_bits=None):
         self.out = bytearray()
         self.bitbuf = 0
         self.nbits = 0
+        # explicit alignment filler bits (jbrd padding section); None
+        # means the standard all-ones fill
+        self.pad_iter = iter(padding_bits) if padding_bits else None
 
     def write_bits(self, value: int, n: int) -> None:
         for i in range(n - 1, -1, -1):
@@ -32,10 +35,17 @@ class _ScanWriter:
                 self.nbits = 0
 
     def flush(self) -> None:
-        """Pad the final partial byte with 1 bits (standard)."""
+        """Pad the final partial byte (all-ones, or the recorded
+        padding bits when the source JPEG used zero filler)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write_bits((1 << pad) - 1, pad)
+            if self.pad_iter is not None:
+                bits = 0
+                for _ in range(pad):
+                    bits = (bits << 1) | next(self.pad_iter, 1)
+                self.write_bits(bits, pad)
+            else:
+                self.write_bits((1 << pad) - 1, pad)
 
     def write_marker(self, byte: int) -> None:
         self.flush()
@@ -56,7 +66,8 @@ def _encode_value(v: int, size: int) -> int:
 def write_jpeg(j: JpegData) -> bytes:
     dc_enc = {t: tbl.build_encode() for t, tbl in j.dc_tables.items()}
     ac_enc = {t: tbl.build_encode() for t, tbl in j.ac_tables.items()}
-    sw = _ScanWriter()
+    pads = getattr(j, "padding_bits", None)
+    sw = _ScanWriter(pads if pads and 0 in pads else None)
     dc_pred = {c.id: 0 for c in j.components}
     ri = j.restart_interval
     mcu_count = 0

@@ -225,18 +225,48 @@ def _strategies():
     return STRATEGIES
 
 
+def jpeg_shifts(fh):
+    """Per-channel (hshift, vshift) of the STORED block grids for a
+    frame with chroma subsampling (fh.jpeg_upsampling), or None when
+    all channels are full resolution.  Value semantics: 0=1x1, 1=2x2,
+    2=2x1, 3=1x2 upsampling of that channel."""
+    ups = tuple(fh.jpeg_upsampling)
+    if not any(ups):
+        return None
+    HV = {0: (0, 0), 1: (1, 1), 2: (1, 0), 3: (0, 1)}
+    hv = [HV[u] for u in ups]
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    return [(hmax - h, vmax - v) for h, v in hv]
+
+
+def _chan_dims(xs_b, ys_b, shifts, c):
+    if shifts is None:
+        return xs_b, ys_b
+    hs, vs = shifts[c]
+    return xs_b >> hs, ys_b >> vs
+
+
 def read_lf_group(br: BitReader, lf: LfGlobal, xs_b: int, ys_b: int,
                   group_index: int, num_dc_groups: int,
-                  use_dc_frame: bool = False) -> LfGroup:
+                  use_dc_frame: bool = False, shifts=None) -> LfGroup:
+    def dc_channels():
+        # modular DC channel order is (Y, X, B); subsampled channels
+        # are stored on their own grids (jpeg chroma subsampling)
+        out = []
+        for mc, c in ((0, 1), (1, 0), (2, 2)):
+            cw_, ch_ = _chan_dims(xs_b, ys_b, shifts, c)
+            hs, vs = (0, 0) if shifts is None else shifts[c]
+            out.append(Channel(cw_, ch_, hshift=hs, vshift=vs))
+        return out
     if use_dc_frame:
         # flags & kUseDcFrame: DC comes from the preceding LF frame;
         # the DcGroup part (extra_precision + modular DC) is absent
         ep = 0
-        dc_img = ModularImage([Channel(xs_b, ys_b).alloc()
-                               for _ in range(3)])
+        dc_img = ModularImage([c.alloc() for c in dc_channels()])
     else:
         ep = br.u(2)
-        dc_img = ModularImage([Channel(xs_b, ys_b) for _ in range(3)])
+        dc_img = ModularImage(dc_channels())
         decode_modular_stream(br, dc_img, stream_id=1 + group_index,
                               global_tree=lf.gtree, global_code=lf.gcode)
     upper = xs_b * ys_b
@@ -418,12 +448,17 @@ def _dense_base(blocks) -> np.ndarray:
 def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
                     lg: LfGroup, xs_b: int, ys_b: int,
                     pass_index: int, histo_index: int,
-                    dc_q: np.ndarray) -> List["VarBlock"]:
+                    dc_q: np.ndarray, shifts=None) -> List["VarBlock"]:
     """Decode AC coefficients for one 256px group: a list of varblocks
-    with scan-indexed quantized values per channel."""
+    with scan-indexed quantized values per channel.
+
+    shifts: per-channel (hshift, vshift) for jpeg chroma subsampling —
+    subsampled channels are read only at their anchor positions
+    (bx % 2^hs == 0 and by % 2^vs == 0), in channel order (1, 0, 2),
+    with nonzero prediction on the channel's own grid."""
     from .strategies import STRATEGIES
     dec = EntropyDecoder(br, code=hf.accodes[pass_index])
-    if not (dec.lz77.enabled and dec.dist_multiplier):
+    if shifts is None and not (dec.lz77.enabled and dec.dist_multiplier):
         try:
             from .. import native as native_mod
             if native_mod.get_lib() is not None:
@@ -437,7 +472,8 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
     ctx_base = histo_index * num_ctxs \
         * (NONZERO_BUCKETS + ZERO_DENSITY_CTX_COUNT)
     blocks: List[VarBlock] = []
-    nz_map = np.zeros((3, ys_b, xs_b), np.int32)
+    nz_map = {c: np.zeros(_chan_dims(xs_b, ys_b, shifts, c)[::-1],
+                          np.int32) for c in range(3)}
     for by in range(ys_b):
         for bx in range(xs_b):
             acs = int(lg.acs_map[by, bx])
@@ -446,6 +482,9 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
             strat = STRATEGIES.get(acs)
             if strat is None:
                 raise BitstreamError("invalid AC strategy %d" % acs)
+            if shifts is not None and acs != 0:
+                raise BitstreamError(
+                    "subsampled frames must be DCT8-only")
             qf = int(lg.qf_map[by, bx])
             cov = strat.covered
             log2cov = strat.log2_covered
@@ -455,21 +494,30 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
             dc_idx = dc_context_idx(
                 bcm, (dc_q[1, by, bx], dc_q[0, by, bx], dc_q[2, by, bx]))
             for c in (1, 0, 2):
+                if shifts is not None:
+                    hs, vs = shifts[c]
+                    if (bx & ((1 << hs) - 1)) or (by & ((1 << vs) - 1)):
+                        continue
                 order = hf.orders.get((pass_index, ord_b, c))
-                if by == 0:
-                    predicted = 32 if bx == 0 else int(nz_map[c, by, bx - 1])
-                elif bx == 0:
-                    predicted = int(nz_map[c, by - 1, bx])
+                if shifts is None:
+                    cby, cbx = by, bx
                 else:
-                    predicted = (int(nz_map[c, by - 1, bx])
-                                 + int(nz_map[c, by, bx - 1]) + 1) // 2
+                    cby, cbx = by >> shifts[c][1], bx >> shifts[c][0]
+                nzm = nz_map[c]
+                if cby == 0:
+                    predicted = 32 if cbx == 0 else int(nzm[cby, cbx - 1])
+                elif cbx == 0:
+                    predicted = int(nzm[cby - 1, cbx])
+                else:
+                    predicted = (int(nzm[cby - 1, cbx])
+                                 + int(nzm[cby, cbx - 1]) + 1) // 2
                 bctx = bcm.context(dc_idx, qf, ord_b, c)
                 nz = dec.read(ctx_base + nonzero_ctx(predicted, bctx,
                                                      num_ctxs))
                 if nz >= size - cov + 1:
                     raise BitstreamError("too many nonzeros")
                 spread = (nz + cov - 1) >> log2cov
-                nz_map[c, by:by + strat.cy, bx:bx + strat.cx] = spread
+                nzm[cby:cby + strat.cy, cbx:cbx + strat.cx] = spread
                 vals = np.zeros(size, np.int32)
                 ctx_off = ctx_base + num_ctxs * NONZERO_BUCKETS \
                     + ZERO_DENSITY_CTX_COUNT * bctx
@@ -1763,7 +1811,10 @@ def _lf_group_view(lg: LfGroup, ox: int, oy: int, gw: int,
     if ox == 0 and oy == 0 and gw == full_w and gh == full_h:
         return lg
     dc = ModularImage([
-        Channel(gw, gh, data=c.data[oy:oy + gh, ox:ox + gw])
+        Channel(gw >> c.hshift, gh >> c.vshift,
+                hshift=c.hshift, vshift=c.vshift,
+                data=c.data[oy >> c.vshift:(oy + gh) >> c.vshift,
+                            ox >> c.hshift:(ox + gw) >> c.hshift])
         for c in lg.dc.channels])
     tx0, ty0 = ox // 8, oy // 8
     tx1 = -(-(ox + gw) // 8)

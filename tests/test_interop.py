@@ -561,3 +561,19 @@ def test_we_reconstruct_libjxl_construct(quality, gray):
     img = rng.integers(0, 256, shape).astype(np.uint8)
     jpeg = _jpeg_bytes(img, quality)
     assert api.reconstruct_jpeg(refjxl.jpeg_construct(jpeg)) == jpeg
+
+
+@pytest.mark.parametrize("subsampling", [1, 2])
+def test_libjxl_roundtrips_our_subsampled_construct(subsampling):
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (56, 72, 3)).astype(np.uint8)
+    jpeg = _jpeg_bytes(img, 75, subsampling=subsampling)
+    jxl = api.construct(jpeg)
+    assert refjxl.jpeg_reconstruct(jxl) == jpeg
+
+
+def test_we_reconstruct_libjxl_420_construct():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (112, 96, 3)).astype(np.uint8)
+    jpeg = _jpeg_bytes(img, 65, subsampling=2)
+    assert api.reconstruct_jpeg(refjxl.jpeg_construct(jpeg)) == jpeg

@@ -140,7 +140,19 @@ def test_jbrd_bundle_roundtrip():
     assert d2.quant_idx == d.quant_idx
 
 
-def test_wire_420_falls_back_to_private_container():
-    jpeg = _jpeg(_img(noise=5), 80, subsampling=2)
-    jxl = api.construct(jpeg)           # falls back until 420 grids land
+@pytest.mark.parametrize("subsampling", [1, 2])
+def test_wire_subsampled_roundtrip(subsampling):
+    jpeg = _jpeg(_img(noise=5), 80, subsampling=subsampling)
+    jxl = api.construct(jpeg)
+    from jxl_coder_tpu.bitstream import container as C
+    assert C.extract_codestream(jxl).jpeg_reconstruction_data is not None
     assert api.reconstruct_jpeg(jxl) == jpeg
+    px, info = api.decode(jxl)
+    pil = np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB"))
+    assert px.shape == pil.shape
+    assert np.abs(px.astype(int) - pil.astype(int)).max() <= 24
+
+
+def test_wire_subsampled_odd_size():
+    jpeg = _jpeg(_img(h=43, w=51, noise=7), 70, subsampling=2)
+    assert api.reconstruct_jpeg(api.construct(jpeg)) == jpeg
