@@ -181,12 +181,17 @@ def basic_info(data: bytes) -> BasicInfo:
 
 def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
            effort: int = 7, quality: int = None,
-           decoding_speed: int = 0) -> bytes:
+           decoding_speed: int = 0, colour=None,
+           intensity_target: float = None) -> bytes:
     """Encode an image array to a bare JXL codestream.
 
-    pixels: uint8/uint16 array (H, W), (H, W, 1), (H, W, 3) or (H, W, 4).
-    Mirrors JxlCoder.encode (JxlCoder.kt:107-138): RGBA input splits into
-    color + alpha extra channel.
+    pixels: uint8/uint16/float array (H, W), (H, W, 1), (H, W, 3) or
+    (H, W, 4).  Mirrors JxlCoder.encode (JxlCoder.kt:107-138): RGBA
+    input splits into color + alpha extra channel (lossy alpha is
+    carried as a lossless modular extra channel,
+    interop/JxlEncoding.cpp:112-123).  colour: optional ColourEncoding
+    tag (PQ/HLG/wide gamut, JxlEncoder.cpp:228-371 analogue); 16-bit
+    and float inputs keep full precision on the lossy path too.
     """
     import numpy as np
     from .bitstream.writer import BitWriter
@@ -206,23 +211,26 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
         if nch == 1:
             pixels = np.repeat(pixels, 3, axis=2)
             nch = 3
+        alpha_plane = None
         if nch == 4:
+            alpha_plane = pixels[:, :, 3].astype(np.int64)
+            if pixels.dtype.kind == "f":
+                alpha_plane = np.clip(
+                    np.rint(alpha_plane
+                            * ((1 << bits_per_sample) - 1)), 0,
+                    (1 << bits_per_sample) - 1).astype(np.int64)
             pixels = pixels[:, :, :3]
             nch = 3
-        # the VarDCT front-end works in 8-bit sRGB units (the reference
-        # normalizes encode inputs the same way, JxlEncoder.cpp:118-152)
-        if pixels.dtype == np.uint16:
-            pixels = (pixels >> 8).astype(np.uint8)
-        elif pixels.dtype.kind == "f":
-            pixels = np.clip(np.rint(pixels * 255.0), 0,
-                             255).astype(np.uint8)
         from .vardct.quant import quality_to_distance
         q = quality if quality is not None else 90
         distance = quality_to_distance(int(q))
         from .vardct.enc_real import encode_vardct_real
         return encode_vardct_real(pixels, distance=distance,
                                   decoding_speed=decoding_speed,
-                                  effort=effort)
+                                  effort=effort, alpha=alpha_plane,
+                                  colour=colour,
+                                  bit_depth=bits_per_sample,
+                                  intensity_target=intensity_target)
 
     m = ImageMetadata()
     m.xyb_encoded = False

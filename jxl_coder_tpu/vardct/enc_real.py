@@ -61,6 +61,50 @@ def srgb8_to_xyb(pix: np.ndarray):
             g[..., 2])
 
 
+def encoded_to_xyb(f: np.ndarray, ce=None, intensity_target=255.0):
+    """(H, W, 3) float in [0, 1] in the signalled colour encoding ->
+    XYB planes (linear 1.0 == SDR white == 255 nits, the convention the
+    decoder's xyb_planes_to_encoding inverts)."""
+    from ..ops import color as C
+    f = f.astype(np.float64)
+    if ce is None or C is None:
+        trc = 13       # sRGB
+        prim = wp = None
+    else:
+        trc = ce.transfer_function
+        prim, wp = C.primaries_xy(ce), C.white_xy(ce)
+    if trc == 16:      # PQ: absolute nits over 255-nit SDR white
+        lin = np.asarray(C.pq_to_linear(f)) * (10000.0 / 255.0)
+    elif trc == 18:    # HLG: display-relative + BT.2100 OOTF
+        it = float(intensity_target or 1000.0)
+        scene = np.asarray(C.hlg_to_linear(f))
+        gam = 1.2 * 1.111 ** np.log2(it / 1000.0)
+        luma = C.gamut_rgb_to_xyz(prim, wp)[1]
+        ys = np.einsum("...c,c->...", scene, luma)
+        disp = scene * np.where(ys > 1e-9, ys ** (gam - 1.0),
+                                0.0)[..., None]
+        lin = disp * (it / 255.0)
+    elif ce is not None and ce.have_gamma:
+        lin = f ** (1e7 / ce.gamma)
+    else:
+        from_lin = getattr(C, "TRC_TO_LINEAR", None)
+        if from_lin is not None and trc in from_lin:
+            lin = np.asarray(from_lin[trc](f))
+        else:
+            lin = np.where(f <= 0.04045, f / 12.92,
+                           ((f + 0.055) / 1.055) ** 2.4)
+    if prim is not None and (prim != C.PRIMARIES["srgb"]
+                             or wp != C.ILLUMINANT_D65):
+        m = (C.gamut_xyz_to_rgb(C.PRIMARIES["srgb"], C.ILLUMINANT_D65)
+             @ C.gamut_rgb_to_xyz(prim, wp))
+        lin = lin @ m.T
+    mixed = lin @ _OPSIN.T
+    g = np.cbrt(np.maximum(mixed + _BIAS, 0.0)) - _CBRT_BIAS
+    return ((g[..., 0] - g[..., 1]) / 2,
+            (g[..., 0] + g[..., 1]) / 2,
+            g[..., 2])
+
+
 def _modular_substream(channels, predictor: int = 5,
                        learn: bool = False,
                        max_leaves: int = 16) -> BitWriter:
@@ -463,9 +507,18 @@ def _write_ac_tokens(ts, acs_map, vals_map, xs_b, ys_b):
 def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                        decoding_speed: int = 0,
                        effort: int = 7, fh=None, hdr=None,
-                       into_bw=None) -> bytes:
-    """uint8 (H, W, 3) sRGB -> real-format VarDCT codestream.
+                       into_bw=None, alpha=None, colour=None,
+                       bit_depth: int = None,
+                       intensity_target: float = None) -> bytes:
+    """(H, W, 3) colour -> real-format VarDCT codestream.
 
+    pixels: uint8, uint16 or float [0, 1] in the colour encoding given
+    by `colour` (None = sRGB); full input precision reaches the XYB
+    front-end (the reference accepts RGBA_F16/1010102 at 16 bits,
+    JxlEncoder.cpp:92-152, and tags ~12 colour spaces or ICC,
+    JxlEncoder.cpp:228-371).
+    alpha: optional (H, W) int plane, encoded losslessly as an ALPHA
+    extra channel (interop/JxlEncoding.cpp:112-123).
     With fh/hdr/into_bw given, writes ONE frame (header + TOC +
     sections) into an existing stream instead — the animated-encoder
     entry point; caller-owned fh fields (duration, blending, is_last)
@@ -473,8 +526,19 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     H, W, _ = pixels.shape
     xs_b, ys_b = -(-W // 8), -(-H // 8)
     pw, ph = xs_b * 8, ys_b * 8
+    if bit_depth is None:
+        bit_depth = 16 if pixels.dtype == np.uint16 else 8
     pad = np.pad(pixels, ((0, ph - H), (0, pw - W), (0, 0)), mode="edge")
-    X, Y, B = srgb8_to_xyb(pad)
+    if pad.dtype == np.uint8 and colour is None:
+        X, Y, B = srgb8_to_xyb(pad)
+    else:
+        if pad.dtype == np.uint8:
+            f = pad.astype(np.float64) / 255.0
+        elif pad.dtype == np.uint16:
+            f = pad.astype(np.float64) / 65535.0
+        else:
+            f = pad.astype(np.float64)
+        X, Y, B = encoded_to_xyb(f, colour, intensity_target or 255.0)
     B = B - Y                 # CfL base factor 1.0
     # decoding-speed tiers drop decode-side filters (the reference's
     # JxlDecodingSpeed semantics); gaborish costs a 3x3 conv at decode
@@ -543,7 +607,18 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
 
     # ---- frame assembly
     if hdr is None:
+        from ..bitstream.headers import (BitDepth, ExtraChannelInfo,
+                                         ExtraChannelType)
         m = ImageMetadata()
+        m.bit_depth = BitDepth(False, bit_depth, 0)
+        if colour is not None:
+            m.colour_encoding = colour
+        if intensity_target:
+            m.tone_mapping.intensity_target = float(intensity_target)
+        if alpha is not None:
+            ec = ExtraChannelInfo(type=ExtraChannelType.ALPHA)
+            ec.bit_depth = BitDepth(False, bit_depth, 0)
+            m.extra_channels = [ec]
         hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
     xqm = 3 if distance >= 2.0 else 2
     if fh is None:
@@ -563,6 +638,12 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         epf_it = 3
     fh.restoration_filter.epf_iters = epf_it
 
+    if hdr.metadata.extra_channels:
+        fh.ec_upsampling = [1] * len(hdr.metadata.extra_channels)
+        from ..bitstream.frame_header import BlendingInfo
+        fh.ec_blending_info = [BlendingInfo()
+                               for _ in hdr.metadata.extra_channels]
+
     gd_b = 32                     # AC group: 32x32 blocks
     lf_b = 256                    # LF group: 256x256 blocks
     gx = -(-xs_b // gd_b)
@@ -571,6 +652,44 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     gx_lf = -(-xs_b // lf_b)
     gy_lf = -(-ys_b // lf_b)
     ndc = gx_lf * gy_lf
+    group_dim = 256
+
+    # alpha extra channel: lossless modular plane, split global /
+    # per-group exactly as ModularFrameDecoder expects (frame.py:64-146)
+    ec_global_in_stream = alpha is not None and W <= group_dim \
+        and H <= group_dim
+
+    def ec_global_bits():
+        w_ = BitWriter()
+        if alpha is None:
+            return w_
+        chan = Channel(W, H, data=np.ascontiguousarray(alpha, np.int32))
+        rng_ = (0, 1) if ec_global_in_stream else (0, 0)
+        from ..modular.stream import encode_modular_stream as _ems
+        from ..modular.tree import Tree as _Tree
+        _ems(w_, ModularImage([chan]), GroupHeader(),
+             _Tree.single_leaf(predictor=5), stream_id=0,
+             channel_range=rng_)
+        return w_
+
+    def ec_group_bits(gi):
+        w_ = BitWriter()
+        if alpha is None or ec_global_in_stream:
+            return w_
+        ax = (gi % gx) * group_dim
+        ay = (gi // gx) * group_dim
+        rw = min(group_dim, W - ax)
+        rh = min(group_dim, H - ay)
+        if rw <= 0 or rh <= 0:
+            return w_
+        sub = Channel(rw, rh, data=np.ascontiguousarray(
+            alpha[ay:ay + rh, ax:ax + rw], np.int32))
+        sid = 1 + 3 * ndc + 17 + gi
+        from ..modular.stream import encode_modular_stream as _ems
+        from ..modular.tree import Tree as _Tree
+        _ems(w_, ModularImage([sub], nb_meta_channels=0), GroupHeader(),
+             _Tree.single_leaf(predictor=5), stream_id=sid)
+        return w_
 
     def lf_global_bits():
         w_ = BitWriter()
@@ -580,6 +699,8 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         w_.bool(True)
         w_.bool(True)
         w_.bool(False)
+        if alpha is not None:
+            w_.append_writer(ec_global_bits())
         return w_
 
     def lf_group_bits(gi):
@@ -647,6 +768,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                                      + ZERO_DENSITY_CTX_COUNT), use_ans=True)
         group_tokens(0, ts)
         ts.write(sec)
+        sec.append_writer(ec_group_bits(0))
         sec.zero_pad_to_byte()
         payloads = [sec.to_bytes()]
     else:
@@ -672,6 +794,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         for gi in range(ng):
             gw_ = BitWriter()
             all_ts[gi].write_symbols(gw_, shared)
+            gw_.append_writer(ec_group_bits(gi))
             gw_.zero_pad_to_byte()
             sections.append(gw_.to_bytes())
         lfg = lf_global_bits()

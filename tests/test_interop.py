@@ -577,3 +577,71 @@ def test_we_reconstruct_libjxl_420_construct():
     img = rng.integers(0, 256, (112, 96, 3)).astype(np.uint8)
     jpeg = _jpeg_bytes(img, 65, subsampling=2)
     assert api.reconstruct_jpeg(refjxl.jpeg_construct(jpeg)) == jpeg
+
+
+# ---- lossy encoder completeness: alpha, 16-bit, colour tagging ----------
+
+def test_lossy_rgba_alpha_survives_libjxl():
+    """VarDCT frame + lossless ALPHA extra channel: libjxl must decode
+    4 channels with bit-exact alpha (interop/JxlEncoding.cpp:112-123)."""
+    yy, xx = np.mgrid[0:80, 0:96]
+    img = np.stack([(yy * 2) % 256, (xx * 2) % 256, (xx + yy) % 256,
+                    np.clip(xx * 3, 0, 255)], -1).astype(np.uint8)
+    data = api.encode(img, lossless=False, quality=90)
+    out, info = refjxl.decode(data)
+    assert out.shape[2] == 4
+    assert np.array_equal(out[:, :, 3], img[:, :, 3])
+    ours, oinfo = api.decode(data)
+    assert oinfo.alpha
+    assert np.array_equal(ours[:, :, 3], img[:, :, 3])
+
+
+def test_lossy_rgba_alpha_multigroup():
+    yy, xx = np.mgrid[0:500, 0:600]
+    img = np.stack([yy % 256, xx % 256, ((xx + yy) // 2) % 256,
+                    np.clip(xx // 3, 0, 255)], -1).astype(np.uint8)
+    data = api.encode(img, lossless=False, quality=88)
+    out, _ = refjxl.decode(data)
+    assert np.array_equal(out[:, :, 3], img[:, :, 3])
+
+
+def test_lossy_16bit_keeps_precision():
+    """uint16 lossy input must NOT be quantized to 8 bits
+    (JxlEncoder.cpp:92-152 accepts 16-bit input)."""
+    g = (np.mgrid[0:120, 0:160][1] * 300 + 70).astype(np.uint16)
+    img16 = np.stack([g, g, g], -1)
+    data = api.encode(img16, lossless=False, quality=98)
+    out, info = refjxl.decode(data, as_float=True)
+    assert info.bits_per_sample == 16
+    err = np.abs(out[:, :, :3].astype(np.float64)
+                 - img16.astype(np.float64) / 65535.0)
+    assert err.max() < 1.0 / 255.0     # beyond-8-bit fidelity
+    ours, oinfo = api.decode(data)
+    assert ours.dtype == np.uint16 and oinfo.bits_per_sample == 16
+
+
+def test_lossy_pq_rgba16_roundtrip():
+    """RGBA16 PQ image through our encoder -> libjxl decoder keeps the
+    HDR encoding and the alpha channel (VERDICT item 4 criterion)."""
+    from jxl_coder_tpu.bitstream.headers import ColourEncoding
+    base = np.clip(np.mgrid[0:96, 0:112][0] * 500 + 2000, 0,
+                   60000).astype(np.uint16)
+    alpha = np.clip(np.mgrid[0:96, 0:112][1] * 600, 0,
+                    65535).astype(np.uint16)
+    pq = np.stack([base, base // 2, base // 3, alpha], -1)
+    ce = ColourEncoding()
+    ce.transfer_function = 16          # PQ
+    data = api.encode(pq, lossless=False, quality=92, colour=ce,
+                      intensity_target=10000)
+    out, info = refjxl.decode(data, as_float=True)
+    assert out.shape[2] == 4
+    assert np.abs(out[:, :, 3] - alpha / 65535.0).max() < 1e-4
+    err = np.abs(out[:, :, :3] - pq[:, :, :3] / 65535.0)
+    # parity with libjxl's own lossy PQ encode at this distance
+    enc = refjxl.make_color_encoding(transfer_function=16)
+    ref = refjxl.encode_ex(pq[:, :, :3], lossless=False, effort=5,
+                           distance=0.9, color_encoding=enc,
+                           intensity_target=10000)
+    rerr = np.abs(refjxl.decode(ref, as_float=True)[0][:, :, :3]
+                  - pq[:, :, :3] / 65535.0)
+    assert err.mean() <= rerr.mean() * 1.5
