@@ -81,3 +81,11 @@ def test_device_matches_host_16bit_corpus():
     # 16-bit output quantizer: f32-vs-f64 boundary flips scale with the
     # finer step; bound stays tiny relative to the 65535 range
     assert d.max() <= 64, d.max()
+
+
+def test_multihost_dryrun_two_processes():
+    """jax.distributed 2-process x 2-device CPU mesh: the GOP-sharded
+    (DCN x ICI) decode must produce bit-exact shards in every process
+    (SURVEY §7 step 10, BASELINE 2-host metric skeleton)."""
+    from jxl_coder_tpu.parallel.multihost import multihost_dryrun
+    multihost_dryrun(2, 2)
