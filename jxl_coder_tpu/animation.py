@@ -334,29 +334,32 @@ def decode_frames_batch(img: "AnimatedImage", indices=None,
     from .vardct import frame as VF
     from .vardct import pipeline as P
     from .parallel import groups as G
-    from .bitstream.reader import BitstreamError
 
     if indices is None:
         indices = list(range(img.frames_count))
     hdr = img.image_header
-    datas = []
-    try:
-        for i in indices:
-            e = img.frames[i]
-            if e.header.encoding != Encoding.VARDCT:
-                raise NotImplementedError(
-                    "batch decode is for VarDCT frames")
-            datas.append(VF.decode_vardct_frame(img.codestream, hdr,
-                                                e.header, e.toc))
-    except BitstreamError:
-        # real-format frames (the current encoder output): per-frame
-        # reconstruction — the host entropy stages run in a thread pool
-        # (GIL-released native loops) and the device reconstruction per
-        # frame when JXL_TPU_DEVICE=1
+    for i in indices:
+        if img.frames[i].header.encoding != Encoding.VARDCT:
+            raise NotImplementedError("batch decode is for VarDCT frames")
+    # explicit format routing (no exception-driven fallback): the batch
+    # path below understands only the round-1 private payload; real-
+    # format frames (the current encoder output) reconstruct per frame
+    # — host entropy stages in a thread pool (GIL-released native
+    # loops), device reconstruction when JXL_TPU_DEVICE=1
+    legacy = all(
+        VF.is_legacy_vardct_payload(hdr, img.frames[i].header,
+                                    img.frames[i].toc)
+        for i in indices)
+    if not legacy:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=min(8, len(indices))) as ex:
             outs = list(ex.map(img.get_frame, indices))
         return np.stack(outs)
+    datas = []
+    for i in indices:
+        e = img.frames[i]
+        datas.append(VF.decode_vardct_frame(img.codestream, hdr,
+                                            e.header, e.toc))
     d0 = datas[0]
     ny, nx = d0.qf.shape
     ac = np.stack([d.ac for d in datas])

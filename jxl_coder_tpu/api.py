@@ -213,12 +213,16 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
             nch = 3
         alpha_plane = None
         if nch == 4:
-            alpha_plane = pixels[:, :, 3].astype(np.int64)
             if pixels.dtype.kind == "f":
+                # rescale the [0,1] float plane BEFORE integer cast
+                # (casting first would truncate 0.5 -> 0, destroying
+                # partial transparency)
                 alpha_plane = np.clip(
-                    np.rint(alpha_plane
+                    np.rint(pixels[:, :, 3].astype(np.float64)
                             * ((1 << bits_per_sample) - 1)), 0,
                     (1 << bits_per_sample) - 1).astype(np.int64)
+            else:
+                alpha_plane = pixels[:, :, 3].astype(np.int64)
             pixels = pixels[:, :, :3]
             nch = 3
         from .vardct.quant import quality_to_distance
@@ -738,9 +742,9 @@ def construct(jpeg_data: bytes) -> bytes:
     """Lossless JPEG -> JXL (Convenience.construct, JxlCoder.kt:173-175).
 
     Emits the STANDARD wire format (jbrd box + do_ycbcr VarDCT frame)
-    that libjxl decodes and reconstructs byte-exactly; 4:2:0/4:2:2
-    sources fall back to the round-1 private container until the
-    subsampled grids land."""
+    that libjxl decodes and reconstructs byte-exactly, including
+    4:2:0/4:2:2 chroma subsampling; the round-1 private container only
+    remains as a fallback for inputs the wire path rejects."""
     from .jpeg import wire as _wire
     from .jpeg import transcode as _tc
     from .jpeg.parser import JpegError

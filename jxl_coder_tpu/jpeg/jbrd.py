@@ -79,6 +79,10 @@ class JbrdData:
     marker_order: List[int] = dataclasses.field(default_factory=list)
     app_marker_types: List[int] = dataclasses.field(default_factory=list)
     app_data: List[bytes] = dataclasses.field(default_factory=list)
+    # full segment length (marker byte + 2-byte length + body) per app
+    # marker; for non-UNKNOWN types (ICC/Exif/XMP) the body is rebuilt
+    # from the codestream boxes and app_data holds b""
+    app_lens: List[int] = dataclasses.field(default_factory=list)
     com_data: List[bytes] = dataclasses.field(default_factory=list)
     quant: List[JbrdQuant] = dataclasses.field(default_factory=list)
     component_type: int = COMP_YCBCR
@@ -160,6 +164,7 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
     for _ in range(napp):
         d.app_marker_types.append(br.u32(*_U32_APP_TYPE))
         app_lens.append(br.u(16))
+    d.app_lens = [n + 1 for n in app_lens]
     com_lens = [br.u(16) for _ in range(ncom)]
     nq = br.u32(*_U32_COUNT4)
     for i in range(nq):
@@ -238,8 +243,8 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
             if d.app_marker_types[app_i] != APP_UNKNOWN:
                 # ICC/Exif/XMP payloads are reconstructed from the
                 # codestream / Exif / xml boxes, not stored here; the
-                # bundle only records the segment length.
-                app_payloads[app_i] = app_lens[app_i] + 1
+                # bundle only records the segment length (kept in
+                # d.app_lens, app_data stays b"").
                 app_i += 1
                 continue
             n = app_lens[app_i] + 1
@@ -276,7 +281,9 @@ def write_jbrd(d: JbrdData) -> bytes:
     for i, m in enumerate([m for m in d.marker_order
                            if 0xE0 <= m <= 0xEF]):
         _u32_write(bw, d.app_marker_types[i], _U32_APP_TYPE)
-        bw.u(len(d.app_data[i]) - 1, 16)
+        seglen = (d.app_lens[i] if i < len(d.app_lens) and d.app_lens[i]
+                  else len(d.app_data[i]))
+        bw.u(seglen - 1, 16)
     for i, _ in enumerate([m for m in d.marker_order if m == 0xFE]):
         bw.u(len(d.com_data[i]) - 1, 16)
     _u32_write(bw, len(d.quant), _U32_COUNT4)
@@ -392,6 +399,7 @@ def jbrd_from_jpeg(j: JpegData) -> JbrdData:
     d.marker_order = list(j.marker_order)
     d.app_marker_types = [APP_UNKNOWN] * len(j.app_payloads)
     d.app_data = list(j.app_payloads)
+    d.app_lens = [len(p) for p in j.app_payloads]
     d.com_data = list(j.com_payloads)
     d.quant = [JbrdQuant(p, i, last) for (p, i, last) in j.dqt_meta]
     ids = [c.id for c in j.components]

@@ -583,7 +583,22 @@ def jpeg_from_parts(jb: JB.JbrdData, hdr, fh, dc_int, vals, qraw,
         from .parser import HuffTable
         tbl = HuffTable(counts, values)
         (j.ac_tables if h.is_ac else j.dc_tables)[h.id] = tbl
+    # the single-scan baseline writer below cannot express progressive
+    # scan scripts, restart-point resyncs, or extra zero runs; emitting
+    # bytes anyway would break the byte-identical contract silently
+    if len(jb.scans) != 1:
+        raise JpegError(
+            f"multi-scan JPEG bundle ({len(jb.scans)} scans) not "
+            "supported by the baseline writer yet")
     sc = jb.scans[0]
+    if not (sc.Ss == 0 and sc.Se == 63 and sc.Ah == 0 and sc.Al == 0):
+        raise JpegError("progressive scan parameters not supported yet")
+    if sc.reset_points or sc.extra_zero_runs:
+        raise JpegError("scan reset points / extra zero runs not "
+                        "supported yet")
+    if 0xC2 in jb.marker_order:
+        raise JpegError("progressive SOF2 reconstruction not "
+                        "supported yet")
     for comp_sel in sc.components:
         c = j.components[comp_sel.comp_idx]
         c.td, c.ta = comp_sel.dc_tbl, comp_sel.ac_tbl
@@ -606,23 +621,22 @@ def _regenerate_header(jb: JB.JbrdData, j: JpegData,
         if 0xE0 <= m <= 0xEF:
             payload = jb.app_data[app_i]
             t = jb.app_marker_types[app_i]
+            seglen = (jb.app_lens[app_i]
+                      if app_i < len(jb.app_lens) and jb.app_lens[app_i]
+                      else len(payload))
             if t == JB.APP_EXIF:
                 if exif is None:
                     raise JpegError("jbrd needs an Exif box")
                 body = b"Exif\x00\x00" + exif[4:]
-                seglen = payload if isinstance(payload, int) \
-                    else len(payload)
                 payload = bytes([m]) + struct.pack(">H", seglen - 1) \
                     + body[:seglen - 3]
             elif t == JB.APP_XMP:
                 if not xml:
                     raise JpegError("jbrd needs an xml box")
                 body = b"http://ns.adobe.com/xap/1.0/\x00" + xml.pop(0)
-                seglen = payload if isinstance(payload, int) \
-                    else len(payload)
                 payload = bytes([m]) + struct.pack(">H", seglen - 1) \
                     + body[:seglen - 3]
-            elif isinstance(payload, int):
+            elif t != JB.APP_UNKNOWN:
                 raise JpegError("ICC app markers not supported yet")
             out += b"\xff" + payload
             app_i += 1

@@ -13,8 +13,11 @@ path bit-exactly.
 multi-process jax.distributed: it spawns N worker processes (CPU
 platform, D virtual devices each), initializes a coordinator, builds
 the global ("f", "g") mesh, runs the sharded GOP decode, and each
-process verifies its addressable output shards bit-exactly against a
-locally computed single-device reference.
+process verifies its addressable output shards against a locally
+computed single-device reference (atol 1e-4: XLA fuses the float
+filter chain differently under sharding, so the toy program is
+tolerance-checked; the real-format path is the bit-exact one, see
+tests/test_tpu_full.py).
 """
 
 from __future__ import annotations
@@ -128,7 +131,8 @@ def worker_main(process_id: int, num_processes: int, port: int,
 
     ref = _single_device_reference(ac, dc, qf, fx, fb,
                                    jnp.float32(dist))
-    # every process validates its own addressable shards bit-exactly
+    # every process validates its own addressable shards (atol 1e-4;
+    # see module docstring for why this toy program is not bit-exact)
     nbad = 0
     for shard in out.addressable_shards:
         local = np.asarray(shard.data)
@@ -180,7 +184,7 @@ def multihost_dryrun(num_processes: int = 2,
         raise RuntimeError(
             "multihost dryrun failed:\n" + "\n".join(outs))
     print(f"multihost_dryrun: {num_processes} processes x "
-          f"{devices_per_process} devices OK (bit-exact shards)")
+          f"{devices_per_process} devices OK (shards within 1e-4)")
 
 
 if __name__ == "__main__":
