@@ -428,29 +428,106 @@ class VarBlock:
     values: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
 
 
-def _dense_base(blocks) -> np.ndarray:
-    """The shared dense coefficient array when every VarBlock's values
-    are views of one buffer (the native decode layout); else None."""
-    if not blocks:
-        return None
-    base = blocks[0].values.get(0) is not None \
-        and blocks[0].values[0].base
-    if base is None or base is False:
-        return None
-    for vb in (blocks[0], blocks[-1]):
-        for c in range(3):
-            v = vb.values.get(c)
-            if v is None or v.base is not base:
-                return None
-    return base
+@dataclasses.dataclass
+class BlockArrays:
+    """Flat varblock arrays (per group or frame-global): the native
+    entropy decode's output layout kept intact, so the device path
+    never builds per-block Python objects (the round-2 device path
+    spent ~7s/4K-frame constructing 28.6k VarBlocks and re-looping
+    over them in prepare_families).
+
+    Layout: block i (raster order), channel c occupies
+    coeffs[offs[i] + c*ncv[i] : offs[i] + (c+1)*ncv[i]] in the same
+    order-applied coefficient indexing VarBlock.values uses."""
+    ids: np.ndarray      # (N,) int32 strategy ids
+    bxs: np.ndarray      # (N,) int32 block x (group or frame coords)
+    bys: np.ndarray      # (N,) int32
+    ncv: np.ndarray      # (N,) int32 coefficients per channel
+    offs: np.ndarray     # (N+1,) int64 cumulative 3*ncv strides
+    coeffs: np.ndarray   # flat int32/int64
+
+    def __len__(self):
+        return len(self.ids)
+
+    def to_varblocks(self) -> List["VarBlock"]:
+        out = []
+        offs, nc, co = self.offs, self.ncv, self.coeffs
+        for i in range(len(self.ids)):
+            vb = VarBlock(bx=int(self.bxs[i]), by=int(self.bys[i]),
+                          strategy=int(self.ids[i]))
+            off = int(offs[i])
+            size = int(nc[i])
+            for c in range(3):
+                vb.values[c] = co[off + c * size: off + (c + 1) * size]
+            out.append(vb)
+        return out
+
+    @classmethod
+    def from_varblocks(cls, blocks) -> "BlockArrays":
+        from .strategies import STRATEGIES
+        n = len(blocks)
+        ids = np.fromiter((vb.strategy for vb in blocks), np.int32, n)
+        bxs = np.fromiter((vb.bx for vb in blocks), np.int32, n)
+        bys = np.fromiter((vb.by for vb in blocks), np.int32, n)
+        ncv = np.asarray([STRATEGIES[int(s)].num_coeffs for s in ids],
+                         np.int32).reshape(n)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(3 * ncv.astype(np.int64), out=offs[1:])
+        dtype = np.int64 if any(
+            np.asarray(v).dtype == np.int64
+            for vb in blocks[:1] for v in vb.values.values()) else np.int32
+        coeffs = np.zeros(max(int(offs[-1]), 1), dtype)
+        for i, vb in enumerate(blocks):
+            off = int(offs[i])
+            size = int(ncv[i])
+            for c in range(3):
+                v = vb.values.get(c)
+                if v is not None:
+                    coeffs[off + c * size: off + (c + 1) * size] = v
+        return cls(ids, bxs, bys, ncv, offs, coeffs)
+
+    @classmethod
+    def concat(cls, parts) -> "BlockArrays":
+        """parts: [(ax, ay, BlockArrays)] with group-local coords;
+        result uses frame coords."""
+        if len(parts) == 1 and parts[0][0] == 0 and parts[0][1] == 0:
+            return parts[0][2]
+        ids = np.concatenate([p.ids for _, _, p in parts])
+        bxs = np.concatenate([p.bxs + ax for ax, _, p in parts])
+        bys = np.concatenate([p.bys + ay for _, ay, p in parts])
+        ncv = np.concatenate([p.ncv for _, _, p in parts])
+        sizes = np.asarray([int(p.offs[-1]) for _, _, p in parts],
+                           np.int64)
+        base = np.zeros(len(parts) + 1, np.int64)
+        np.cumsum(sizes, out=base[1:])
+        offs = np.concatenate(
+            [p.offs[:-1] + base[i] for i, (_, _, p) in enumerate(parts)]
+            + [base[-1:]])
+        dtype = (np.int64 if any(p.coeffs.dtype == np.int64
+                                 for _, _, p in parts) else np.int32)
+        coeffs = np.concatenate(
+            [p.coeffs[:int(p.offs[-1])].astype(dtype, copy=False)
+             for _, _, p in parts])
+        return cls(ids, bxs, bys, ncv, offs, coeffs)
+
+    def accumulate_pass(self, other: "BlockArrays", shift: int) -> None:
+        """coeffs += other.coeffs << shift (anchors are identical
+        across passes of one group)."""
+        if self.coeffs.shape != other.coeffs.shape:
+            raise BitstreamError("pass anchor mismatch")
+        if self.coeffs.dtype != np.int64:
+            self.coeffs = self.coeffs.astype(np.int64)
+        self.coeffs += other.coeffs.astype(np.int64) << shift
 
 
 def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
                     lg: LfGroup, xs_b: int, ys_b: int,
                     pass_index: int, histo_index: int,
-                    dc_q: np.ndarray, shifts=None) -> List["VarBlock"]:
+                    dc_q: np.ndarray, shifts=None,
+                    as_arrays: bool = False):
     """Decode AC coefficients for one 256px group: a list of varblocks
-    with scan-indexed quantized values per channel.
+    with scan-indexed quantized values per channel, or (as_arrays=True)
+    the flat BlockArrays layout the device path consumes directly.
 
     shifts: per-channel (hshift, vshift) for jpeg chroma subsampling —
     subsampled channels are read only at their anchor positions
@@ -462,9 +539,10 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
         try:
             from .. import native as native_mod
             if native_mod.get_lib() is not None:
-                return _read_pass_group_native(
+                arrs = _read_pass_group_native(
                     native_mod, dec, br, lf, hf, lg, xs_b, ys_b,
                     pass_index, histo_index, dc_q)
+                return arrs if as_arrays else arrs.to_varblocks()
         except ImportError:
             pass
     bcm = lf.bcm
@@ -539,7 +617,7 @@ def read_pass_group(br: BitReader, lf: LfGlobal, hf: HfGlobal,
             blocks.append(vb)
     if not dec.check_final_state():
         raise BitstreamError("AC group checksum failed")
-    return blocks
+    return BlockArrays.from_varblocks(blocks) if as_arrays else blocks
 
 
 def _entropy_device_pass_groups(cs, toc, lf, hf, ng, ndc, npasses,
@@ -580,25 +658,18 @@ def _entropy_device_pass_groups(cs, toc, lf, hf, ng, ndc, npasses,
                     "device AC entropy decode failed checksum on groups"
                     f" {np.nonzero(~ok)[0].tolist()}")
             return None
-        pb = {gi: ENTDEV.unpack_to_varblocks(out[gi], scheds[gi], hf, p)
+        pb = {gi: ENTDEV.unpack_to_blockarrays(out[gi], scheds[gi], hf,
+                                               p)
               for gi in range(ng)}
         if blocks_by_gi is None:
             blocks_by_gi = pb
             if pass_shift[0]:
-                sh = np.int64(1) << pass_shift[0]
                 for blocks in blocks_by_gi.values():
-                    for vb in blocks:
-                        for c in vb.values:
-                            vb.values[c] = \
-                                vb.values[c].astype(np.int64) * sh
+                    blocks.coeffs = (blocks.coeffs.astype(np.int64)
+                                     << pass_shift[0])
         else:
-            sh = np.int64(1) << pass_shift[p]
             for gi in range(ng):
-                for vb, vbp in zip(blocks_by_gi[gi], pb[gi]):
-                    for c in vb.values:
-                        vb.values[c] = (vb.values[c].astype(np.int64)
-                                        + vbp.values[c].astype(np.int64)
-                                        * sh)
+                blocks_by_gi[gi].accumulate_pass(pb[gi], pass_shift[p])
     return blocks_by_gi
 
 
@@ -714,16 +785,10 @@ def _read_pass_group_native(native_mod, dec, br, lf, hf, lg, xs_b, ys_b,
         raise BitstreamError(f"native AC decode error {rc}")
     if not dec.check_final_state():
         raise BitstreamError("AC group checksum failed")
-    blocks = []
-    for i in range(n_anchors):
-        off = int(offs64[i])
-        size = int(ncv[i])
-        vb = VarBlock(bx=int(bxs[i]), by=int(bys[i]),
-                      strategy=int(ids[i]))
-        for c in range(3):
-            vb.values[c] = out[off + c * size: off + (c + 1) * size]
-        blocks.append(vb)
-    return blocks
+    return BlockArrays(ids.astype(np.int32, copy=False),
+                       bxs.astype(np.int32, copy=False),
+                       bys.astype(np.int32, copy=False),
+                       ncv.astype(np.int32, copy=False), offs64, out)
 
 # ---------------------------------------------------------------------------
 # Reconstruction (numpy reference path; the TPU path mirrors this)
@@ -1566,64 +1631,41 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     def _decode_group(gi):
         ax, ay, gw, gh, sub, dc_q = _group_view(gi)
         if dev_blocks_by_gi is not None:
-            blocks = dev_blocks_by_gi[gi]
-            if use_device:
-                device_groups.append((ax, ay, sub, blocks))
-                return
-            dc_view = {c: dc_glob[c][ay:ay + gh, ax:ax + gw]
-                       for c in range(3)}
-            gX, gY, gB = reconstruct_group(lf, sub, blocks, fh, dc_view)
-            X[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gX
-            Y[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gY
-            B[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gB
-            return
-        blocks = None
-        for p in range(npasses):
-            br_g = brs(2 + ndc + p * ng + gi)
-            histo_index = br_g.u(histo_bits) if histo_bits else 0
-            blocks_p = read_pass_group(br_g, lf, hf, sub, gw, gh, p,
-                                       histo_index, dc_q)
-            if blocks is None:
-                blocks = blocks_p
-                if pass_shift[0]:
-                    base = _dense_base(blocks)
-                    if base is not None:
-                        # native blocks view one dense array: shift it
-                        # in place (coefficients stay far from 2^31)
-                        base <<= pass_shift[0]
-                    else:
-                        sh = np.int64(1) << pass_shift[0]
-                        for vb in blocks:
-                            for c in vb.values:
-                                vb.values[c] = \
-                                    vb.values[c].astype(np.int64) * sh
-            else:
-                base = _dense_base(blocks)
-                base_p = _dense_base(blocks_p)
-                if base is not None and base_p is not None \
-                        and base.shape == base_p.shape:
-                    # anchors/offsets are identical across passes
-                    base += base_p << pass_shift[p]
+            blocks = dev_blocks_by_gi[gi]       # BlockArrays
+        else:
+            blocks = None
+            for p in range(npasses):
+                br_g = brs(2 + ndc + p * ng + gi)
+                histo_index = br_g.u(histo_bits) if histo_bits else 0
+                blocks_p = read_pass_group(br_g, lf, hf, sub, gw, gh, p,
+                                           histo_index, dc_q,
+                                           as_arrays=True)
+                if blocks is None:
+                    blocks = blocks_p
+                    if pass_shift[0]:
+                        # coefficients stay far from 2^31
+                        if blocks.coeffs.dtype != np.int64:
+                            blocks.coeffs = blocks.coeffs.astype(
+                                np.int64)
+                        blocks.coeffs <<= pass_shift[0]
                 else:
-                    sh = np.int64(1) << pass_shift[p]
-                    for vb, vbp in zip(blocks, blocks_p):
-                        for c in vb.values:
-                            vb.values[c] = (
-                                vb.values[c].astype(np.int64)
-                                + vbp.values[c].astype(np.int64) * sh)
-            if lf.mfd is not None:
-                try:
-                    lf.mfd.read_group(br_g, gi, ndc, ng, pass_index=p)
-                except BitstreamError:
-                    if single:
-                        raise
-                    lf.ec_failed = True
+                    # anchors/offsets are identical across passes
+                    blocks.accumulate_pass(blocks_p, pass_shift[p])
+                if lf.mfd is not None:
+                    try:
+                        lf.mfd.read_group(br_g, gi, ndc, ng,
+                                          pass_index=p)
+                    except BitstreamError:
+                        if single:
+                            raise
+                        lf.ec_failed = True
         if use_device:
             device_groups.append((ax, ay, sub, blocks))
             return
         dc_view = {c: dc_glob[c][ay:ay + gh, ax:ax + gw]
                    for c in range(3)}
-        gX, gY, gB = reconstruct_group(lf, sub, blocks, fh, dc_view)
+        gX, gY, gB = reconstruct_group(lf, sub, blocks.to_varblocks(),
+                                       fh, dc_view)
         X[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gX
         Y[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gY
         B[ay * 8:(ay + gh) * 8, ax * 8:(ax + gw) * 8] = gB
@@ -1641,6 +1683,9 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
             list(ex.map(_decode_group, range(ng)))
 
     device_rgb = None
+    blocks_glob = (BlockArrays.concat(
+        [(ax, ay, blocks) for ax, ay, _, blocks in device_groups])
+        if use_device and device_groups else None)
     if state_out is not None:
         # benchmark hook: expose the actually-parsed device inputs so
         # bench.py can time reconstruct_frame_device on real
@@ -1649,18 +1694,10 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
             lf=lf, fh=fh, qf_map=qf_map, sharp_map=sharp_map,
             ytox_glob=ytox_glob, ytob_glob=ytob_glob, dc_glob=dc_glob,
             bits=hdr.metadata.bit_depth.bits_per_sample, h=h, w=w,
-            blocks_glob=[VarBlock(bx=vb.bx + ax, by=vb.by + ay,
-                                  strategy=vb.strategy, values=vb.values)
-                         for ax, ay, _, blocks in device_groups
-                         for vb in blocks] if use_device else None))
+            blocks_glob=blocks_glob))
     if use_device:
         bits_ = hdr.metadata.bit_depth.bits_per_sample
         try:
-            blocks_glob = [VarBlock(bx=vb.bx + ax, by=vb.by + ay,
-                                    strategy=vb.strategy,
-                                    values=vb.values)
-                           for ax, ay, _, blocks in device_groups
-                           for vb in blocks]
             device_rgb = TF.reconstruct_frame_device(
                 lf, fh, blocks_glob, qf_map, sharp_map,
                 ytox_glob, ytob_glob, dc_glob, bits_,
@@ -1675,8 +1712,9 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                 gh_, gw_ = sub.qf_map.shape
                 dc_view = {c: dc_glob[c][ay:ay + gh_, ax:ax + gw_]
                            for c in range(3)}
-                gX, gY, gB = reconstruct_group(lf, sub, blocks, fh,
-                                               dc_view)
+                gX, gY, gB = reconstruct_group(lf, sub,
+                                               blocks.to_varblocks(),
+                                               fh, dc_view)
                 X[ay * 8:(ay + gh_) * 8, ax * 8:(ax + gw_) * 8] = gX
                 Y[ay * 8:(ay + gh_) * 8, ax * 8:(ax + gw_) * 8] = gY
                 B[ay * 8:(ay + gh_) * 8, ax * 8:(ax + gw_) * 8] = gB

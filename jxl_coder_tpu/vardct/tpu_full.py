@@ -80,11 +80,15 @@ def _special_resp(lf, sid, c):
     return resp
 
 
-def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
+def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
                      ytox_glob: np.ndarray, ytob_glob: np.ndarray):
     """Group frame-global varblocks by strategy and build the dense
     device inputs.  Returns (descriptor tuple, args tuple, qm,
     perm_inv); descriptor is hashable (part of the compile signature).
+
+    blocks_global: a dec_real.BlockArrays (flat arrays straight from
+    the entropy decode — the fast path; everything below is vectorized
+    numpy, no per-block Python) or a legacy List[VarBlock].
 
     perm_inv maps each destination 8x8 tile of the frame to its source
     row in the concatenation of the per-family tile outputs — computed
@@ -92,6 +96,10 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
     the device assembles the frame with ONE dense gather instead of
     per-family scatters (the round-1 scatter was ~20x slower than the
     DCT8 dense path)."""
+    from .dec_real import BlockArrays
+    if not isinstance(blocks_global, BlockArrays):
+        blocks_global = BlockArrays.from_varblocks(list(blocks_global))
+    ba = blocks_global
     igs = float(lf.inv_global_scale)
     cf = 1.0 / lf.cfl_color_factor
     if getattr(fh, "do_ycbcr", False):
@@ -100,20 +108,16 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
         qm = np.asarray([0.8 ** (fh.x_qm_scale - 2), 1.0,
                          0.8 ** (fh.b_qm_scale - 2)], np.float32)
 
-    by_sid: Dict[int, list] = {}
-    for vb in blocks_global:
-        by_sid.setdefault(vb.strategy, []).append(vb)
-
     ys_b, xs_b = qf_map.shape
     perm_inv = np.zeros(ys_b * xs_b, np.int32)
     fam_offset = 0
 
     desc = []
     args = []
-    for sid in sorted(by_sid):
-        group = by_sid[sid]
+    for sid in np.unique(ba.ids).tolist():
+        sel = np.nonzero(ba.ids == sid)[0]
         strat = STRATEGIES[sid]
-        n = len(group)
+        n = len(sel)
         n_pad = _bucket(n)
         bh, bw = strat.height, strat.width
         cov = strat.covered
@@ -121,8 +125,8 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
 
         bys = np.full(n_pad, _PAD_SENTINEL, np.int32)
         bxs = np.full(n_pad, _PAD_SENTINEL, np.int32)
-        bys[:n] = [vb.by for vb in group]
-        bxs[:n] = [vb.bx for vb in group]
+        bys[:n] = ba.bys[sel]
+        bxs[:n] = ba.bxs[sel]
         inv_qac = np.ones(n_pad, np.float32)
         inv_qac[:n] = igs / qf_map[bys[:n], bxs[:n]].astype(np.float64)
         xf = np.zeros(n_pad, np.float32)
@@ -131,9 +135,11 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
         xf[:n] = lf.cfl_base_x + ytox_glob[ty, tx].astype(np.float64) * cf
         bf[:n] = lf.cfl_base_b + ytob_glob[ty, tx].astype(np.float64) * cf
 
+        nc = strat.num_coeffs
+        src = ba.offs[sel][:, None] + np.arange(3 * nc, dtype=np.int64)
+        raw = ba.coeffs[src].reshape(n, 3, nc)     # (n, 3, nc) int
+
         if special:
-            raw = np.stack([np.stack([vb.values[c] for c in range(3)])
-                            for vb in group])          # (n, 3, 64) int
             vals = np.zeros((n_pad, 3, 64), np.float32)
             for c in range(3):
                 vals[:n, c] = S.adjust_quant_bias(raw[:, c], c)
@@ -147,8 +153,6 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
             order = S.scan_to_basis(sid)
             idx = order[cov:]
             cmat = np.zeros((n_pad, 3, K), np.float32)
-            raw = np.stack([np.stack([vb.values[c] for c in range(3)])
-                            for vb in group])       # (n, 3, K) int
             sc = np.empty((n, 3, K - cov), np.float32)
             for c in range(3):
                 sc[:, c] = S.adjust_quant_bias(raw[:, c, cov:], c)
@@ -166,9 +170,9 @@ def prepare_families(lf, fh, blocks_global: List, qf_map: np.ndarray,
         for ty in range(sh):
             for tx in range(sw):
                 dest = (byv + ty) * xs_b + (bxv + tx)
-                src = (fam_offset + np.arange(n, dtype=np.int64)
-                       * (sh * sw) + ty * sw + tx)
-                perm_inv[dest] = src
+                src_t = (fam_offset + np.arange(n, dtype=np.int64)
+                         * (sh * sw) + ty * sw + tx)
+                perm_inv[dest] = src_t
         fam_offset += n_pad * sh * sw
     return tuple(desc), tuple(args), qm, perm_inv
 
