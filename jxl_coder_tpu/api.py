@@ -409,6 +409,91 @@ def decode(data: bytes):
     return out, info
 
 
+def decode_batch(datas):
+    """Decode several still JXL files, pipelining host entropy decode
+    (thread pool) with device reconstruction dispatch and the d2h fetch
+    of earlier frames — the steady-state batched path (the reference's
+    analogue is one JxlDecoder per image on a thread pool;
+    interop/JxlDecoding.cpp:36).  Files the device path cannot take
+    (animation, modular, extra channels, ICC, recompressed JPEG) fall
+    back to decode() per file.  Returns a list of pixel arrays.
+    """
+    import numpy as np
+    from .vardct import tpu_full as TF
+    from .vardct.dec_real import decode_vardct_frame
+
+    results = [None] * len(datas)
+    if not TF.device_enabled() or len(datas) <= 1:
+        return [decode(d)[0] for d in datas]
+
+    def parse(i):
+        data = datas[i]
+        try:
+            from .jpeg import transcode as _jpeg_tc
+            if _jpeg_tc.is_constructed(data) \
+                    or _subsampled_jpeg_probe(data) is not None:
+                return i, None
+            c = _container.extract_codestream(data)
+            cs = c.codestream
+            br = BitReader(cs)
+            hdr = read_image_header(br)
+            m = hdr.metadata
+            if (m.icc_profile is not None or m.extra_channels
+                    or m.animation is not None):
+                return i, None
+            fh = read_frame_header(br, hdr)
+            if fh.frame_type != 0 or fh.encoding == Encoding.MODULAR \
+                    or not fh.is_last:
+                return i, None
+            ng, ndc = fh.counts(hdr)
+            n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+                2 + ndc + ng * fh.passes.num_passes)
+            toc = read_toc(br, n)
+            st = decode_vardct_frame(cs, hdr, fh, toc, parse_only=True)
+        except BitstreamError:
+            return i, None
+        if not isinstance(st, dict):
+            # ineligible for the device path: the host already
+            # produced the pixels during the parse
+            return i, ("pixels", st, m.orientation)
+        return i, ("state", st, m.orientation)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch(entry):
+        j, dev, stt, orx = entry
+        arr = np.asarray(dev)[:stt["h"], :stt["w"]]
+        results[j] = apply_orientation(arr, orx)
+
+    pend = []
+    fallback = []
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for i, r in ex.map(parse, range(len(datas))):
+            if r is None:
+                fallback.append(i)
+                continue
+            kind, payload, orient = r
+            if kind == "pixels":
+                results[i] = apply_orientation(payload, orient)
+                continue
+            try:
+                dev = TF.reconstruct_state_device(payload,
+                                                  as_device=True)
+            except Exception:
+                fallback.append(i)
+                continue
+            pend.append((i, dev, payload, orient))
+            # keep <=2 frames in flight: fetching frame i-2 overlaps
+            # frame i-1's device compute and frame i's host parse
+            while len(pend) > 2:
+                fetch(pend.pop(0))
+    for entry in pend:
+        fetch(entry)
+    for i in fallback:
+        results[i] = decode(datas[i])[0]
+    return results
+
+
 def _decode_reference_frame(cs, hdr, fh, toc, dc_frames):
     """Decode a kReferenceOnly frame to per-channel float planes in the
     saved (pre-color-transform, i.e. XYB) space for patches."""

@@ -38,11 +38,18 @@ static inline uint64_t br_u(BitReader* br, int n) {
     if (end > br->nbytes * 8) { br->overrun = 1; return 0; }
     size_t byte0 = br->pos >> 3;
     int shift = (int)(br->pos & 7);
-    uint64_t window = 0;
-    size_t avail = br->nbytes - byte0;
-    int need = (shift + n + 7) / 8;
-    for (int i = 0; i < need && (size_t)i < avail && i < 8; i++)
-        window |= (uint64_t)br->data[byte0 + i] << (8 * i);
+    uint64_t window;
+    if (byte0 + 8 <= br->nbytes && n <= 56) {
+        // hot path: one unaligned little-endian load covers shift+n
+        // bits (shift <= 7, n <= 56)
+        memcpy(&window, br->data + byte0, 8);
+    } else {
+        window = 0;
+        size_t avail = br->nbytes - byte0;
+        int need = (shift + n + 7) / 8;
+        for (int i = 0; i < need && (size_t)i < avail && i < 8; i++)
+            window |= (uint64_t)br->data[byte0 + i] << (8 * i);
+    }
     uint64_t val = (window >> shift) & ((n >= 64) ? ~0ull : ((1ull << n) - 1));
     br->pos = end;
     return val;
@@ -65,6 +72,13 @@ struct AliasCluster {
     std::vector<int32_t> cutoffs, right, offsets, freq;
 };
 
+// one cache line of data per alias bucket instead of four separate
+// heap vectors (read_symbol_ans is the hottest load in the decoder)
+struct AliasEntry {
+    int32_t cutoff, right, offset;
+    uint32_t freq_bucket, freq_right;
+};
+
 struct EntropyCtx {
     BitReader br;
     int32_t num_contexts;
@@ -76,6 +90,7 @@ struct EntropyCtx {
     int32_t log_alpha = 0, log_entry = 0;
     uint32_t ans_state = 0;
     std::vector<AliasCluster> alias;
+    std::vector<AliasEntry> alias_flat;  // (cluster << log_alpha) + bucket
     // lz77
     int32_t lz_enabled, lz_min_symbol, lz_min_length;
     HybridConfig lz_len_config;
@@ -86,21 +101,24 @@ struct EntropyCtx {
 };
 
 static inline int read_symbol_ans(EntropyCtx* ctx, int cluster) {
-    AliasCluster& ac = ctx->alias[cluster];
     uint32_t state = ctx->ans_state;
     uint32_t idx = state & 0xFFF;
     uint32_t bucket = idx >> ctx->log_entry;
     uint32_t pos = idx & ((1u << ctx->log_entry) - 1);
+    const AliasEntry& e =
+        ctx->alias_flat[((uint32_t)cluster << ctx->log_alpha) + bucket];
     int sym;
-    uint32_t off;
-    if ((int32_t)pos < ac.cutoffs[bucket]) {
+    uint32_t off, freq;
+    if ((int32_t)pos < e.cutoff) {
         sym = bucket;
         off = pos;
+        freq = e.freq_bucket;
     } else {
-        sym = ac.right[bucket];
-        off = ac.offsets[bucket] + (pos - ac.cutoffs[bucket]);
+        sym = e.right;
+        off = e.offset + (pos - e.cutoff);
+        freq = e.freq_right;
     }
-    state = (uint32_t)ac.freq[sym] * (state >> 12) + off;
+    state = freq * (state >> 12) + off;
     if (state < (1u << 16))
         state = (state << 16) | (uint32_t)br_u(&ctx->br, 16);
     ctx->ans_state = state;
@@ -267,14 +285,20 @@ void entropy_set_ans(EntropyCtx* ctx, int32_t log_alpha,
     ctx->log_alpha = log_alpha;
     ctx->log_entry = 12 - log_alpha;
     int n = 1 << log_alpha;
-    ctx->alias.resize(num_clusters);
+    ctx->alias_flat.resize((size_t)num_clusters * n);
     for (int cl = 0; cl < num_clusters; cl++) {
-        AliasCluster& ac = ctx->alias[cl];
-        ac.cutoffs.assign(cutoffs + cl * n, cutoffs + (cl + 1) * n);
-        ac.right.assign(right + cl * n, right + (cl + 1) * n);
-        ac.offsets.assign(offsets + cl * n, offsets + (cl + 1) * n);
-        // freq indexed by SYMBOL (alphabet size <= 1<<log_alpha)
-        ac.freq.assign(freq + cl * n, freq + (cl + 1) * n);
+        for (int b = 0; b < n; b++) {
+            AliasEntry& e = ctx->alias_flat[(size_t)cl * n + b];
+            e.cutoff = cutoffs[cl * n + b];
+            e.right = right[cl * n + b];
+            e.offset = offsets[cl * n + b];
+            // freq is indexed by SYMBOL (alphabet <= 1<<log_alpha);
+            // the two reachable symbols' freqs ride in the entry
+            e.freq_bucket = (uint32_t)freq[cl * n + b];
+            int r = e.right;
+            e.freq_right = (r >= 0 && r < n)
+                ? (uint32_t)freq[cl * n + r] : 0;
+        }
     }
     ctx->ans_state = init_state;
 }

@@ -1452,7 +1452,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                         return_xyb: bool = False,
                         ref_frames=None,
                         dc_only: bool = False,
-                        state_out: dict = None) -> np.ndarray:
+                        state_out: dict = None,
+                        parse_only: bool = False) -> np.ndarray:
     """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
 
     Handles multi-pass (progressive AC) streams: per-group coefficient
@@ -1462,6 +1463,12 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     return_xyb: skip the colour transform and return the XYB planes —
     used to decode LF frames themselves (their output IS the next
     frame's DC).
+    parse_only: host-side work only — when the frame is eligible for
+    the device path, return the parsed state dict (the input of
+    tpu_full.reconstruct_state_device) instead of pixels, letting
+    callers pipeline host parsing with device execution across frames
+    (api.decode_batch); ineligible frames fall through to the normal
+    full decode and return pixels.
 
     Section layout (multi-entry TOC): LfGlobal | LfGroup[0..ndc) |
     HfGlobal | PassGroup[pass][0..ng); single-entry TOC concatenates
@@ -1686,15 +1693,20 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     blocks_glob = (BlockArrays.concat(
         [(ax, ay, blocks) for ax, ay, _, blocks in device_groups])
         if use_device and device_groups else None)
-    if state_out is not None:
-        # benchmark hook: expose the actually-parsed device inputs so
-        # bench.py can time reconstruct_frame_device on real
-        # entropy-decoded coefficients (VERDICT r1 weak #1/#2)
-        state_out.update(dict(
+    if state_out is not None or parse_only:
+        # the actually-parsed device inputs: consumed by bench.py (real
+        # entropy-decoded coefficients, VERDICT r1 weak #1/#2) and by
+        # the pipelined batch decode (api.decode_batch)
+        state = dict(
             lf=lf, fh=fh, qf_map=qf_map, sharp_map=sharp_map,
             ytox_glob=ytox_glob, ytob_glob=ytob_glob, dc_glob=dc_glob,
             bits=hdr.metadata.bit_depth.bits_per_sample, h=h, w=w,
-            blocks_glob=blocks_glob))
+            blocks_glob=blocks_glob)
+        if state_out is not None:
+            state_out.update(state)
+        if (parse_only and use_device and blocks_glob is not None
+                and not hdr.metadata.extra_channels):
+            return state
     if use_device:
         bits_ = hdr.metadata.bit_depth.bits_per_sample
         try:

@@ -138,11 +138,15 @@ def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
         nc = strat.num_coeffs
         src = ba.offs[sel][:, None] + np.arange(3 * nc, dtype=np.int64)
         raw = ba.coeffs[src].reshape(n, 3, nc)     # (n, 3, nc) int
+        # quantized coefficients are tiny; int16 halves the h2d upload
+        # (the tunnel is the bottleneck at ~40 MB/s).  AdjustQuantBias
+        # and the scan->basis permutation both moved onto the device.
+        mx = int(np.abs(raw).max(initial=0))
+        dt = np.int16 if mx < 32768 else np.int32
 
         if special:
-            vals = np.zeros((n_pad, 3, 64), np.float32)
-            for c in range(3):
-                vals[:n, c] = S.adjust_quant_bias(raw[:, c], c)
+            vals = np.zeros((n_pad, 3, 64), dt)
+            vals[:n] = raw
             resp = np.stack([_special_resp(lf, sid, c).astype(np.float32)
                              for c in range(3)])
             resp_y_def = S.response_matrix(sid, 1).astype(np.float32)
@@ -150,13 +154,8 @@ def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
                        bys=bys, bxs=bxs, inv_qac=inv_qac, xf=xf, bf=bf)
         else:
             K = bh * bw
-            order = S.scan_to_basis(sid)
-            idx = order[cov:]
-            cmat = np.zeros((n_pad, 3, K), np.float32)
-            sc = np.empty((n, 3, K - cov), np.float32)
-            for c in range(3):
-                sc[:, c] = S.adjust_quant_bias(raw[:, c, cov:], c)
-            cmat[:n, :, idx] = sc
+            cmat = np.zeros((n_pad, 3, K), dt)
+            cmat[:n] = raw                         # scan-ordered
             tab = np.stack([_dq_table(lf, sid, c)[:K].astype(np.float32)
                             for c in range(3)])
             fam = dict(cmat=cmat, tab=tab, bys=bys, bxs=bxs,
@@ -227,6 +226,19 @@ def _inv_matrix(bh: int, bw: int) -> np.ndarray:
     return R[:, cols].astype(np.float32)
 
 
+def _bias_device(vals_int):
+    """AdjustQuantBias on device (f32): vals_int (n, 3, K) ints ->
+    bias-adjusted float32.  Matches the host float64-LUT path to f32
+    rounding (<=1 ulp; the device contract allows <=1 at 8-bit out)."""
+    import jax.numpy as jnp
+    v = vals_int.astype(jnp.float32)
+    qb = np.asarray([1.0 - b for b in S.QUANT_BIAS], np.float32)
+    safe = jnp.where(v == 0.0, np.float32(1.0), v)
+    return jnp.where(jnp.abs(v) > 1.0,
+                     v - np.float32(S.QUANT_BIAS_NUM) / safe,
+                     v * qb[None, :, None])
+
+
 def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
                   special, qm):
     """Dequant + CfL + inverse transform for one strategy family,
@@ -243,7 +255,7 @@ def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
     gx = jnp.clip(bxs, 0, dc_glob.shape[2] - 1)
 
     if special:
-        vals, resp = fam["vals"], fam["resp"]
+        vals, resp = _bias_device(fam["vals"]), fam["resp"]
         resp_y_def = fam["resp_y_def"]
         acY = jnp.einsum("ns,syx->nyx", vals[:, 1, 1:], resp_y_def[1:],
                          precision=hi) * inv_qac[:, None, None]
@@ -260,7 +272,16 @@ def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
         return jnp.stack(pix, axis=1).reshape(n_pad, 192)
     else:
         cy, cx = STRATEGIES[sid].cy, STRATEGIES[sid].cx
-        cmat, tab = fam["cmat"], fam["tab"]
+        tab = fam["tab"]
+        # device-side bias + static scan->basis permutation (the first
+        # `cov` scan slots are the never-written LLF placeholders —
+        # always zero — and land in the [:cy, :cx] corner, which the
+        # LLF einsum below overwrites anyway)
+        K = bh * bw
+        B = S.scan_to_basis(sid)
+        P = np.empty(K, np.int32)
+        P[B] = np.arange(K, dtype=np.int32)
+        cmat = _bias_device(fam["cmat"])[:, :, jnp.asarray(P)]
         deq = cmat * (tab[None] * qm[None, :, None]) \
             * inv_qac[:, None, None]
         dY = deq[:, 1]
@@ -444,10 +465,14 @@ def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
 def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
                              ytox_glob, ytob_glob, dc_glob,
                              bits: int, crop_h: int = None,
-                             crop_w: int = None) -> np.ndarray:
+                             crop_w: int = None,
+                             as_device: bool = False) -> np.ndarray:
     """Whole-frame device reconstruction: scan-indexed varblocks (frame
     coords) -> (H8, W8, 3) uint8/uint16 sRGB on the padded block grid.
-    dc_glob: dict {0,1,2} of already-smoothed XYB DC planes."""
+    dc_glob: dict {0,1,2} of already-smoothed XYB DC planes.
+    as_device: return the (asynchronously dispatched) device array
+    without blocking on d2h — callers overlap the fetch with the next
+    frame's host work (api.decode_batch)."""
     desc, fams, qm, perm_inv = prepare_families(
         lf, fh, blocks_global, qf_map, ytox_glob, ytob_glob)
     ys_b, xs_b = qf_map.shape
@@ -467,4 +492,15 @@ def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
     out = fn(fams, dc, qf_map.astype(np.int32),
              sharp_map.astype(np.int32),
              np.float32(lf.inv_global_scale), qm, perm_inv)
-    return np.asarray(out)
+    return out if as_device else np.asarray(out)
+
+
+def reconstruct_state_device(state: dict, as_device: bool = False):
+    """Device reconstruction from a decode_vardct_frame(parse_only=True)
+    state dict; output is already cropped to the true image size."""
+    return reconstruct_frame_device(
+        state["lf"], state["fh"], state["blocks_glob"],
+        state["qf_map"], state["sharp_map"], state["ytox_glob"],
+        state["ytob_glob"], state["dc_glob"], int(state["bits"]),
+        crop_h=int(state["h"]), crop_w=int(state["w"]),
+        as_device=as_device)

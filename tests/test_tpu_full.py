@@ -89,3 +89,26 @@ def test_multihost_dryrun_two_processes():
     (SURVEY §7 step 10, BASELINE 2-host metric skeleton)."""
     from jxl_coder_tpu.parallel.multihost import multihost_dryrun
     multihost_dryrun(2, 2)
+
+
+def test_decode_batch_pipelined(monkeypatch):
+    """api.decode_batch: pipelined host-parse + device-reconstruct path
+    matches decode() per file (<=1), incl. a modular fallback file."""
+    monkeypatch.setenv("JXL_TPU_DEVICE", "1")
+    from jxl_coder_tpu import api
+    from jxl_coder_tpu.vardct.enc_real import encode_vardct_real
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:96, 0:160]
+    datas = []
+    for k in range(3):
+        img = np.clip(np.stack([
+            120 + 60 * np.sin(yy / (11 + k)) + rng.integers(0, 24, yy.shape),
+            xx % 200, (xx + yy) % 220], -1), 0, 255).astype(np.uint8)
+        datas.append(encode_vardct_real(img, distance=1.0, effort=5))
+    img0, _ = api.decode(datas[0])
+    datas.append(api.encode(img0, lossless=True))   # modular fallback
+    outs = api.decode_batch(datas)
+    for data, out in zip(datas, outs):
+        ref, _ = api.decode(data)
+        assert out.shape == ref.shape
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
