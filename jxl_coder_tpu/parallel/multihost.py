@@ -1,157 +1,204 @@
-"""Multi-host scale-out skeleton: jax.distributed over a 2D mesh.
+"""Multi-host scale-out: jax.distributed GOP sharding of the REAL
+VarDCT reconstruction.
 
 The scaling design of SURVEY.md §2.6/§7-step-10: animation frames/GOPs
 shard across hosts (the DCN axis — frames are independent after the
-host demux), and the group/block-row grid shards across the chips of
-each host (the ICI axis — ppermute halo exchange for the cross-group
-filters).  The reference has no cross-process story at all (it is a
+host demux), and within each host the chips split the GOP further (the
+ICI axis).  The reference has no cross-process story at all (it is a
 single-process mobile library); this is the new design the north star
-requires, with the constraint that output matches the single-device
-path bit-exactly.
+requires.
 
-`multihost_dryrun()` proves the program compiles and runs under real
-multi-process jax.distributed: it spawns N worker processes (CPU
-platform, D virtual devices each), initializes a coordinator, builds
-the global ("f", "g") mesh, runs the sharded GOP decode, and each
-process verifies its addressable output shards against a locally
-computed single-device reference (atol 1e-4: XLA fuses the float
-filter chain differently under sharding, so the toy program is
-tolerance-checked; the real-format path is the bit-exact one, see
-tests/test_tpu_full.py).
+Unlike the round-2 dryrun (a toy DCT8 program on rng inputs), the
+program here IS the production multi-strategy path: each worker builds
+a real codestream with the product encoder, entropy-decodes it on the
+host (decode_vardct_frame(parse_only=True)), and the sharded program
+vmaps tpu_full._build_fn — dequant + CfL + multi-size IDCT + gaborish
++ EPF + XYB->sRGB, identical to what api.decode dispatches — over a
+GOP axis sharded across all processes' devices.
+
+`multihost_dryrun()` runs it under real multi-process jax.distributed
+(CPU platform, virtual devices), validates every process's addressable
+output shards against the single-device product path (exact), and
+measures the 1-process vs 2-process frames/s scaling efficiency
+(BASELINE's ">=80% on 2 hosts" metric, on the CPU mesh).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 
+FRAMES_PER_DEVICE = 2
 
-def make_2d_mesh(n_frames_axis: int, n_groups_axis: int):
-    """Global mesh over all (possibly multi-process) devices: axis "f"
-    shards frames/GOPs (DCN), axis "g" shards block rows (ICI)."""
+
+def _real_frame_state():
+    """Encode a deterministic test image with the product encoder and
+    host-parse it back to the device-ready state (the exact input of
+    tpu_full.reconstruct_state_device)."""
+    os.environ["JXL_TPU_DEVICE"] = "1"
+    from ..bitstream.reader import BitReader
+    from ..bitstream import container as container_mod
+    from ..bitstream.headers import read_image_header
+    from ..bitstream.frame_header import read_frame_header, read_toc
+    from ..vardct.dec_real import decode_vardct_frame
+    from ..vardct.enc_real import encode_vardct_real
+
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:96, 0:160]
+    img = np.clip(np.stack([
+        120 + 70 * np.sin(yy / 13.0) + rng.integers(0, 24, yy.shape),
+        (xx * 0.9) % 200, (xx + yy) % 220], -1), 0, 255).astype(np.uint8)
+    data = encode_vardct_real(img, distance=1.0, effort=5)
+    cs = container_mod.extract_codestream(data).codestream
+    br = BitReader(cs)
+    hdr = read_image_header(br)
+    fh = read_frame_header(br, hdr)
+    ng, ndc = fh.counts(hdr)
+    n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+        2 + ndc + ng * fh.passes.num_passes)
+    toc = read_toc(br, n)
+    state = decode_vardct_frame(cs, hdr, fh, toc, parse_only=True)
+    assert isinstance(state, dict), "test stream must be device-eligible"
+    return state
+
+
+def _exec_parts(state):
+    """(static kwargs for _build_fn, single-frame args, batched-leaf
+    mask) from a parsed state."""
+    from ..vardct import tpu_full as TF
+    lf, fh = state["lf"], state["fh"]
+    qf_map = state["qf_map"]
+    desc, fams, qm, perm_inv = TF.prepare_families(
+        lf, fh, state["blocks_glob"], qf_map,
+        state["ytox_glob"], state["ytob_glob"])
+    ys_b, xs_b = qf_map.shape
+    rf = fh.restoration_filter
+    if rf.gab and rf.gab_custom and rf.gab_weights is not None:
+        gabw = tuple(float(g) for g in rf.gab_weights)
+    else:
+        gabw = (0.115169525, 0.061248592) * 3
+    dc = np.stack([state["dc_glob"][c] for c in range(3)]).astype(
+        np.float32)
+    static = dict(desc=desc, H8=ys_b * 8, W8=xs_b * 8,
+                  bits=int(state["bits"]), gab=bool(rf.gab),
+                  epf_iters=int(rf.epf_iters), gabw_t=gabw,
+                  pass0_scale=float(rf.epf_pass0_sigma_scale),
+                  pass2_scale=float(rf.epf_pass2_sigma_scale),
+                  crop_h=int(state["h"]), crop_w=int(state["w"]))
+    args = (fams, dc, qf_map.astype(np.int32),
+            state["sharp_map"].astype(np.int32),
+            np.float32(lf.inv_global_scale), qm, perm_inv)
+    # which leaves carry per-frame data on the GOP axis: the family
+    # coefficient/position arrays and the frame planes; the transform
+    # tables (tab/resp*), qm, igs and the (geometry-static) perm_inv
+    # are replicated
+    fams_mask = tuple(
+        {k: k not in ("tab", "resp", "resp_y_def") for k in fam}
+        for fam in fams)
+    mask = (fams_mask, True, True, True, False, False, False)
+    return static, args, mask
+
+
+def _batch_args(args, mask, F):
+    """Stack F copies of every batched leaf along a new leading axis."""
     import jax
-    from jax.sharding import Mesh
-    devs = np.asarray(jax.devices()[:n_frames_axis * n_groups_axis])
-    return Mesh(devs.reshape(n_frames_axis, n_groups_axis), ("f", "g"))
+    return jax.tree.map(
+        lambda a, b: (np.broadcast_to(a, (F,) + np.shape(a)).copy()
+                      if b else a), args, mask)
 
 
-def sharded_gop_decode_2d(mesh):
-    """fn(ac (N,3,nY,nX,8,8), dc, qf, fx, fb, distance) -> (N,3,H,W):
-    frames sharded over "f", block rows over "g" with ppermute halos —
-    the two-level (DCN x ICI) decode program."""
+def sharded_gop_real(mesh, static, mask):
+    """shard_map(vmap(real frame fn)) over the GOP axis "f": the
+    production reconstruction, F frames split across every device of
+    every process."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from . import groups as G
-    from ..vardct import pipeline as pl
+    from ..vardct import tpu_full as TF
+    try:
+        from jax import shard_map
+    except ImportError:                      # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
-    halo = pl.filter_halo(1, True)
-
-    def per_shard(ac, dc, qf, fx, fb, distance):
-        def one(ac1, dc1, qf1, fx1, fb1):
-            img = pl.dequant_idct(ac1, dc1, qf1, fx1, fb1, distance)
-            inv = pl.inv_sigma_map(qf1, distance)
-            stacked = jnp.concatenate([img, inv[None]], axis=0)
-            padded = G._exchange_halo(stacked, halo, "g")
-            return pl.apply_filters(padded[:3], padded[3], 1, True)
-        return jax.vmap(one)(ac, dc, qf, fx, fb)
-
-    fn = G.shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(P("f", None, "g"), P("f", None, "g"), P("f", "g"),
-                  P("f", "g"), P("f", "g"), P()),
-        out_specs=P("f", None, "g"))
+    fn1 = TF._build_fn(**static)
+    in_axes = jax.tree.map(lambda b: 0 if b else None, mask)
+    vf = jax.vmap(lambda *a: fn1(*a), in_axes=in_axes)
+    in_specs = jax.tree.map(lambda b: P("f") if b else P(), mask)
+    fn = shard_map(lambda *a: vf(*a), mesh=mesh,
+                   in_specs=in_specs, out_specs=P("f"))
     return jax.jit(fn)
-
-
-def _dryrun_inputs(n_frames: int, ny: int, nx: int):
-    rng = np.random.default_rng(7)
-    ac = rng.integers(-20, 20, (n_frames, 3, ny, nx, 8, 8)).astype(
-        np.int32)
-    dc = rng.integers(-100, 100, (n_frames, 3, ny, nx)).astype(np.int32)
-    qf = np.full((n_frames, ny, nx), 8, np.int32)
-    fx = np.zeros((n_frames, ny, nx), np.float32)
-    fb = np.ones((n_frames, ny, nx), np.float32)
-    return ac, dc, qf, fx, fb
-
-
-def _single_device_reference(ac, dc, qf, fx, fb, distance):
-    import jax.numpy as jnp
-    from ..vardct import pipeline as pl
-    halo = pl.filter_halo(1, True)
-    outs = []
-    for i in range(ac.shape[0]):
-        img = pl.dequant_idct(jnp.asarray(ac[i]), jnp.asarray(dc[i]),
-                              jnp.asarray(qf[i]), jnp.asarray(fx[i]),
-                              jnp.asarray(fb[i]), distance)
-        inv = pl.inv_sigma_map(jnp.asarray(qf[i]), distance)
-        outs.append(pl.apply_filters(pl.pad_rows(img, halo),
-                                     pl.pad_rows(inv, halo), 1, True))
-    return np.stack([np.asarray(o) for o in outs])
 
 
 def worker_main(process_id: int, num_processes: int, port: int,
                 devices_per_process: int) -> None:
-    """One jax.distributed participant of the multi-host dryrun."""
+    """One jax.distributed participant: real-format GOP-sharded decode
+    + per-shard validation + throughput measurement."""
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}",
-        num_processes=num_processes, process_id=process_id)
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=num_processes, process_id=process_id)
     n_dev = len(jax.devices())
     assert n_dev == num_processes * devices_per_process, n_dev
-    assert len(jax.local_devices()) == devices_per_process
 
-    import jax.numpy as jnp
-    mesh = make_2d_mesh(num_processes, devices_per_process)
-    n_frames = num_processes * 2            # 2 GOP frames per host
-    ny = 8 * devices_per_process
-    nx = 8
-    ac, dc, qf, fx, fb = _dryrun_inputs(n_frames, ny, nx)
-    dist = np.float32(1.0)
+    state = _real_frame_state()
+    static, args, mask = _exec_parts(state)
+    F = FRAMES_PER_DEVICE * n_dev
+    bargs = _batch_args(args, mask, F)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    specs = (P("f", None, "g"), P("f", None, "g"), P("f", "g"),
-             P("f", "g"), P("f", "g"))
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.array(jax.devices()), ("f",))
 
-    def to_global(arr, spec):
-        sh = NamedSharding(mesh, spec)
+    def to_global(arr, batched):
+        sh = NamedSharding(mesh, P("f") if batched else P())
         return jax.make_array_from_callback(
-            arr.shape, sh, lambda idx: arr[idx])
+            np.shape(arr), sh, lambda idx: np.asarray(arr)[idx])
 
-    gargs = [to_global(a, s) for a, s in zip((ac, dc, qf, fx, fb),
-                                             specs)]
-    fn = sharded_gop_decode_2d(mesh)
-    out = fn(*gargs, jnp.float32(dist))
+    gargs = jax.tree.map(to_global, bargs, mask)
+    fn = sharded_gop_real(mesh, static, mask)
+    out = fn(*gargs)
     jax.block_until_ready(out)
 
-    ref = _single_device_reference(ac, dc, qf, fx, fb,
-                                   jnp.float32(dist))
-    # every process validates its own addressable shards (atol 1e-4;
-    # see module docstring for why this toy program is not bit-exact)
+    # validate own shards against the single-device PRODUCT path
+    from ..vardct import tpu_full as TF
+    ref = TF.reconstruct_state_device(state)
+    h, w = int(state["h"]), int(state["w"])
     nbad = 0
     for shard in out.addressable_shards:
         local = np.asarray(shard.data)
-        expect = ref[shard.index]
-        if not np.allclose(local, expect, atol=1e-4):
-            nbad += 1
+        for f in range(local.shape[0]):
+            if not np.array_equal(local[f, :h, :w], ref[:h, :w]):
+                nbad += 1
     if nbad:
-        print(f"[proc {process_id}] {nbad} shards diverge",
+        print(f"[proc {process_id}] {nbad} frame shards diverge",
               file=sys.stderr)
         sys.exit(1)
-    print(f"[proc {process_id}] OK: {len(out.addressable_shards)} "
-          f"local shards of {out.shape} verified")
+
+    # steady-state throughput (compile excluded)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*gargs)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    fps = F / dt
+    if process_id == 0:
+        print(json.dumps({"frames": F, "fps": round(fps, 2),
+                          "n_devices": n_dev,
+                          "processes": num_processes}))
+    print(f"[proc {process_id}] OK: "
+          f"{len(out.addressable_shards)} local shards of {out.shape} "
+          f"verified exactly vs the single-device product path",
+          file=sys.stderr)
 
 
-def multihost_dryrun(num_processes: int = 2,
-                     devices_per_process: int = 4,
-                     timeout: float = 600.0) -> None:
-    """Spawn the jax.distributed workers and fail loudly if any
-    diverges.  CPU-only (virtual devices); safe to run anywhere."""
+def _run_workers(num_processes, devices_per_process, timeout):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -161,6 +208,7 @@ def multihost_dryrun(num_processes: int = 2,
     for pid in range(num_processes):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        env["JXL_TPU_DEVICE"] = "1"
         env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
                             f"{devices_per_process}")
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
@@ -168,23 +216,44 @@ def multihost_dryrun(num_processes: int = 2,
             [sys.executable, "-m", "jxl_coder_tpu.parallel.multihost",
              str(pid), str(num_processes), str(port),
              str(devices_per_process)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    outs = []
-    fail = False
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs, errs, fail = [], [], False
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=timeout)
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             p.kill()
-            out, _ = p.communicate()
+            out, err = p.communicate()
             fail = True
         outs.append(out.decode(errors="replace"))
+        errs.append(err.decode(errors="replace"))
         fail = fail or p.returncode != 0
     if fail:
-        raise RuntimeError(
-            "multihost dryrun failed:\n" + "\n".join(outs))
-    print(f"multihost_dryrun: {num_processes} processes x "
-          f"{devices_per_process} devices OK (shards within 1e-4)")
+        raise RuntimeError("multihost workers failed:\n"
+                           + "\n".join(o + e for o, e in zip(outs, errs)))
+    return json.loads(outs[0].strip().splitlines()[-1])
+
+
+def multihost_dryrun(num_processes: int = 2,
+                     devices_per_process: int = 4,
+                     timeout: float = 900.0) -> dict:
+    """Real-format GOP decode under jax.distributed: every process
+    verifies its shards exactly against the single-device product path,
+    and the 1-process vs N-process frames/s scaling efficiency is
+    measured (CPU virtual devices; safe anywhere).  Returns
+    {"fps_1": ..., "fps_n": ..., "efficiency": ...}."""
+    r1 = _run_workers(1, devices_per_process, timeout)
+    rn = _run_workers(num_processes, devices_per_process, timeout)
+    eff = rn["fps"] / (num_processes * r1["fps"])
+    result = {"fps_1proc": r1["fps"], "fps_nproc": rn["fps"],
+              "num_processes": num_processes,
+              "devices_per_process": devices_per_process,
+              "efficiency": round(eff, 3)}
+    print(f"multihost_dryrun: real-format GOP decode OK — "
+          f"{r1['fps']} f/s @1proc vs {rn['fps']} f/s @{num_processes}"
+          f"proc ({devices_per_process} dev each): scaling efficiency "
+          f"{eff:.2f}")
+    return result
 
 
 if __name__ == "__main__":

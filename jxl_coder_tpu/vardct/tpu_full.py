@@ -154,8 +154,16 @@ def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
                        bys=bys, bxs=bxs, inv_qac=inv_qac, xf=xf, bf=bf)
         else:
             K = bh * bw
+            # scan->basis permutation applied HERE (cheap int16 numpy
+            # gather); a device-side gather with a K-sized constant
+            # index exploded XLA compile time.  The first `cov` scan
+            # slots are never-written zeros and land in the [:cy, :cx]
+            # corner, which the device LLF einsum overwrites.
+            B = S.scan_to_basis(sid)
+            P = np.empty(K, np.int32)
+            P[B] = np.arange(K, dtype=np.int32)
             cmat = np.zeros((n_pad, 3, K), dt)
-            cmat[:n] = raw                         # scan-ordered
+            cmat[:n] = raw[:, :, P]
             tab = np.stack([_dq_table(lf, sid, c)[:K].astype(np.float32)
                             for c in range(3)])
             fam = dict(cmat=cmat, tab=tab, bys=bys, bxs=bxs,
@@ -273,15 +281,9 @@ def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
     else:
         cy, cx = STRATEGIES[sid].cy, STRATEGIES[sid].cx
         tab = fam["tab"]
-        # device-side bias + static scan->basis permutation (the first
-        # `cov` scan slots are the never-written LLF placeholders —
-        # always zero — and land in the [:cy, :cx] corner, which the
-        # LLF einsum below overwrites anyway)
-        K = bh * bw
-        B = S.scan_to_basis(sid)
-        P = np.empty(K, np.int32)
-        P[B] = np.arange(K, dtype=np.int32)
-        cmat = _bias_device(fam["cmat"])[:, :, jnp.asarray(P)]
+        # cmat arrives basis-ordered int16/int32 (host applied the
+        # scan->basis permutation); only the elementwise bias runs here
+        cmat = _bias_device(fam["cmat"])
         deq = cmat * (tab[None] * qm[None, :, None]) \
             * inv_qac[:, None, None]
         dY = deq[:, 1]
@@ -414,9 +416,11 @@ def _xyb_to_srgb16_device(X, Y, B):
                     65535).astype(jnp.uint16)
 
 
-@functools.lru_cache(maxsize=32)
-def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
+def _build_fn(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
               pass2_scale, crop_h=None, crop_w=None):
+    """The (unjitted) whole-frame reconstruction function for one frame
+    geometry — jitted by _compiled for the product path, vmapped /
+    shard_mapped by the multi-chip GOP paths (parallel/multihost)."""
     import jax
     import jax.numpy as jnp
     from .tpu_real import xyb_to_srgb8_device
@@ -459,7 +463,15 @@ def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
             return _xyb_to_srgb16_device(X, Y, B)
         return xyb_to_srgb8_device(X, Y, B)
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
+              pass2_scale, crop_h=None, crop_w=None):
+    import jax
+    return jax.jit(_build_fn(desc, H8, W8, bits, gab, epf_iters, gabw_t,
+                             pass0_scale, pass2_scale, crop_h, crop_w))
 
 
 def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
