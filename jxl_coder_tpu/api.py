@@ -456,7 +456,10 @@ def decode_batch(datas):
             # ineligible for the device path: the host already
             # produced the pixels during the parse
             return i, ("pixels", st, m.orientation)
-        return i, ("state", st, m.orientation)
+        # all host marshalling happens here on the worker thread; the
+        # main thread only dispatches the (cached-compiled) device fn
+        static, args, _ = TF.prepare_exec(st)
+        return i, ("state", (st, (static, args)), m.orientation)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -476,17 +479,21 @@ def decode_batch(datas):
             if kind == "pixels":
                 results[i] = apply_orientation(payload, orient)
                 continue
+            st, prepared = payload
+            # drain the previous frame BEFORE enqueueing this frame's
+            # uploads: the transfer link serializes h2d and d2h, and
+            # interleaving them degrades throughput badly (measured
+            # ~4x on the tunnel); parse of later frames still overlaps
+            # in the worker threads
+            while pend:
+                fetch(pend.pop(0))
             try:
-                dev = TF.reconstruct_state_device(payload,
-                                                  as_device=True)
+                dev = TF.reconstruct_state_device(st, as_device=True,
+                                                  prepared=prepared)
             except Exception:
                 fallback.append(i)
                 continue
-            pend.append((i, dev, payload, orient))
-            # keep <=2 frames in flight: fetching frame i-2 overlaps
-            # frame i-1's device compute and frame i's host parse
-            while len(pend) > 2:
-                fetch(pend.pop(0))
+            pend.append((i, dev, st, orient))
     for entry in pend:
         fetch(entry)
     for i in fallback:

@@ -663,6 +663,37 @@ int decode_ac_group_native(
     return ctx->error | (ctx->br.overrun ? 16 : 0);
 }
 
+// ---------------------------------------------------------------------
+// Device-marshalling pack: gather one strategy family's coefficients
+// out of the flat BlockArrays layout into the dense (n, 3, nc) int16
+// tensor the TPU consumes, applying the static scan->basis
+// permutation in the same pass.  One C++ sweep replaces three numpy
+// fancy-gathers over ~100 MB of temporaries (the round-3 e2e decode
+// profile showed prepare_families dominating at 4-9 s/4K-frame on the
+// 2-core host).  Returns the max |coefficient| seen (callers fall
+// back to the int32 path when it exceeds int16).
+int64_t pack_family_i16(const int32_t* coeffs, const int64_t* offs,
+                        const int32_t* sel, int64_t nsel, int32_t nc,
+                        const int32_t* perm,  // len nc: out[j]=in[perm[j]]
+                        int16_t* out) {
+    int64_t mx = 0;
+    for (int64_t i = 0; i < nsel; i++) {
+        const int32_t* src = coeffs + offs[sel[i]];
+        int16_t* dst = out + i * 3 * (int64_t)nc;
+        for (int c = 0; c < 3; c++) {
+            const int32_t* s = src + (int64_t)c * nc;
+            int16_t* d = dst + (int64_t)c * nc;
+            for (int32_t j = 0; j < nc; j++) {
+                int32_t v = s[perm[j]];
+                int32_t a = v < 0 ? -v : v;
+                if (a > mx) mx = a;
+                d[j] = (int16_t)v;
+            }
+        }
+    }
+    return mx;
+}
+
 }  // extern "C"
 
 

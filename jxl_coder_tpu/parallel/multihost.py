@@ -70,39 +70,10 @@ def _real_frame_state():
 
 def _exec_parts(state):
     """(static kwargs for _build_fn, single-frame args, batched-leaf
-    mask) from a parsed state."""
+    mask) from a parsed state — the per-frame leaves shard on the GOP
+    axis, the transform tables / qm / igs / perm_inv replicate."""
     from ..vardct import tpu_full as TF
-    lf, fh = state["lf"], state["fh"]
-    qf_map = state["qf_map"]
-    desc, fams, qm, perm_inv = TF.prepare_families(
-        lf, fh, state["blocks_glob"], qf_map,
-        state["ytox_glob"], state["ytob_glob"])
-    ys_b, xs_b = qf_map.shape
-    rf = fh.restoration_filter
-    if rf.gab and rf.gab_custom and rf.gab_weights is not None:
-        gabw = tuple(float(g) for g in rf.gab_weights)
-    else:
-        gabw = (0.115169525, 0.061248592) * 3
-    dc = np.stack([state["dc_glob"][c] for c in range(3)]).astype(
-        np.float32)
-    static = dict(desc=desc, H8=ys_b * 8, W8=xs_b * 8,
-                  bits=int(state["bits"]), gab=bool(rf.gab),
-                  epf_iters=int(rf.epf_iters), gabw_t=gabw,
-                  pass0_scale=float(rf.epf_pass0_sigma_scale),
-                  pass2_scale=float(rf.epf_pass2_sigma_scale),
-                  crop_h=int(state["h"]), crop_w=int(state["w"]))
-    args = (fams, dc, qf_map.astype(np.int32),
-            state["sharp_map"].astype(np.int32),
-            np.float32(lf.inv_global_scale), qm, perm_inv)
-    # which leaves carry per-frame data on the GOP axis: the family
-    # coefficient/position arrays and the frame planes; the transform
-    # tables (tab/resp*), qm, igs and the (geometry-static) perm_inv
-    # are replicated
-    fams_mask = tuple(
-        {k: k not in ("tab", "resp", "resp_y_def") for k in fam}
-        for fam in fams)
-    mask = (fams_mask, True, True, True, False, False, False)
-    return static, args, mask
+    return TF.prepare_exec(state)
 
 
 def _batch_args(args, mask, F):

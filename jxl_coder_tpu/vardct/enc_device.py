@@ -1,0 +1,310 @@
+"""Device-side VarDCT encoder front end (JAX/XLA).
+
+Puts the encoder's compute-heavy forward path on the TPU (SURVEY.md §7
+step 6; the reference's analogue is the encode hot loop behind
+JxlEncoderAddImageFrame, interop/JxlEncoding.cpp:165-170, which runs
+inside libjxl.so on CPU):
+
+  stage 1 (_front):   sRGB -> linear -> XYB, CfL base subtract,
+                      gaborish sharpening (Neumann series), the
+                      contrast-masking field, per-8x8-block DCT
+                      analysis, and the per-64px-tile CfL regression
+                      sums — one jit per padded frame size.
+  stage 2 (_costs):   bias-aware quantization + rate/distortion cost
+                      grids for the DCT8 baseline and every candidate
+                      transform shape of the RD search — one jit per
+                      (size, candidate-set).
+
+The greedy winner selection, token emission and all bitstream work
+stay on the host (enc_real).  Math is float32 (vs the host oracle's
+float64): quantization boundary ties may flip, which changes the
+emitted stream slightly but never its validity — rate/quality stays
+on the same curve (cross-checked by tests/test_vardct.py).
+
+Both stages return host numpy; the planes/coefficients handed from
+stage 1 to stage 2 stay on device (no d2h round-trip).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+from . import synthesis as S
+from .strategies import STRATEGIES
+
+_D_WEIGHTS = (8.0, 1.0, 0.35)
+
+
+def enabled() -> bool:
+    from .tpu_full import device_enabled
+    return device_enabled() and os.environ.get(
+        "JXL_TPU_ENC_DEVICE", "1") not in ("", "0")
+
+
+def _adjust_bias_dev(q, c):
+    import jax.numpy as jnp
+    qb = np.float32(1.0 - S.QUANT_BIAS[c])
+    safe = jnp.where(q == 0.0, np.float32(1.0), q)
+    return jnp.where(jnp.abs(q) > 1.0,
+                     q - np.float32(S.QUANT_BIAS_NUM) / safe, q * qb)
+
+
+def _quantize_biased_dev(ratio, c, deadzone):
+    """Pick the integer whose adjust(q) lands closest to ratio (the
+    decoder applies AdjustQuantBias on reconstruction)."""
+    import jax.numpy as jnp
+    q0 = jnp.round(ratio)
+    best_q = q0
+    best_e = jnp.abs(_adjust_bias_dev(q0, c) - ratio)
+    for dq in (-1.0, 1.0):
+        q = q0 + np.float32(dq)
+        e = jnp.abs(_adjust_bias_dev(q, c) - ratio)
+        take = e < best_e
+        best_q = jnp.where(take, q, best_q)
+        best_e = jnp.where(take, e, best_e)
+    return jnp.where(jnp.abs(ratio) < deadzone, 0.0, best_q)
+
+
+def _token_cost_dev(vals, cov):
+    """Rate proxy (bits) per channel; vals (..., size) float ints."""
+    import jax.numpy as jnp
+    seg = vals[..., cov:]
+    nz = seg != 0
+    any_nz = nz.any(-1)
+    L = seg.shape[-1]
+    last = jnp.where(any_nz,
+                     L - jnp.argmax(nz[..., ::-1], axis=-1), 0)
+    bits = jnp.where(nz, jnp.log2(1.0 + jnp.abs(seg)), 0.0).sum(-1)
+    cnt = nz.sum(-1)
+    return jnp.where(any_nz,
+                     2.0 + 1.1 * last.astype(jnp.float32) + bits
+                     + cnt.astype(jnp.float32), np.float32(2.0))
+
+
+@functools.lru_cache(maxsize=8)
+def _front(ph: int, pw: int, gab_iters: int = 4):
+    import jax
+    import jax.numpy as jnp
+    from .tpu_real import gaborish_device
+    from .enc_real import (_OPSIN, _BIAS, _CBRT_BIAS, MASK_COEF,
+                           MASK_EXP, MASK_MAX)
+    ys_b, xs_b = ph // 8, pw // 8
+    ty, tx = -(-ys_b // 8), -(-xs_b // 8)
+    ANA = jnp.asarray(S.ana_basis(8).astype(np.float32))
+    OPS = jnp.asarray(_OPSIN.astype(np.float32))
+    w1 = np.float32(0.115169525)
+    w2 = np.float32(0.061248592)
+
+    def sharpen(p):
+        if gab_iters == 0:
+            return p
+        out = p
+        err = p
+        for _ in range(gab_iters):
+            err = err - gaborish_device(err, w1, w2)
+            out = out + err
+        return out
+
+    def fn(pad):                      # (ph, pw, 3) f32 sRGB-encoded
+        lin = jnp.where(pad <= 0.04045, pad / 12.92,
+                        ((pad + 0.055) / 1.055) ** 2.4)
+        mixed = lin @ OPS.T
+        g = jnp.cbrt(mixed + np.float32(_BIAS)) - np.float32(_CBRT_BIAS)
+        X = (g[..., 0] - g[..., 1]) * 0.5
+        Y = (g[..., 0] + g[..., 1]) * 0.5
+        B = g[..., 2] - Y             # CfL base factor 1.0
+        X, Y, B = sharpen(X), sharpen(Y), sharpen(B)
+        # contrast-masking field from the sharpened luma
+        gy, gx = jnp.gradient(Y)
+        act = jnp.sqrt(gy * gy + gx * gx)
+        blk = act.reshape(ys_b, 8, xs_b, 8).mean(axis=(1, 3))
+        mask = jnp.clip(1.0 + MASK_COEF
+                        * jnp.maximum(blk, 0.0) ** np.float32(MASK_EXP),
+                        1.0, MASK_MAX)
+        planes = jnp.stack([X, Y, B])
+        b8 = planes.reshape(3, ys_b, 8, xs_b, 8).transpose(0, 1, 3, 2, 4)
+        co = jnp.einsum("ky,cYXyx,lx->cYXkl", ANA, b8, ANA,
+                        precision=jax.lax.Precision.HIGHEST)
+        # per-64px-tile CfL regression sums over AC coefficients
+        cf = co.reshape(3, ys_b, xs_b, 64)
+        pad_y = (-ys_b) % 8
+        pad_x = (-xs_b) % 8
+        cfp = jnp.pad(cf, ((0, 0), (0, pad_y), (0, pad_x), (0, 0)))
+        cft = cfp.reshape(3, ty, 8, tx, 8, 64)
+        yac = cft[1, :, :, :, :, 1:]
+        y2 = jnp.sum(yac * yac, axis=(1, 3, 4))
+        xy = jnp.sum(cft[0, :, :, :, :, 1:] * yac, axis=(1, 3, 4))
+        by = jnp.sum(cft[2, :, :, :, :, 1:] * yac, axis=(1, 3, 4))
+        return planes, co, mask, y2, xy, by
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def _costs(ys_b: int, xs_b: int, cands: tuple, deadzone: float):
+    """jit: quantize + cost for DCT8 and every aligned candidate
+    position.  cands: ((sid, cy, cx), ...)."""
+    import jax
+    import jax.numpy as jnp
+    hi = jax.lax.Precision.HIGHEST
+
+    tabs8 = jnp.asarray(np.stack([
+        S.dequant_table(0, c).astype(np.float32) for c in range(3)]))
+    order8 = S.scan_to_basis(0)
+    idx8 = jnp.asarray(order8[1:].astype(np.int32))
+    dz = np.float32(deadzone)
+
+    def quant_cost(flat, qfv, fxv, fbv, tabs, idx, cov, llf_pair):
+        """flat (N, 3, size) basis coeffs; returns (vals (N, 3, size-cov)
+        scan-tail, dist (N,))."""
+        area = np.float32(cov * 64)
+        inv_qac = (1.0 / qfv)[:, None]          # x igs by caller
+        fY = jnp.take(flat[:, 1], idx, axis=-1)
+        stepY = tabs[1][idx][None] * inv_qac
+        qy = _quantize_biased_dev(fY / stepY, 1, dz)
+        dqY = _adjust_bias_dev(qy, 1) * stepY
+        dist = area * np.float32(_D_WEIGHTS[1]) * jnp.sum(
+            (dqY - fY) ** 2, axis=-1)
+        vals = [None, qy, None]
+        for c, f in ((0, fxv), (2, fbv)):
+            tgt = jnp.take(flat[:, c], idx, axis=-1)
+            sub = tgt - f[:, None] * dqY
+            step = tabs[c][idx][None] * inv_qac
+            q = _quantize_biased_dev(sub / step, c, dz)
+            rec = _adjust_bias_dev(q, c) * step + f[:, None] * dqY
+            dist = dist + area * np.float32(_D_WEIGHTS[c]) * jnp.sum(
+                (rec - tgt) ** 2, axis=-1)
+            vals[c] = q
+        if llf_pair is not None:
+            llf, tl = llf_pair
+            d2 = jnp.sum((llf - tl) ** 2, axis=-1)
+            for c in range(3):
+                dist = dist + area * np.float32(_D_WEIGHTS[c]) * d2[:, c]
+        return jnp.stack(vals, axis=1), dist
+
+    cand_static = []
+    for sid, cy, cx in cands:
+        nyc, nxc = ys_b // cy, xs_b // cx
+        if nyc == 0 or nxc == 0:
+            continue
+        st = STRATEGIES[sid]
+        order = S.scan_to_basis(sid)
+        cov = st.covered
+        h, w = cy * 8, cx * 8
+        pos = np.asarray([(j // cx) * w + (j % cx) for j in range(cov)],
+                         np.int32)
+        cand_static.append((
+            sid, cy, cx, nyc, nxc, cov,
+            jnp.asarray(S.ana_basis(h).astype(np.float32)),
+            jnp.asarray(S.ana_basis(w).astype(np.float32)),
+            jnp.asarray(order[cov:].astype(np.int32)),
+            jnp.asarray(np.stack([
+                S.dequant_table(sid, c).astype(np.float32)
+                for c in range(3)])),
+            jnp.asarray(pos),
+            jnp.asarray(S.ana_basis(cy).astype(np.float32)),
+            jnp.asarray(S.ana_basis(cx).astype(np.float32)),
+            jnp.asarray(np.outer(S.resample_vec(cy),
+                                 S.resample_vec(cx)).astype(np.float32)),
+        ))
+
+    def fn(planes, co, qf_map, fx_blk, fb_blk, dq_dc, igs, lam):
+        qff = qf_map.astype(jnp.float32) / igs     # steps divide by igs
+        flat8 = co.reshape(3, ys_b * xs_b, 64).transpose(1, 0, 2)
+        dqb8 = dq_dc.transpose(1, 2, 0).reshape(ys_b * xs_b, 3, 1)
+        # DCT8 LLF error: llf == dq_dc mean vs true DC coefficient
+        tl8 = flat8[:, :, :1]
+        vals8, dist8 = quant_cost(
+            flat8, qff.ravel(), fx_blk.ravel(), fb_blk.ravel(),
+            tabs8, idx8, 1, (dqb8 * np.float32(1.0), tl8))
+        rate8 = _token_cost_dev(vals8, 0).sum(-1)
+        cost8 = (rate8 + lam * dist8).reshape(ys_b, xs_b)
+        outs = [vals8.astype(jnp.int16).reshape(ys_b, xs_b, 3, 63),
+                cost8]
+        for (sid, cy, cx, nyc, nxc, cov, anaH, anaW, idx, tabs, pos,
+             anY, anX, rs) in cand_static:
+            h, w = cy * 8, cx * 8
+            reg = planes[:, :nyc * h, :nxc * w].reshape(
+                3, nyc, h, nxc, w).transpose(1, 3, 0, 2, 4).reshape(
+                nyc * nxc, 3, h, w)
+            coeff = jnp.einsum("ky,ncyx,lx->nckl", anaH, reg, anaW,
+                               precision=hi).reshape(
+                nyc * nxc, 3, h * w)
+            qfm = (qf_map[:nyc * cy, :nxc * cx].reshape(
+                nyc, cy, nxc, cx).min(axis=(1, 3)).ravel()
+                .astype(jnp.float32) / igs)
+            fxa = fx_blk[:nyc * cy:cy, :nxc * cx:cx].ravel()
+            fba = fb_blk[:nyc * cy:cy, :nxc * cx:cx].ravel()
+            dqb = dq_dc[:, :nyc * cy, :nxc * cx].reshape(
+                3, nyc, cy, nxc, cx).transpose(1, 3, 0, 2, 4).reshape(
+                nyc * nxc, 3, cy, cx)
+            llf = jnp.einsum("ky,ncyx,lx->nckl", anY, dqb, anX,
+                             precision=hi) * rs[None, None]
+            llf = llf.reshape(nyc * nxc, 3, cov)
+            tl = jnp.take(coeff, pos, axis=-1)
+            vals, dist = quant_cost(coeff, qfm, fxa, fba, tabs, idx,
+                                    cov, (llf, tl))
+            rate = _token_cost_dev(vals, 0).sum(-1)
+            outs.append(vals.astype(jnp.int16).reshape(
+                nyc, nxc, 3, -1))
+            outs.append((rate + lam * dist).reshape(nyc, nxc))
+        return tuple(outs)
+
+    meta = [(sid, cy, cx, nyc, nxc, cov)
+            for (sid, cy, cx, nyc, nxc, cov, *_r) in cand_static]
+    return jax.jit(fn), meta
+
+
+def run_front(pad_f32: np.ndarray, gab_iters: int = 4):
+    """Host entry for stage 1: (ph, pw, 3) float32 sRGB-encoded in
+    [0, 1].  Returns (device planes, device co, mask np, ytox np,
+    ytob np).  gab_iters=0 skips the gaborish sharpening (fast
+    decoding-speed tiers)."""
+    ph, pw, _ = pad_f32.shape
+    fn = _front(ph, pw, gab_iters)
+    planes, co, mask, y2, xy, by = fn(pad_f32)
+    y2 = np.asarray(y2)
+    xyn = np.asarray(xy)
+    byn = np.asarray(by)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fx = np.where(y2 > 1e-9, xyn / y2, 0.0)
+        fb = np.where(y2 > 1e-9, byn / y2, 0.0)
+    ytox = np.clip(np.round(fx * 84.0), -128, 127).astype(np.int32)
+    ytob = np.clip(np.round(fb * 84.0), -128, 127).astype(np.int32)
+    return planes, co, np.asarray(mask), ytox, ytob
+
+
+def run_costs(planes, co, qf_map, fx_blk, fb_blk, dq_dc, igs, lam,
+              cands, deadzone):
+    """Host entry for stage 2.  Returns (vals8, cost8, {sid: (vals,
+    cost, qf)}) as numpy, mirroring enc_real._select_strategies's
+    cand_data layout."""
+    import jax.numpy as jnp
+    ys_b, xs_b = qf_map.shape
+    fn, meta = _costs(ys_b, xs_b, tuple(cands), float(deadzone))
+    outs = fn(planes, co, jnp.asarray(qf_map.astype(np.int32)),
+              jnp.asarray(fx_blk.astype(np.float32)),
+              jnp.asarray(fb_blk.astype(np.float32)),
+              jnp.asarray(dq_dc.astype(np.float32)),
+              np.float32(igs), np.float32(lam))
+    # re-insert the `cov` leading zero slots the host token writer
+    # expects (device returns only the scan tail)
+    vals8 = np.zeros((ys_b, xs_b, 3, 64), np.int64)
+    vals8[..., 1:] = np.asarray(outs[0])
+    cost8 = np.asarray(outs[1]).astype(np.float64)
+    cand_data = {}
+    k = 2
+    for (sid, cy, cx, nyc, nxc, cov) in meta:
+        tail = np.asarray(outs[k])
+        vals = np.zeros(tail.shape[:3] + (cov + tail.shape[3],),
+                        np.int64)
+        vals[..., cov:] = tail
+        cost = np.asarray(outs[k + 1]).astype(np.float64)
+        k += 2
+        qfm = qf_map[:nyc * cy, :nxc * cx].reshape(
+            nyc, cy, nxc, cx).min(axis=(1, 3)).astype(np.int32)
+        cand_data[sid] = (vals, cost, qfm)
+    return vals8, cost8, cand_data

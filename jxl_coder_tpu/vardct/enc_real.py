@@ -13,6 +13,7 @@ Effort (1-10) controls the candidate breadth (_EFFORT_CANDS).
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import numpy as np
@@ -372,9 +373,6 @@ def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
     anchor)."""
     from . import synthesis as S
     tabs_cache = {}
-    acs_map = np.full((ys_b, xs_b), -1, np.int32)
-    vals_map = {}
-    qf_sel = np.array(qf_map, np.int32)
 
     # DCT8 baseline for every block
     coeff8 = np.stack([co8[c] for c in range(3)], axis=2).reshape(
@@ -417,6 +415,16 @@ def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
                           (rate + lam * dist).reshape(nyc, nxc),
                           qfm.reshape(nyc, nxc).astype(np.int32))
 
+    return _greedy_select(cands, cand_data, cost8, vals8, qf_map,
+                          ys_b, xs_b)
+
+
+def _greedy_select(cands, cand_data, cost8, vals8, qf_map, ys_b, xs_b):
+    """Greedy largest-first winner pass over precomputed cost grids
+    (shared by the host float64 path and the device front end)."""
+    acs_map = np.full((ys_b, xs_b), -1, np.int32)
+    vals_map = {}
+    qf_sel = np.array(qf_map, np.int32)
     # summed-area table for O(1) DCT8 cost sums over any rectangle
     sat = np.zeros((ys_b + 1, xs_b + 1))
     sat[1:, 1:] = cost8.cumsum(0).cumsum(1)
@@ -529,29 +537,56 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     if bit_depth is None:
         bit_depth = 16 if pixels.dtype == np.uint16 else 8
     pad = np.pad(pixels, ((0, ph - H), (0, pw - W), (0, 0)), mode="edge")
-    if pad.dtype == np.uint8 and colour is None:
-        X, Y, B = srgb8_to_xyb(pad)
-    else:
-        if pad.dtype == np.uint8:
-            f = pad.astype(np.float64) / 255.0
-        elif pad.dtype == np.uint16:
-            f = pad.astype(np.float64) / 65535.0
-        else:
-            f = pad.astype(np.float64)
-        X, Y, B = encoded_to_xyb(f, colour, intensity_target or 255.0)
-    B = B - Y                 # CfL base factor 1.0
     # decoding-speed tiers drop decode-side filters (the reference's
     # JxlDecodingSpeed semantics); gaborish costs a 3x3 conv at decode
     use_gab = decoding_speed < 2
-    if use_gab:
-        X = _gaborish_sharpen(X)
-        Y = _gaborish_sharpen(Y)
-        B = _gaborish_sharpen(B)
 
-    # content-adaptive global scale: per-block target step
-    # s_b = BASE_STEP_MULT * distance * masking; the global scale
-    # carries the masking median and the integer qf field the rest
-    mask = _masking_field(Y, ys_b, xs_b)
+    # device front end (SURVEY §7 step 6): XYB + sharpening + DCT
+    # analysis + masking + CfL regression + RD quantize/cost grids run
+    # on the TPU for sRGB inputs; the host keeps the greedy selection
+    # and all bitstream work.  Float32 there vs float64 here — streams
+    # differ in quantization ties but stay on the same RD curve.
+    from . import enc_device as ENCDEV
+    dev_front = None
+    if ENCDEV.enabled() and colour is None:
+        if pad.dtype == np.uint8:
+            padf = pad.astype(np.float32) / np.float32(255.0)
+        elif pad.dtype == np.uint16:
+            padf = pad.astype(np.float32) / np.float32(65535.0)
+        else:
+            padf = pad.astype(np.float32)
+        try:
+            dev_front = ENCDEV.run_front(
+                padf, gab_iters=4 if use_gab else 0)
+        except Exception:
+            if os.environ.get("JXL_TPU_DEVICE_STRICT", "0") != "0":
+                raise
+            dev_front = None
+
+    if dev_front is not None:
+        planes_dev, co_dev, mask, ytox_dev, ytob_dev = dev_front
+        X = Y = B = None
+    else:
+        if pad.dtype == np.uint8 and colour is None:
+            X, Y, B = srgb8_to_xyb(pad)
+        else:
+            if pad.dtype == np.uint8:
+                f = pad.astype(np.float64) / 255.0
+            elif pad.dtype == np.uint16:
+                f = pad.astype(np.float64) / 65535.0
+            else:
+                f = pad.astype(np.float64)
+            X, Y, B = encoded_to_xyb(f, colour, intensity_target or 255.0)
+        B = B - Y                 # CfL base factor 1.0
+        if use_gab:
+            X = _gaborish_sharpen(X)
+            Y = _gaborish_sharpen(Y)
+            B = _gaborish_sharpen(B)
+
+        # content-adaptive global scale: per-block target step
+        # s_b = BASE_STEP_MULT * distance * masking; the global scale
+        # carries the masking median and the integer qf field the rest
+        mask = _masking_field(Y, ys_b, xs_b)
     # scale the global quant scale with distance AND masking so the
     # integer qf field keeps its resolution around 6 (libjxl keeps
     # qf_med 5-6 at every distance; igs carries the rest)
@@ -571,23 +606,31 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     dc_steps = [d * igs / qdc / (1 << extra_precision)
                 for d in DC_STEPS]
 
-    order = S.scan_to_basis(0)
-    tabs = [S.dequant_table(0, c).astype(np.float64) * igs
-            for c in range(3)]   # divided by the per-block qf below
-    ANA = S.ana_basis(8)
+    if dev_front is not None:
+        # DC terms come back as one small slice; planes/coefficients
+        # stay on device for the cost stage
+        co_dc = np.asarray(co_dev[:, :, :, 0, 0]).astype(np.float64)
+        dc_int = np.zeros((3, ys_b, xs_b), np.int64)
+        dc_int[0] = np.round(co_dc[1] / dc_steps[1])
+        dc_int[1] = np.round(co_dc[0] / dc_steps[0])
+        dc_int[2] = np.round(co_dc[2] / dc_steps[2])
+        ytox, ytob = ytox_dev, ytob_dev
+    else:
+        ANA = S.ana_basis(8)
 
-    # per-block coefficients (vectorised analysis)
-    def block_coeffs(plane):
-        b = plane.reshape(ys_b, 8, xs_b, 8).transpose(0, 2, 1, 3)
-        return np.einsum("ky,YXyx,lx->YXkl", ANA, b, ANA)
+        # per-block coefficients (vectorised analysis)
+        def block_coeffs(plane):
+            b = plane.reshape(ys_b, 8, xs_b, 8).transpose(0, 2, 1, 3)
+            return np.einsum("ky,YXyx,lx->YXkl", ANA, b, ANA)
 
-    co = {0: block_coeffs(X), 1: block_coeffs(Y), 2: block_coeffs(B)}
-    dc_int = np.zeros((3, ys_b, xs_b), np.int64)
-    dc_int[0] = np.round(co[1][:, :, 0, 0] / dc_steps[1])
-    dc_int[1] = np.round(co[0][:, :, 0, 0] / dc_steps[0])
-    dc_int[2] = np.round(co[2][:, :, 0, 0] / dc_steps[2])
+        co = {0: block_coeffs(X), 1: block_coeffs(Y),
+              2: block_coeffs(B)}
+        dc_int = np.zeros((3, ys_b, xs_b), np.int64)
+        dc_int[0] = np.round(co[1][:, :, 0, 0] / dc_steps[1])
+        dc_int[1] = np.round(co[0][:, :, 0, 0] / dc_steps[0])
+        dc_int[2] = np.round(co[2][:, :, 0, 0] / dc_steps[2])
 
-    ytox, ytob = _estimate_cfl(co[1], co[0], co[2], ys_b, xs_b)
+        ytox, ytob = _estimate_cfl(co[1], co[0], co[2], ys_b, xs_b)
     fx_blk = np.repeat(np.repeat(ytox, 8, 0), 8, 1)[:ys_b, :xs_b] / 84.0
     fb_blk = np.repeat(np.repeat(ytob, 8, 0), 8, 1)[:ys_b, :xs_b] / 84.0
     # dequantized DC means per channel (X, Y, B) for LLF distortion
@@ -601,9 +644,16 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     lam = LAMBDA_MULT / (step_ref * step_ref)
     cands = _EFFORT_CANDS['full'] if effort >= 6 else (
         _EFFORT_CANDS['mid'] if effort >= 3 else _EFFORT_CANDS['fast'])
-    acs_map, vals_map, qf_map = _select_strategies(
-        co, X, Y, B, qf_map, igs, fx_blk, fb_blk, ys_b, xs_b, dq_dc, lam,
-        cands=cands)
+    if dev_front is not None:
+        vals8, cost8, cand_data = ENCDEV.run_costs(
+            planes_dev, co_dev, qf_map, fx_blk, fb_blk, dq_dc, igs,
+            lam, cands, AC_DEADZONE)
+        acs_map, vals_map, qf_map = _greedy_select(
+            cands, cand_data, cost8, vals8, qf_map, ys_b, xs_b)
+    else:
+        acs_map, vals_map, qf_map = _select_strategies(
+            co, X, Y, B, qf_map, igs, fx_blk, fb_blk, ys_b, xs_b,
+            dq_dc, lam, cands=cands)
 
     # ---- frame assembly
     if hdr is None:

@@ -80,6 +80,41 @@ def _special_resp(lf, sid, c):
     return resp
 
 
+def _pack_family(ba, sel, nc, P, n_pad):
+    """Gather one family's coefficients into (n_pad, 3, nc) int16 with
+    the permutation P applied (out[j] = in[P[j]]), via the native
+    single-pass pack when available; returns (tensor, max|v|)."""
+    n = len(sel)
+    out = np.zeros((n_pad, 3, nc), np.int16)
+    if not n:
+        return out, 0
+    lib = None
+    if ba.coeffs.dtype == np.int32:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+    if lib is not None:
+        import ctypes
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        co = (ba.coeffs if ba.coeffs.flags.c_contiguous
+              else np.ascontiguousarray(ba.coeffs))
+        sel32 = np.ascontiguousarray(sel, np.int32)
+        offs = np.ascontiguousarray(ba.offs, np.int64)
+        P32 = np.ascontiguousarray(P, np.int32)
+        mx = lib.pack_family_i16(
+            co.ctypes.data_as(i32p),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sel32.ctypes.data_as(i32p), n, int(nc),
+            P32.ctypes.data_as(i32p),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        return out, int(mx)
+    src = ba.offs[sel][:, None] + np.arange(3 * nc, dtype=np.int64)
+    raw = ba.coeffs[src].reshape(n, 3, nc)
+    mx = int(np.abs(raw).max(initial=0))
+    if mx < 32768:
+        out[:n] = raw[:, :, P]
+    return out, mx
+
+
 def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
                      ytox_glob: np.ndarray, ytob_glob: np.ndarray):
     """Group frame-global varblocks by strategy and build the dense
@@ -136,34 +171,38 @@ def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
         bf[:n] = lf.cfl_base_b + ytob_glob[ty, tx].astype(np.float64) * cf
 
         nc = strat.num_coeffs
-        src = ba.offs[sel][:, None] + np.arange(3 * nc, dtype=np.int64)
-        raw = ba.coeffs[src].reshape(n, 3, nc)     # (n, 3, nc) int
         # quantized coefficients are tiny; int16 halves the h2d upload
         # (the tunnel is the bottleneck at ~40 MB/s).  AdjustQuantBias
-        # and the scan->basis permutation both moved onto the device.
-        mx = int(np.abs(raw).max(initial=0))
-        dt = np.int16 if mx < 32768 else np.int32
-
+        # moved onto the device; the static scan->basis permutation is
+        # applied host-side during the pack (a device-side gather with
+        # a K-sized constant index exploded XLA compile time).  The
+        # first `cov` scan slots are never-written zeros and land in
+        # the [:cy, :cx] corner, which the device LLF einsum
+        # overwrites.
         if special:
-            vals = np.zeros((n_pad, 3, 64), dt)
-            vals[:n] = raw
-            resp = np.stack([_special_resp(lf, sid, c).astype(np.float32)
-                             for c in range(3)])
-            resp_y_def = S.response_matrix(sid, 1).astype(np.float32)
-            fam = dict(vals=vals, resp=resp, resp_y_def=resp_y_def,
-                       bys=bys, bxs=bxs, inv_qac=inv_qac, xf=xf, bf=bf)
+            P = np.arange(64, dtype=np.int32)
+            K = 64
         else:
             K = bh * bw
-            # scan->basis permutation applied HERE (cheap int16 numpy
-            # gather); a device-side gather with a K-sized constant
-            # index exploded XLA compile time.  The first `cov` scan
-            # slots are never-written zeros and land in the [:cy, :cx]
-            # corner, which the device LLF einsum overwrites.
             B = S.scan_to_basis(sid)
             P = np.empty(K, np.int32)
             P[B] = np.arange(K, dtype=np.int32)
-            cmat = np.zeros((n_pad, 3, K), dt)
+        cmat, mx = _pack_family(ba, sel, nc, P, n_pad)
+        if mx >= 32768:
+            # rare (multi-pass shifted coefficients): int32 fallback
+            src = (ba.offs[sel][:, None]
+                   + np.arange(3 * nc, dtype=np.int64))
+            raw = ba.coeffs[src].reshape(n, 3, nc)
+            cmat = np.zeros((n_pad, 3, K), np.int32)
             cmat[:n] = raw[:, :, P]
+
+        if special:
+            resp = np.stack([_special_resp(lf, sid, c).astype(np.float32)
+                             for c in range(3)])
+            resp_y_def = S.response_matrix(sid, 1).astype(np.float32)
+            fam = dict(vals=cmat, resp=resp, resp_y_def=resp_y_def,
+                       bys=bys, bxs=bxs, inv_qac=inv_qac, xf=xf, bf=bf)
+        else:
             tab = np.stack([_dq_table(lf, sid, c)[:K].astype(np.float32)
                             for c in range(3)])
             fam = dict(cmat=cmat, tab=tab, bys=bys, bxs=bxs,
@@ -507,12 +546,51 @@ def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
     return out if as_device else np.asarray(out)
 
 
-def reconstruct_state_device(state: dict, as_device: bool = False):
+def prepare_exec(state: dict):
+    """(static kwargs for _build_fn/_compiled, runtime args, batched
+    mask) from a decode_vardct_frame(parse_only=True) state.  The mask
+    marks which arg leaves carry per-frame data (True) vs replicated
+    tables (False) — consumed by the GOP-sharding multihost path.
+    All host marshalling (family packing) happens here, so callers can
+    run it in worker threads and keep only jit dispatch on the main
+    thread (api.decode_batch)."""
+    lf, fh = state["lf"], state["fh"]
+    qf_map = state["qf_map"]
+    desc, fams, qm, perm_inv = prepare_families(
+        lf, fh, state["blocks_glob"], qf_map,
+        state["ytox_glob"], state["ytob_glob"])
+    ys_b, xs_b = qf_map.shape
+    rf = fh.restoration_filter
+    if rf.gab and rf.gab_custom and rf.gab_weights is not None:
+        gabw = tuple(float(g) for g in rf.gab_weights)
+    else:
+        gabw = (0.115169525, 0.061248592) * 3
+    dc = np.stack([state["dc_glob"][c] for c in range(3)]).astype(
+        np.float32)
+    static = dict(desc=desc, H8=ys_b * 8, W8=xs_b * 8,
+                  bits=int(state["bits"]), gab=bool(rf.gab),
+                  epf_iters=int(rf.epf_iters), gabw_t=gabw,
+                  pass0_scale=float(rf.epf_pass0_sigma_scale),
+                  pass2_scale=float(rf.epf_pass2_sigma_scale),
+                  crop_h=int(state["h"]), crop_w=int(state["w"]))
+    args = (fams, dc, qf_map.astype(np.int32),
+            state["sharp_map"].astype(np.int32),
+            np.float32(lf.inv_global_scale), qm, perm_inv)
+    fams_mask = tuple(
+        {k: k not in ("tab", "resp", "resp_y_def") for k in fam}
+        for fam in fams)
+    mask = (fams_mask, True, True, True, False, False, False)
+    return static, args, mask
+
+
+def reconstruct_state_device(state: dict, as_device: bool = False,
+                             prepared=None):
     """Device reconstruction from a decode_vardct_frame(parse_only=True)
-    state dict; output is already cropped to the true image size."""
-    return reconstruct_frame_device(
-        state["lf"], state["fh"], state["blocks_glob"],
-        state["qf_map"], state["sharp_map"], state["ytox_glob"],
-        state["ytob_glob"], state["dc_glob"], int(state["bits"]),
-        crop_h=int(state["h"]), crop_w=int(state["w"]),
-        as_device=as_device)
+    state dict; output is already cropped to the true image size.
+    prepared: optional (static, args) from prepare_exec, letting the
+    expensive host marshalling run on a worker thread beforehand."""
+    static, args = prepared if prepared is not None \
+        else prepare_exec(state)[:2]
+    fn = _compiled(**static)
+    out = fn(*args)
+    return out if as_device else np.asarray(out)
