@@ -27,7 +27,10 @@ from ..utils import brotli_ffi
 from .parser import JpegData, JpegError
 
 
-class JbrdError(ValueError):
+from .parser import JpegError
+
+
+class JbrdError(JpegError):
     pass
 
 
@@ -195,16 +198,26 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
         values = [br.u32(*_U32_HUFF_VALUE) for _ in range(nsym)]
         d.huffman.append(JbrdHuffCode(is_ac, hid, is_last, counts,
                                       values))
-    for _ in range(nscan):
-        ncomp = br.u32(*_U32_COUNT4)
+    # One component count for the whole scan section (scan 0 is always
+    # a full-component DC scan); per scan the count is derived: DC
+    # scans (Ss == 0) cover every component, AC scans exactly one —
+    # the only scripts libjxl's bundle can express.  Pinned by bit
+    # forensics on libjxl-0.7 progressive streams (round 3): field
+    # order is Ss, Se, Al, Ah (Al FIRST) and per-component order is
+    # (comp_idx, ac_tbl, dc_tbl).
+    ncomp_scan0 = br.u32(*_U32_COUNT4)
+    for si in range(nscan):
         sc = JbrdScan(components=[])
         sc.Ss = br.u(6)
         sc.Se = br.u(6)
-        sc.Ah = br.u(4)
         sc.Al = br.u(4)
+        sc.Ah = br.u(4)
+        ncomp = ncomp_scan0 if sc.Ss == 0 else 1
         for _ in range(ncomp):
-            sc.components.append(JbrdScanComponent(
-                br.u(2), br.u(2), br.u(2)))
+            ci = br.u(2)
+            ac = br.u(2)
+            dc = br.u(2)
+            sc.components.append(JbrdScanComponent(ci, dc, ac))
         last_block = 0
         nrst = br.u32(*_U32_NUM_RESET)
         for _ in range(nrst):
@@ -215,13 +228,22 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
         # by bit forensics on DRI streams, research/jbrd_diff.py)
         if not d.scans and 0xDD in d.marker_order:
             d.restart_interval = br.u(16)
-        nezr = br.u32(*_U32_NUM_EZR)
-        last_block = 0
-        for _ in range(nezr):
-            runs = br.u32(*_U32_BLOCK_IDX) + 1
-            last_block += br.u32(*_U32_BLOCK_IDX)
-            sc.extra_zero_runs.append((last_block, runs))
+        # refinement-ZRL metadata: a 2-bit count was observed (the
+        # entry layout and the true distribution are unpinned — only
+        # the zero case round-trips); refuse nonzero rather than
+        # misparse everything after it
+        nezr = br.u(2)
+        if nezr:
+            raise JbrdError(
+                "progressive extra-zero-run metadata not supported")
         d.scans.append(sc)
+    # trailing per-AC-scan field (5 bits, zero on every canonical
+    # stream observed; meaning unpinned)
+    for sc in d.scans:
+        if sc.Ss > 0:
+            if br.u(5) != 0:
+                raise JbrdError(
+                    "nonzero progressive scan metadata not supported")
     inter_lens = [br.u(16) for _ in range(ninter)]
     tail_len = br.u32(*_U32_TAIL_LEN)
     has_padding = bool(br.u(1))
@@ -307,16 +329,26 @@ def write_jbrd(d: JbrdData) -> bytes:
             _u32_write(bw, c, _U32_HUFF_COUNT)
         for v in h.values:
             _u32_write(bw, v, _U32_HUFF_VALUE)
+    # scan section (grammar pinned round 3; see parse_jbrd): one
+    # component count (scan 0), then per scan Ss/Se/Al/Ah + derived-
+    # count components in (idx, ac, dc) order
+    ncomp0 = len(d.scans[0].components) if d.scans else 1
+    _u32_write(bw, ncomp0, _U32_COUNT4)
     for si, sc in enumerate(d.scans):
-        _u32_write(bw, len(sc.components), _U32_COUNT4)
+        expect = ncomp0 if sc.Ss == 0 else 1
+        if len(sc.components) != expect:
+            raise JbrdError(
+                "scan script not expressible in the jbrd bundle "
+                f"(scan {si}: {len(sc.components)} components, "
+                f"expected {expect})")
         bw.u(sc.Ss, 6)
         bw.u(sc.Se, 6)
-        bw.u(sc.Ah, 4)
         bw.u(sc.Al, 4)
+        bw.u(sc.Ah, 4)
         for c in sc.components:
             bw.u(c.comp_idx, 2)
-            bw.u(c.dc_tbl, 2)
             bw.u(c.ac_tbl, 2)
+            bw.u(c.dc_tbl, 2)
         _u32_write(bw, len(sc.reset_points), _U32_NUM_RESET)
         last = 0
         for rp in sc.reset_points:
@@ -324,12 +356,13 @@ def write_jbrd(d: JbrdData) -> bytes:
             last = rp
         if si == 0 and 0xDD in d.marker_order:
             bw.u(d.restart_interval, 16)
-        _u32_write(bw, len(sc.extra_zero_runs), _U32_NUM_EZR)
-        last = 0
-        for blk, runs in sc.extra_zero_runs:
-            _u32_write(bw, runs - 1, _U32_BLOCK_IDX)
-            _u32_write(bw, blk - last, _U32_BLOCK_IDX)
-            last = blk
+        if sc.extra_zero_runs:
+            raise JbrdError(
+                "progressive extra-zero-run metadata not supported")
+        bw.u(0, 2)
+    for sc in d.scans:
+        if sc.Ss > 0:
+            bw.u(0, 5)
     for b in d.inter_marker_data:
         bw.u(len(b), 16)
     _u32_write(bw, len(d.tail_data), _U32_TAIL_LEN)
@@ -417,10 +450,16 @@ def jbrd_from_jpeg(j: JpegData) -> JbrdData:
         cc, vv = _add_sentinel([0] + list(counts), values)
         d.huffman.append(JbrdHuffCode(is_ac, hid, is_last, cc, vv))
     comp_pos = {c.id: i for i, c in enumerate(j.components)}
-    sc = JbrdScan(components=[
-        JbrdScanComponent(comp_pos[cid], td, ta)
-        for cid, td, ta in j.scan_components])
-    d.scans = [sc]
+    if getattr(j, "scans", None):
+        for s in j.scans:
+            d.scans.append(JbrdScan(
+                components=[JbrdScanComponent(i, s.td[i], s.ta[i])
+                            for i in s.comp_idx],
+                Ss=s.Ss, Se=s.Se, Ah=s.Ah, Al=s.Al))
+    else:
+        d.scans = [JbrdScan(components=[
+            JbrdScanComponent(comp_pos[cid], td, ta)
+            for cid, td, ta in j.scan_components])]
     d.restart_interval = j.restart_interval
     d.tail_data = j.trailer_bytes[2:]  # bytes after EOI
     pads = list(j.padding_bits)

@@ -74,6 +74,25 @@ class HuffTable:
 
 
 @dataclasses.dataclass
+class ScanInfo:
+    """One SOS: component indices (into JpegData.components), spectral
+    selection + successive approximation, the Huffman tables in effect,
+    and the raw header bytes from the end of the previous scan through
+    this SOS segment (for byte-exact re-serialization)."""
+    comp_idx: List[int]
+    Ss: int
+    Se: int
+    Ah: int
+    Al: int
+    td: Dict[int, int]                  # comp_idx -> DC table id
+    ta: Dict[int, int]
+    dc_tables: Dict[int, "HuffTable"]   # snapshot at scan time
+    ac_tables: Dict[int, "HuffTable"]
+    restart_interval: int = 0
+    header_bytes: bytes = b""
+
+
+@dataclasses.dataclass
 class JpegData:
     width: int = 0
     height: int = 0
@@ -104,6 +123,15 @@ class JpegData:
     padding_bits: List[int] = dataclasses.field(default_factory=list)
     # scan alignment filler bits in file order (restarts + final)
     sof_marker: int = 0xC0
+    progressive: bool = False
+    scans: List["ScanInfo"] = dataclasses.field(default_factory=list)
+
+    def comp_nonint_blocks(self, c: "Component") -> Tuple[int, int]:
+        """Block dims for a NON-interleaved scan of component c (the
+        component's true sample grid, NOT padded to MCU multiples)."""
+        sw = -(-self.width * c.h // self.hmax)
+        sh = -(-self.height * c.v // self.vmax)
+        return -(-sw // 8), -(-sh // 8)
 
 
 class _ScanReader:
@@ -186,6 +214,7 @@ def parse_jpeg(data: bytes) -> JpegData:
     j = JpegData()
     pos = 2
     sos_pos = None
+    prev_scan_end = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
@@ -193,8 +222,10 @@ def parse_jpeg(data: bytes) -> JpegData:
         if marker == 0xD8:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI in headers?
-            raise JpegError("EOI before scan")
+        if marker == 0xD9:  # EOI
+            if sos_pos is None:
+                raise JpegError("EOI before scan")
+            break
         seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
         seg = data[pos + 4:pos + 2 + seg_len]
         j.marker_order.append(marker)
@@ -213,8 +244,9 @@ def parse_jpeg(data: bytes) -> JpegData:
                 j.quant[tq] = tbl
                 p += n
                 j.dqt_meta.append((pq, tq, p >= len(seg)))
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             j.sof_marker = marker
+            j.progressive = marker == 0xC2
             j.precision = seg[0]
             j.height = int.from_bytes(seg[1:3], "big")
             j.width = int.from_bytes(seg[3:5], "big")
@@ -222,8 +254,6 @@ def parse_jpeg(data: bytes) -> JpegData:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 j.components.append(Component(cid, hv >> 4, hv & 15, tq))
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG not yet supported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -242,47 +272,109 @@ def parse_jpeg(data: bytes) -> JpegData:
         elif marker == 0xFE:  # COM
             j.com_payloads.append(data[pos + 1:pos + 2 + seg_len])
         elif marker == 0xDA:  # SOS
+            if not j.components:
+                raise JpegError("SOS before SOF")
+            if sos_pos is None:
+                # geometry on first scan
+                j.hmax = max(c.h for c in j.components)
+                j.vmax = max(c.v for c in j.components)
+                j.mcus_x = -(-j.width // (8 * j.hmax))
+                j.mcus_y = -(-j.height // (8 * j.vmax))
+                for c in j.components:
+                    c.blocks_w = j.mcus_x * c.h
+                    c.blocks_h = j.mcus_y * c.v
+                    c.coeffs = np.zeros((c.blocks_h, c.blocks_w, 64),
+                                        np.int32)
             ns = seg[0]
+            comp_idx = []
+            td = {}
+            ta = {}
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                for c in j.components:
+                for ci, c in enumerate(j.components):
                     if c.id == cid:
                         c.td, c.ta = tt >> 4, tt & 15
+                        comp_idx.append(ci)
+                        td[ci] = tt >> 4
+                        ta[ci] = tt & 15
                 j.scan_components.append((cid, tt >> 4, tt & 15))
-            sos_pos = pos + 2 + seg_len
-            j.header_bytes = data[:sos_pos]
-            break
+            Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            AhAl = seg[3 + 2 * ns]
+            sc = ScanInfo(comp_idx=comp_idx, Ss=Ss, Se=Se,
+                          Ah=AhAl >> 4, Al=AhAl & 15, td=td, ta=ta,
+                          dc_tables=dict(j.dc_tables),
+                          ac_tables=dict(j.ac_tables),
+                          restart_interval=j.restart_interval)
+            sos_end = pos + 2 + seg_len
+            if sos_pos is None:
+                j.header_bytes = data[:sos_end]
+                sc.header_bytes = j.header_bytes
+            else:
+                sc.header_bytes = data[prev_scan_end:sos_end]
+            sos_pos = sos_end
+            j.scans.append(sc)
+            rd = _ScanReader(data, sos_end)
+            _decode_scan(j, rd, sc)
+            rd.drain_padding(j.padding_bits)
+            tpos = rd.pos
+            while tpos < len(data) and not (
+                    data[tpos] == 0xFF
+                    and data[tpos + 1:tpos + 2] != b"\x00"):
+                tpos += 1
+            prev_scan_end = tpos
+            pos = tpos
+            continue
         pos += 2 + seg_len
     if sos_pos is None:
         raise JpegError("no SOS marker found")
+    j.trailer_bytes = data[prev_scan_end:]
+    j.marker_order.append(0xD9)
+    return j
 
-    # geometry
-    j.hmax = max(c.h for c in j.components)
-    j.vmax = max(c.v for c in j.components)
-    j.mcus_x = -(-j.width // (8 * j.hmax))
-    j.mcus_y = -(-j.height // (8 * j.vmax))
-    for c in j.components:
-        c.blocks_w = j.mcus_x * c.h
-        c.blocks_h = j.mcus_y * c.v
-        c.coeffs = np.zeros((c.blocks_h, c.blocks_w, 64), np.int32)
 
-    # scan decode (single interleaved scan)
-    rd = _ScanReader(data, sos_pos)
-    dc_pred = {c.id: 0 for c in j.components}
-    dc_dec = {t: tbl.build_decode() for t, tbl in j.dc_tables.items()}
-    ac_dec = {t: tbl.build_decode() for t, tbl in j.ac_tables.items()}
-    ri = j.restart_interval
+def _decode_scan(j: JpegData, rd: "_ScanReader", sc: ScanInfo) -> None:
+    """Decode one entropy-coded scan into the component coefficient
+    planes (baseline full scan, or one progressive DC/AC
+    first/refinement pass)."""
+    comps = [j.components[i] for i in sc.comp_idx]
+    if not j.progressive:
+        _decode_baseline_scan(j, rd, sc, comps)
+        return
+    if sc.Ss == 0:
+        if sc.Se != 0:
+            raise JpegError("progressive DC scan with Se != 0")
+        if sc.Ah == 0:
+            _decode_dc_first(j, rd, sc, comps)
+        else:
+            _decode_dc_refine(j, rd, sc, comps)
+    else:
+        if len(comps) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        if sc.Ah == 0:
+            _decode_ac_first(j, rd, sc, comps[0])
+        else:
+            _decode_ac_refine(j, rd, sc, comps[0])
+
+
+def _decode_baseline_scan(j, rd, sc, comps) -> None:
+    dc_pred = {c.id: 0 for c in comps}
+    dc_dec = {t: tbl.build_decode() for t, tbl in sc.dc_tables.items()}
+    ac_dec = {t: tbl.build_decode() for t, tbl in sc.ac_tables.items()}
+    ri = sc.restart_interval
     mcu_count = 0
     rst_idx = 0
-    single = len(j.components) == 1
-    for my in range(j.mcus_y):
-        for mx in range(j.mcus_x):
+    single = len(comps) == 1
+    mcus_x, mcus_y = j.mcus_x, j.mcus_y
+    if single and len(j.components) > 1:
+        mcus_x, mcus_y = j.comp_nonint_blocks(comps[0])
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if ri and mcu_count and mcu_count % ri == 0:
                 rd.align_and_expect_rst(rst_idx, j.padding_bits)
                 rst_idx = (rst_idx + 1) & 7
-                for c in j.components:
+                for c in comps:
                     dc_pred[c.id] = 0
-            for c in j.components:
+            for c in comps:
                 ch = 1 if single else c.h
                 cv = 1 if single else c.v
                 for by in range(cv):
@@ -306,15 +398,183 @@ def parse_jpeg(data: bytes) -> JpegData:
                                 raise JpegError("AC index overflow")
                             block[k] = _extend(rd.read_bits(size), size)
                             k += 1
-                        c.coeffs[my * c.v + by, mx * c.h + bx] = block
+                        c.coeffs[my * (1 if single else c.v) + by,
+                                 mx * (1 if single else c.h) + bx] = block
             mcu_count += 1
-    # trailer: align to byte, find EOI
-    rd.drain_padding(j.padding_bits)
-    tpos = rd.pos
-    # any remaining bits in current byte are padding
-    while tpos < len(data) and not (data[tpos] == 0xFF
-                                    and data[tpos + 1:tpos + 2] != b"\x00"):
-        tpos += 1
-    j.trailer_bytes = data[tpos:]
-    j.marker_order.append(0xD9)
-    return j
+
+
+def _decode_dc_first(j, rd, sc, comps) -> None:
+    dc_dec = {i: sc.dc_tables[sc.td[i]].build_decode()
+              for i in sc.comp_idx}
+    dc_pred = {i: 0 for i in sc.comp_idx}
+    ri = sc.restart_interval
+    rst_idx = 0
+    unit = 0
+    interleaved = len(comps) > 1
+
+    def one_block(ci, c, by, bx):
+        s = rd.read_symbol(dc_dec[ci])
+        diff = _extend(rd.read_bits(s), s)
+        dc_pred[ci] += diff
+        c.coeffs[by, bx, 0] = dc_pred[ci] << sc.Al
+
+    if interleaved:
+        for my in range(j.mcus_y):
+            for mx in range(j.mcus_x):
+                if ri and unit and unit % ri == 0:
+                    rd.align_and_expect_rst(rst_idx, j.padding_bits)
+                    rst_idx = (rst_idx + 1) & 7
+                    for i in sc.comp_idx:
+                        dc_pred[i] = 0
+                for ci, c in zip(sc.comp_idx, comps):
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            one_block(ci, c, my * c.v + by,
+                                      mx * c.h + bx)
+                unit += 1
+    else:
+        ci, c = sc.comp_idx[0], comps[0]
+        bw, bh = j.comp_nonint_blocks(c)
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and unit and unit % ri == 0:
+                    rd.align_and_expect_rst(rst_idx, j.padding_bits)
+                    rst_idx = (rst_idx + 1) & 7
+                    dc_pred[ci] = 0
+                one_block(ci, c, by, bx)
+                unit += 1
+
+
+def _decode_dc_refine(j, rd, sc, comps) -> None:
+    p1 = 1 << sc.Al
+    ri = sc.restart_interval
+    rst_idx = 0
+    unit = 0
+    if len(comps) > 1:
+        for my in range(j.mcus_y):
+            for mx in range(j.mcus_x):
+                if ri and unit and unit % ri == 0:
+                    rd.align_and_expect_rst(rst_idx, j.padding_bits)
+                    rst_idx = (rst_idx + 1) & 7
+                for c in comps:
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            if rd.read_bit():
+                                c.coeffs[my * c.v + by,
+                                         mx * c.h + bx, 0] |= p1
+                unit += 1
+    else:
+        c = comps[0]
+        bw, bh = j.comp_nonint_blocks(c)
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and unit and unit % ri == 0:
+                    rd.align_and_expect_rst(rst_idx, j.padding_bits)
+                    rst_idx = (rst_idx + 1) & 7
+                if rd.read_bit():
+                    c.coeffs[by, bx, 0] |= p1
+                unit += 1
+
+
+def _decode_ac_first(j, rd, sc, c) -> None:
+    ci = sc.comp_idx[0]
+    ac_dec = sc.ac_tables[sc.ta[ci]].build_decode()
+    bw, bh = j.comp_nonint_blocks(c)
+    ri = sc.restart_interval
+    rst_idx = 0
+    unit = 0
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and unit and unit % ri == 0:
+                rd.align_and_expect_rst(rst_idx, j.padding_bits)
+                rst_idx = (rst_idx + 1) & 7
+                eobrun = 0
+            unit += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            block = c.coeffs[by, bx]
+            k = sc.Ss
+            while k <= sc.Se:
+                rs = rd.read_symbol(ac_dec)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.read_bits(r)
+                        break
+                    k += 16                   # ZRL
+                    continue
+                k += r
+                if k > sc.Se:
+                    raise JpegError("AC index overflow in scan")
+                block[k] = _extend(rd.read_bits(s), s) << sc.Al
+                k += 1
+
+
+def _decode_ac_refine(j, rd, sc, c) -> None:
+    """libjpeg decode_mcu_AC_refine semantics."""
+    ci = sc.comp_idx[0]
+    ac_dec = sc.ac_tables[sc.ta[ci]].build_decode()
+    bw, bh = j.comp_nonint_blocks(c)
+    p1 = 1 << sc.Al
+    m1 = -1 << sc.Al
+    ri = sc.restart_interval
+    rst_idx = 0
+    unit = 0
+    eobrun = 0
+
+    def correct(block, k):
+        if rd.read_bit():
+            v = int(block[k])
+            if (v & p1) == 0:
+                block[k] = v + (p1 if v >= 0 else m1)
+
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and unit and unit % ri == 0:
+                rd.align_and_expect_rst(rst_idx, j.padding_bits)
+                rst_idx = (rst_idx + 1) & 7
+                eobrun = 0
+            unit += 1
+            block = c.coeffs[by, bx]
+            k = sc.Ss
+            if eobrun == 0:
+                while k <= sc.Se:
+                    rs = rd.read_symbol(ac_dec)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise JpegError(
+                                "bad magnitude in AC refinement")
+                        val = p1 if rd.read_bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.read_bits(r)
+                            break
+                    # advance over the band: correction bits for
+                    # nonzero history, count down r over zero history
+                    while k <= sc.Se:
+                        if block[k] != 0:
+                            correct(block, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= sc.Se:
+                        block[k] = val
+                    k += 1
+            if eobrun > 0:
+                # EOB region: correction bits only, for the rest of
+                # the band
+                while k <= sc.Se:
+                    if block[k] != 0:
+                        correct(block, k)
+                    k += 1
+                eobrun -= 1

@@ -33,8 +33,9 @@ from ..bitstream.frame_header import (FrameHeader, Encoding,
 from ..codec import read_image_header, write_image_header
 from ..entropy.coder import TokenStream
 from ..modular.image import Channel, ModularImage
-from .parser import parse_jpeg, JpegData, JpegError, ZIGZAG, Component
-from .writer import write_jpeg
+from .parser import (parse_jpeg, JpegData, JpegError, ZIGZAG, Component,
+                     HuffTable, ScanInfo)
+from .writer import write_jpeg, encode_scan
 from . import jbrd as JB
 
 _ZZINV = np.argsort(ZIGZAG)          # natural position -> zigzag index
@@ -583,38 +584,41 @@ def jpeg_from_parts(jb: JB.JbrdData, hdr, fh, dc_int, vals, qraw,
         from .parser import HuffTable
         tbl = HuffTable(counts, values)
         (j.ac_tables if h.is_ac else j.dc_tables)[h.id] = tbl
-    # the single-scan baseline writer below cannot express progressive
-    # scan scripts, restart-point resyncs, or extra zero runs; emitting
-    # bytes anyway would break the byte-identical contract silently
-    if len(jb.scans) != 1:
-        raise JpegError(
-            f"multi-scan JPEG bundle ({len(jb.scans)} scans) not "
-            "supported by the baseline writer yet")
-    sc = jb.scans[0]
-    if not (sc.Ss == 0 and sc.Se == 63 and sc.Ah == 0 and sc.Al == 0):
-        raise JpegError("progressive scan parameters not supported yet")
-    if sc.reset_points or sc.extra_zero_runs:
-        raise JpegError("scan reset points / extra zero runs not "
-                        "supported yet")
-    if 0xC2 in jb.marker_order:
-        raise JpegError("progressive SOF2 reconstruction not "
-                        "supported yet")
-    for comp_sel in sc.components:
+    # non-canonical encodings (restart-point resyncs mid-scan, extra
+    # zero runs) are not reproduced; emitting bytes anyway would break
+    # the byte-identical contract silently
+    for sc in jb.scans:
+        if sc.reset_points or sc.extra_zero_runs:
+            raise JpegError("scan reset points / extra zero runs not "
+                            "supported yet")
+    sc0 = jb.scans[0]
+    for comp_sel in sc0.components:
         c = j.components[comp_sel.comp_idx]
         c.td, c.ta = comp_sel.dc_tbl, comp_sel.ac_tbl
-    # header bytes from the bundle
-    j.header_bytes = _regenerate_header(jb, j, exif, xml)
+    j.progressive = 0xC2 in jb.marker_order
     j.trailer_bytes = b"\xff\xd9" + jb.tail_data
     j.padding_bits = list(jb.padding_bits)
-    return write_jpeg(j)
+    # walk the marker order, regenerating header segments and
+    # re-encoding each scan's entropy data in place (baseline and
+    # progressive/multi-scan alike)
+    return _regenerate_file(jb, j, exif, xml)
 
 
-def _regenerate_header(jb: JB.JbrdData, j: JpegData,
-                       exif: Optional[bytes],
-                       xml: Optional[List[bytes]]) -> bytes:
+def _regenerate_file(jb: JB.JbrdData, j: JpegData,
+                     exif: Optional[bytes],
+                     xml: Optional[List[bytes]]) -> bytes:
+    """Walk the jbrd marker order, regenerating every header segment
+    and re-encoding each scan's entropy data in place (the Huffman
+    tables and restart interval in effect at each scan are tracked as
+    the DHT/DRI markers stream by)."""
     out = bytearray(b"\xff\xd8")
     app_i = com_i = dqt_i = dht_i = scan_i = 0
     xml = list(xml or [])
+    dc_tabs = {}
+    ac_tabs = {}
+    ri_active = 0
+    pads = jb.padding_bits
+    pad_iter = iter(pads) if pads and 0 in pads else None
     for m in jb.marker_order:
         if m == 0xD9:
             break
@@ -675,6 +679,8 @@ def _regenerate_header(jb: JB.JbrdData, j: JpegData,
                 seg.append((int(hcode.is_ac) << 4) | hcode.id)
                 seg += bytes(counts)
                 seg += bytes(values)
+                tbl = HuffTable(counts, values)
+                (ac_tabs if hcode.is_ac else dc_tabs)[hcode.id] = tbl
                 dht_i += 1
                 if hcode.is_last:
                     break
@@ -682,6 +688,7 @@ def _regenerate_header(jb: JB.JbrdData, j: JpegData,
         elif m == 0xDD:
             out += b"\xff\xdd\x00\x04" \
                 + struct.pack(">H", jb.restart_interval)
+            ri_active = jb.restart_interval
         elif m == 0xDA:
             sc = jb.scans[scan_i]
             seg = bytearray([len(sc.components)])
@@ -692,8 +699,21 @@ def _regenerate_header(jb: JB.JbrdData, j: JpegData,
             seg += bytes([sc.Ss, sc.Se, (sc.Ah << 4) | sc.Al])
             out += b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
             scan_i += 1
+            si = ScanInfo(
+                comp_idx=[cs.comp_idx for cs in sc.components],
+                Ss=sc.Ss, Se=sc.Se, Ah=sc.Ah, Al=sc.Al,
+                td={cs.comp_idx: cs.dc_tbl for cs in sc.components},
+                ta={cs.comp_idx: cs.ac_tbl for cs in sc.components},
+                dc_tables=dict(dc_tabs), ac_tables=dict(ac_tabs),
+                restart_interval=ri_active)
+            # the legacy baseline path carries td/ta on the components
+            for cs in sc.components:
+                j.components[cs.comp_idx].td = cs.dc_tbl
+                j.components[cs.comp_idx].ta = cs.ac_tbl
+            out += encode_scan(j, si, pad_iter=pad_iter)
         else:
             raise JpegError(f"cannot regenerate marker {m:#x}")
+    out += j.trailer_bytes
     return bytes(out)
 
 

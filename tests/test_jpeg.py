@@ -51,12 +51,39 @@ def test_parse_write_odd_dims():
     assert write_jpeg(parse_jpeg(jpeg)) == jpeg
 
 
-def test_progressive_rejected():
+@pytest.mark.parametrize("subsampling", [0, 2])
+def test_progressive_parse_write_byte_exact(subsampling):
+    """SOF2 multi-scan files (DC/AC first + refinement scans, EOB
+    runs, correction bits) re-serialize byte-exactly."""
+    from jxl_coder_tpu.jpeg.writer import write_jpeg
     buf = io.BytesIO()
-    Image.fromarray(_img()).save(buf, format="JPEG", quality=80,
-                                 progressive=True)
-    with pytest.raises(JpegError):
-        parse_jpeg(buf.getvalue())
+    Image.fromarray(_img(noise=8)).save(
+        buf, format="JPEG", quality=75, progressive=True,
+        subsampling=subsampling)
+    data = buf.getvalue()
+    j = parse_jpeg(data)
+    assert j.progressive and len(j.scans) > 2
+    assert write_jpeg(j) == data
+
+
+def test_progressive_construct_reconstruct_byte_exact():
+    buf = io.BytesIO()
+    Image.fromarray(_img(noise=6)).save(buf, format="JPEG", quality=80,
+                                        progressive=True)
+    jpeg = buf.getvalue()
+    jxl = api.construct(jpeg)
+    assert api.is_jxl(jxl)
+    assert api.reconstruct_jpeg(jxl) == jpeg
+
+
+def test_progressive_grayscale_roundtrip():
+    from jxl_coder_tpu.jpeg.writer import write_jpeg
+    buf = io.BytesIO()
+    Image.fromarray(_img()[:, :, 0]).save(
+        buf, format="JPEG", quality=70, progressive=True)
+    data = buf.getvalue()
+    j = parse_jpeg(data)
+    assert write_jpeg(j) == data
 
 
 @pytest.mark.parametrize("quality,subsampling", [(85, 0), (70, 2)])
