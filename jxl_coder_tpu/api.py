@@ -182,7 +182,8 @@ def basic_info(data: bytes) -> BasicInfo:
 def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
            effort: int = 7, quality: int = None,
            decoding_speed: int = 0, colour=None,
-           intensity_target: float = None) -> bytes:
+           intensity_target: float = None,
+           icc: bytes = None) -> bytes:
     """Encode an image array to a bare JXL codestream.
 
     pixels: uint8/uint16/float array (H, W), (H, W, 1), (H, W, 3) or
@@ -190,8 +191,15 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
     input splits into color + alpha extra channel (lossy alpha is
     carried as a lossless modular extra channel,
     interop/JxlEncoding.cpp:112-123).  colour: optional ColourEncoding
-    tag (PQ/HLG/wide gamut, JxlEncoder.cpp:228-371 analogue); 16-bit
-    and float inputs keep full precision on the lossy path too.
+    tag (PQ/HLG/wide gamut, JxlEncoder.cpp:228-371 analogue) —
+    CUSTOM primaries/white point are supported; 16-bit and float
+    inputs keep full precision on the lossy path too.
+    icc: optional raw ICC profile bytes describing `pixels`
+    (JxlEncoderSetICCProfile analogue, interop/JxlEncoding.cpp:125-137).
+    Lossless embeds it in the codestream (want_icc, byte-exact on
+    decode); lossy converts the pixels to sRGB through the profile
+    first (libjxl's effective XYB-path semantics: the stored image is
+    sRGB-referred).
     """
     import numpy as np
     from .bitstream.writer import BitWriter
@@ -204,6 +212,15 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
     pixels = np.asarray(pixels)
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
+    if icc is not None and not lossless:
+        from .ops.icc_apply import icc_to_srgb
+        if pixels.dtype.kind == "f":
+            pix8 = np.clip(np.rint(pixels * 65535.0), 0,
+                           65535).astype(np.uint16)
+            pixels = icc_to_srgb(pix8, icc).astype(np.float64) / 65535.0
+        else:
+            pixels = icc_to_srgb(pixels, icc)
+        icc = None
     h, w, nch = pixels.shape
     if bits_per_sample is None:
         bits_per_sample = 16 if pixels.dtype == np.uint16 else 8
@@ -239,9 +256,12 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
     m = ImageMetadata()
     m.xyb_encoded = False
     m.bit_depth = BitDepth(False, bits_per_sample, 0)
-    ce = ColourEncoding()
+    ce = colour if colour is not None else ColourEncoding()
     if nch == 1:
         ce.colour_space = ColourSpace.GREY
+    if icc is not None:
+        ce.want_icc = True
+        m.icc_profile = icc
     m.colour_encoding = ce
     planes = [pixels[:, :, i].astype(np.int32) for i in range(nch)]
     if nch == 4:

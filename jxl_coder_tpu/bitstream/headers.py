@@ -181,6 +181,17 @@ class CustomXY:
                                    (20, 1 << 20), (21, 1 << 21)))
         return c
 
+    def write(self, bw) -> None:
+        from .reader import pack_signed
+        bw.u32(pack_signed(self.x), (19, 0), (19, 1 << 19),
+               (20, 1 << 20), (21, 1 << 21))
+        bw.u32(pack_signed(self.y), (19, 0), (19, 1 << 19),
+               (20, 1 << 20), (21, 1 << 21))
+
+    @staticmethod
+    def from_float(x: float, y: float) -> "CustomXY":
+        return CustomXY(int(round(x * 1e6)), int(round(y * 1e6)))
+
     def as_float(self):
         return (self.x * 1e-6, self.y * 1e-6)
 

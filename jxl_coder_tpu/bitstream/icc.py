@@ -307,3 +307,58 @@ def unpredict_icc(enc: bytes) -> bytes:
 
 def read_icc_profile(br: BitReader) -> bytes:
     return unpredict_icc(read_encoded_icc(br))
+
+
+# ---------------------------------------------------------------------------
+# Encoding (want_icc write path — the reference embeds arbitrary ICC
+# via JxlEncoderSetICCProfile, interop/JxlEncoding.cpp:125-137)
+
+def _varint_enc(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 127
+        v >>= 7
+        if v:
+            out.append(b | 128)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def predict_icc_simple(profile: bytes) -> bytes:
+    """Inverse of unpredict_icc in its minimal-command form: predicted
+    header residuals + one Insert covering the body.  Spec-valid (any
+    decoder runs the same command machine); compression rides on the
+    entropy coder rather than the tag-level predictors libjxl's own
+    encoder adds."""
+    osize = len(profile)
+    nhdr = min(osize, HEADER_SIZE)
+    rebuilt = bytearray()
+    hdr_resid = bytearray()
+    for i in range(nhdr):
+        pred = _header_prediction(osize, rebuilt, i)
+        hdr_resid.append((profile[i] - pred) & 0xFF)
+        rebuilt.append(profile[i])
+    commands = bytearray(_varint_enc(0))        # no tag list
+    data = bytes(hdr_resid)
+    if osize > HEADER_SIZE:
+        commands.append(CMD_INSERT)
+        commands += _varint_enc(osize - HEADER_SIZE)
+        data += profile[HEADER_SIZE:]
+    return (_varint_enc(osize) + _varint_enc(len(commands))
+            + bytes(commands) + data)
+
+
+def write_icc_profile(bw, profile: bytes) -> None:
+    """Entropy-code the predicted ICC stream into the codestream
+    (mirrors read_icc_profile)."""
+    from ..entropy.coder import TokenStream
+    enc = predict_icc_simple(profile)
+    bw.u64(len(enc))
+    ts = TokenStream(ICC_CONTEXTS, use_ans=True)
+    b1 = b2 = 0
+    for i, v in enumerate(enc):
+        ts.add(_icc_context(i, b1, b2), v)
+        b2 = b1
+        b1 = v
+    ts.write(bw)

@@ -90,11 +90,13 @@ def _write_colour_encoding(bw: BitWriter, ce: ColourEncoding) -> None:
     if not ce.want_icc and ce.colour_space != ColourSpace.XYB:
         _write_enum(bw, ce.white_point)
         if ce.white_point == WhitePoint.CUSTOM:
-            raise NotImplementedError("custom white point writing")
+            ce.white.write(bw)
         if ce.colour_space != ColourSpace.GREY:
             _write_enum(bw, ce.primaries)
             if ce.primaries == Primaries.CUSTOM:
-                raise NotImplementedError("custom primaries writing")
+                ce.red.write(bw)
+                ce.green.write(bw)
+                ce.blue.write(bw)
     if not ce.want_icc:
         bw.bool(ce.have_gamma)
         if ce.have_gamma:
@@ -116,6 +118,12 @@ def write_image_header(bw: BitWriter, hdr: ImageHeader) -> None:
     _write_metadata_body(bw, m)
     # default_m (CustomTransformData bundle): all_default
     bw.bool(True)
+    if m.colour_encoding is not None and m.colour_encoding.want_icc:
+        # compressed ICC profile immediately follows the metadata
+        # (read_image_header mirror; the reference embeds via
+        # JxlEncoderSetICCProfile, interop/JxlEncoding.cpp:125-137)
+        from .bitstream.icc import write_icc_profile
+        write_icc_profile(bw, m.icc_profile)
     bw.zero_pad_to_byte()
 
 
