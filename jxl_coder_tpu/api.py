@@ -284,30 +284,56 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
     fh.restoration_filter.epf_iters = 0
     fh.restoration_filter.gab = False
 
-    # effort semantics (JxlEffort.kt 1-10): low effort skips the color
-    # decorrelation + uses the cheapest predictor; high effort picks the
-    # smaller of candidate encodings.
+    # effort semantics (JxlEffort.kt 1-10 -> JXL_ENC_FRAME_SETTING_
+    # EFFORT, jxl/encode.h:132-138): every step buys real search depth —
+    #   1           no colour decorrelation, fixed gradient predictor
+    #   2           + RCT (YCoCg)
+    #   3..6        + learned MA tree, leaf budget 6/10/16/24
+    #   7           + RCT on/off search (pick the smaller stream)
+    #   8           + alternative RCT subtypes {6, 0}
+    #   9           + full RCT subtype sweep {0..6}
+    #   10          + leaf budget 32
+    from .bitstream.writer import BitWriter as _BW
+    eff = max(1, min(10, int(effort)))
+    leaves = {3: 6, 4: 10, 5: 16, 6: 24, 7: 24, 8: 24, 9: 24, 10: 32}
+    can_rct = nch >= 3
+
+    def enc(ycocg, tree, rct_type=6):
+        cand = _BW()
+        codec.encode_modular_frame(cand, hdr, fh, planes,
+                                   use_ycocg=ycocg, tree=tree,
+                                   rct_type=rct_type)
+        return cand.to_bytes()
+
+    def learn(ycocg, rct_type=6):
+        return codec.learned_modular_tree(
+            hdr, fh, planes, use_ycocg=ycocg, rct_type=rct_type,
+            max_leaves=leaves[eff])
+
     bw = BitWriter()
     codec.write_image_header(bw, hdr)
-    if effort <= 2:
-        codec.encode_modular_frame(bw, hdr, fh, planes, use_ycocg=False,
-                                   tree=None)
-    elif effort < 8 or nch < 3:
-        codec.encode_modular_frame(bw, hdr, fh, planes,
-                                   use_ycocg=(nch >= 3))
+    if not can_rct:
+        body = enc(False, learn(False) if eff >= 3 else None)
+    elif eff == 1:
+        body = enc(False, None)
+    elif eff == 2:
+        body = enc(True, None)
+    elif eff <= 6:
+        body = enc(True, learn(True))
     else:
-        # try both RCT on/off, keep the smaller stream
-        from .bitstream.writer import BitWriter as _BW
-        best = None
-        for ycocg in (True, False):
-            cand = _BW()
-            codec.encode_modular_frame(cand, hdr, fh, planes,
-                                       use_ycocg=ycocg)
-            b = cand.to_bytes()
-            if best is None or len(b) < len(best):
-                best = b
-        for byte in best:
-            bw.u(byte, 8)
+        rct_types = {7: [6], 8: [6, 0],
+                     9: [6, 0, 1, 2, 3, 4, 5],
+                     10: [6, 0, 1, 2, 3, 4, 5]}[eff]
+        body = None
+        for rt in rct_types:
+            b = enc(True, learn(True, rt), rt)
+            if body is None or len(b) < len(body):
+                body = b
+        b = enc(False, learn(False))
+        if len(b) < len(body):
+            body = b
+    for byte in body:
+        bw.u(byte, 8)
     bw.zero_pad_to_byte()
     return bw.to_bytes()
 

@@ -338,10 +338,27 @@ def decode_modular_frame(cs: bytes, hdr: ImageHeader, fh: FrameHeader,
     return _finalize_modular_planes(planes, hdr, fh, dc_quant)
 
 
+def learned_modular_tree(hdr: ImageHeader, fh, planes,
+                         use_ycocg: bool, rct_type: int = 6,
+                         max_leaves: int = 16) -> Tree:
+    """Learn an MA tree on the (optionally RCT'd) frame channels — the
+    encode-effort search depth knob (JxlEffort.kt 1-10 semantics)."""
+    image = frame_channel_layout(hdr, fh)
+    for chan, plane in zip(image.channels, planes):
+        chan.data = plane.astype(np.int32)
+    if use_ycocg and len(planes) >= 3:
+        t = T.Transform(id=0, begin_c=0, rct_type=rct_type)
+        T.rct_forward(image, t)
+    from .modular.learn import learn_tree
+    return learn_tree(image.channels, max_leaves=max_leaves,
+                      props_allowed=[0] + list(range(2, 15)))
+
+
 def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,
                          planes: List[np.ndarray],
                          use_ycocg: bool = True,
-                         tree: Optional[Tree] = None) -> None:
+                         tree: Optional[Tree] = None,
+                         rct_type: int = 6) -> None:
     """Encode a full modular frame (header + TOC + sections) into bw."""
     image = frame_channel_layout(hdr, fh)
     for chan, plane in zip(image.channels, planes):
@@ -351,7 +368,7 @@ def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,
     header = GroupHeader()
     ncolor = 3 if len(planes) >= 3 else 1
     if use_ycocg and ncolor == 3:
-        t = T.Transform(id=0, begin_c=0, rct_type=6)
+        t = T.Transform(id=0, begin_c=0, rct_type=rct_type)
         header.transforms.append(t)
         T.rct_forward(image, t)
     if tree is None:

@@ -113,15 +113,26 @@ def _rct_inverse_type(a, b, c, rct_type):
 
 
 def _rct_forward_type(r, g, b, rct_type):
+    """Exact inverses of _rct_inverse_type (all 7 subtypes)."""
     if rct_type == 0:
         return r, g, b
+    if rct_type == 1:
+        return r, g, b - r
+    if rct_type == 2:
+        return r, g - r, b
+    if rct_type == 3:
+        return r, g - r, b - r
+    if rct_type == 4:
+        return r, g - ((r + b) >> 1), b
+    if rct_type == 5:
+        return r, g - ((r + b) >> 1), b - r
     if rct_type == 6:
         co = r - b
         tmp = b + (co >> 1)
         cg = g - tmp
         y = tmp + (cg >> 1)
         return y, co, cg
-    raise ValueError("forward RCT implemented for types 0 and 6 only")
+    raise ValueError(f"bad forward RCT type {rct_type}")
 
 
 _PERMUTATIONS = [

@@ -220,3 +220,24 @@ def test_multigroup_roundtrip():
     out = codec.decode_modular_frame(data, hdr2, fh2, toc)
     for o, p in zip(out, planes):
         assert np.array_equal(o, p)
+
+
+def test_lossless_effort_ladder():
+    """Effort 1-10 maps to real search depth (JxlEffort.kt semantics):
+    sizes non-increasing from effort 3 up, every level round-trips."""
+    from jxl_coder_tpu import api
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:96, 0:128]
+    img = np.clip(np.stack([120 + 70 * np.sin(yy / 17.0),
+                            (xx * 0.9) % 240,
+                            ((xx + yy) * 0.5) % 230], -1)
+                  + rng.normal(0, 5, (96, 128, 3)), 0, 255).astype(np.uint8)
+    sizes = {}
+    for e in (1, 3, 5, 7, 10):
+        d = api.encode(img, lossless=True, effort=e)
+        out, _ = api.decode(d)
+        assert np.array_equal(out, img), e
+        sizes[e] = len(d)
+    assert sizes[5] <= sizes[3]
+    assert sizes[7] <= sizes[5]
+    assert sizes[10] <= sizes[7]
