@@ -90,7 +90,7 @@ def _front(ph: int, pw: int, gab_iters: int = 4):
     import jax.numpy as jnp
     from .tpu_real import gaborish_device
     from .enc_real import (_OPSIN, _BIAS, _CBRT_BIAS, MASK_COEF,
-                           MASK_EXP, MASK_MAX)
+                           MASK_EXP, MASK_COEF2, MASK_EXP2, MASK_MAX)
     ys_b, xs_b = ph // 8, pw // 8
     ty, tx = -(-ys_b // 8), -(-xs_b // 8)
     ANA = jnp.asarray(S.ana_basis(8).astype(np.float32))
@@ -120,9 +120,10 @@ def _front(ph: int, pw: int, gab_iters: int = 4):
         # contrast-masking field from the sharpened luma
         gy, gx = jnp.gradient(Y)
         act = jnp.sqrt(gy * gy + gx * gx)
-        blk = act.reshape(ys_b, 8, xs_b, 8).mean(axis=(1, 3))
-        mask = jnp.clip(1.0 + MASK_COEF
-                        * jnp.maximum(blk, 0.0) ** np.float32(MASK_EXP),
+        blk = jnp.maximum(act.reshape(ys_b, 8, xs_b, 8).mean(axis=(1, 3)),
+                          0.0)
+        mask = jnp.clip(1.0 + MASK_COEF * blk ** np.float32(MASK_EXP)
+                        + MASK_COEF2 * blk ** np.float32(MASK_EXP2),
                         1.0, MASK_MAX)
         planes = jnp.stack([X, Y, B])
         b8 = planes.reshape(3, ys_b, 8, xs_b, 8).transpose(0, 1, 3, 2, 4)

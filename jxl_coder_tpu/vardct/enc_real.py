@@ -153,7 +153,12 @@ BASE_STEP_MULT = 1.42
 AC_DEADZONE = 0.58
 MASK_COEF = 4.3
 MASK_EXP = 0.68
-MASK_MAX = 3.0
+# steep high-activity term: dense noise must coarsen much further than
+# the photo-texture curve (round-3 fit: dense-noise rate 1.57x -> 1.06x
+# cjxl e7 bytes at +0.4dB, corpus photo crops unchanged)
+MASK_COEF2 = 52.0
+MASK_EXP2 = 1.6
+MASK_MAX = 4.0
 
 
 def _masking_field(Y: np.ndarray, ys_b: int, xs_b: int) -> np.ndarray:
@@ -163,9 +168,11 @@ def _masking_field(Y: np.ndarray, ys_b: int, xs_b: int) -> np.ndarray:
     way — measured igs 8.9 -> 14.3 on noise at fixed qf)."""
     gy, gx = np.gradient(Y)
     act = np.sqrt(gy * gy + gx * gx)
-    blk = act.reshape(ys_b, 8, xs_b, 8).mean(axis=(1, 3))
-    return np.clip(1.0 + MASK_COEF * np.power(np.maximum(blk, 0.0),
-                                              MASK_EXP), 1.0, MASK_MAX)
+    blk = np.maximum(act.reshape(ys_b, 8, xs_b, 8).mean(axis=(1, 3)),
+                     0.0)
+    return np.clip(1.0 + MASK_COEF * np.power(blk, MASK_EXP)
+                   + MASK_COEF2 * np.power(blk, MASK_EXP2),
+                   1.0, MASK_MAX)
 
 
 def _estimate_cfl(coY, coX, coB, ys_b: int, xs_b: int):
