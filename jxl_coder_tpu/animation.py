@@ -199,13 +199,20 @@ class AnimatedEncoder:
 
     def __init__(self, width: int, height: int, num_loops: int = 0,
                  lossless: bool = True, quality: int = 90,
-                 effort: int = 7):
+                 effort: int = 7, ec_distance: float = 0.0):
+        """ec_distance: extra-channel (alpha) distance for lossy
+        animations — 0 keeps alpha lossless; > 0 pre-quantizes the
+        alpha plane (step ~ 2*distance at 8 bits) before its lossless
+        modular coding, trading alpha fidelity for rate (the
+        reference's per-extra-channel distance knob,
+        interop/JxlAnimatedEncoder.hpp:164-196)."""
         self.width = width
         self.height = height
         self.num_loops = num_loops
         self.lossless = lossless
         self.quality = quality
         self.effort = effort
+        self.ec_distance = float(ec_distance)
         self._frames: List[Tuple[np.ndarray, int]] = []
         self._closed = False
 
@@ -242,7 +249,9 @@ class AnimatedEncoder:
             if nch == 1:
                 ce.colour_space = ColourSpace.GREY
             m.colour_encoding = ce
-        if nch == 4 and self.lossless:
+        if nch == 4:
+            # alpha rides as an extra channel on the lossy path too
+            # (interop/JxlAnimatedEncoder.hpp:135-144)
             ec = ExtraChannelInfo(type=ExtraChannelType.ALPHA)
             ec.bit_depth = BitDepth(False, bits, 0)
             m.extra_channels = [ec]
@@ -271,9 +280,22 @@ class AnimatedEncoder:
                 fh.encoding = Encoding.VARDCT
                 fh.restoration_filter.epf_iters = 1
                 from .vardct.quant import quality_to_distance
+                alpha = None
+                if nch == 4:
+                    alpha = pixels[:, :, 3].astype(np.int64)
+                    if self.ec_distance > 0:
+                        # per-extra-channel distance: uniform alpha
+                        # pre-quantization before the lossless modular
+                        # coding (step ~ 2*distance at 8 bits)
+                        step = max(1, int(round(
+                            self.ec_distance * 2.0
+                            * ((1 << bits) - 1) / 255.0)))
+                        alpha = np.clip(
+                            (alpha + step // 2) // step * step,
+                            0, (1 << bits) - 1)
                 codec.encode_vardct_frame_into(
                     bw, hdr, fh, pixels[:, :, :3],
-                    quality_to_distance(self.quality))
+                    quality_to_distance(self.quality), alpha=alpha)
         bw.zero_pad_to_byte()
         return bw.to_bytes()
 

@@ -526,16 +526,20 @@ def decode_vardct_still(cs: bytes, hdr: ImageHeader, fh, toc) -> np.ndarray:
 
 
 def encode_vardct_frame_into(bw: BitWriter, hdr: ImageHeader, fh,
-                             pixels: np.ndarray, distance: float) -> None:
+                             pixels: np.ndarray, distance: float,
+                             alpha: Optional[np.ndarray] = None) -> None:
     """Encode one VarDCT frame (header+TOC+sections) into bw.
 
     pixels: (H, W, 3) uint8/uint16 sRGB at the frame's size.
+    alpha: optional (H, W) int plane, coded as a lossless modular
+    extra channel.
     """
     from .vardct.enc_real import encode_vardct_real
     if pixels.dtype == np.uint16:
         pixels = (np.asarray(pixels) >> 8).astype(np.uint8)
+    # alpha stays at the extra channel's declared bit depth
     encode_vardct_real(pixels, distance=distance, fh=fh, hdr=hdr,
-                       into_bw=bw)
+                       into_bw=bw, alpha=alpha)
 
 
 DEFAULT_DC_QUANT = (1.0 / 4096, 1.0 / 512, 1.0 / 256)

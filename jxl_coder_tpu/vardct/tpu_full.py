@@ -474,6 +474,9 @@ def _build_fn(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
         all_tiles = (fam_tiles[0] if len(fam_tiles) == 1
                      else jnp.concatenate(fam_tiles, axis=0))
         ny, nx = H8 // 8, W8 // 8
+        # one dense 192-wide gather + transpose (a finer row-granular
+        # gather that skips the transpose measured 2.7x SLOWER on TPU:
+        # 8-wide gather rows starve the lanes)
         frame = jnp.take(all_tiles, perm_inv, axis=0)  # (ny*nx, 192)
         frame = frame.reshape(ny, nx, 3, 8, 8)
         frame = frame.transpose(2, 0, 3, 1, 4).reshape(3, H8, W8)

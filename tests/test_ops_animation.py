@@ -362,3 +362,36 @@ def test_random_access_cropped_blended_frames():
         got = img.get_frame(i)
         assert got.shape == frames[i].shape
         assert np.array_equal(got, frames[i]), f"frame {i} mismatch"
+
+
+def test_animated_lossy_alpha_and_ec_distance():
+    """Lossy animated frames keep alpha as an extra channel; the
+    per-extra-channel distance knob pre-quantizes it
+    (interop/JxlAnimatedEncoder.hpp:164-196 analogue)."""
+    from jxl_coder_tpu.animation import AnimatedEncoder, AnimatedImage
+    rng = np.random.default_rng(6)
+    frames = []
+    for k in range(2):
+        f = rng.integers(0, 256, (48, 64, 4)).astype(np.uint8)
+        f[:, :, 3] = np.repeat(np.arange(64)[None, :] * 4 % 256, 48,
+                               0).astype(np.uint8)
+        frames.append(f)
+    enc = AnimatedEncoder(64, 48, lossless=False, quality=90)
+    for f in frames:
+        enc.add_frame(f, 40)
+    data = enc.encode()
+    img = AnimatedImage(data)
+    out0 = img.get_frame(0)
+    assert out0.shape[2] == 4
+    assert np.array_equal(out0[:, :, 3], frames[0][:, :, 3])
+
+    encq = AnimatedEncoder(64, 48, lossless=False, quality=90,
+                           ec_distance=4.0)
+    for f in frames:
+        encq.add_frame(f, 40)
+    dataq = encq.encode()
+    assert len(dataq) < len(data)          # quantized alpha is cheaper
+    outq = AnimatedImage(dataq).get_frame(0)
+    err = np.abs(outq[:, :, 3].astype(int)
+                 - frames[0][:, :, 3].astype(int)).max()
+    assert 0 < err <= 8                     # bounded by the step
