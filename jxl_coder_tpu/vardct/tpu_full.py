@@ -373,11 +373,17 @@ def _filters_chain_device(X, Y, B, sigma, gab, epf_iters, gabw,
         H, W = Y.shape
         # cropped (true-size) planes: mirror-pad rows to a tile multiple
         # with >= 4 halo rows so the fused kernel's own edge handling
-        # never reads past correctly mirrored content, then crop back
+        # never reads past correctly mirrored content, then crop back.
+        # Target a 24-multiple: at 4K the old 8-multiple pad produced
+        # H = 2168 = 8 x 271 whose ONLY admissible tile is 8 rows —
+        # tiny tiles double the halo DMA traffic and cost ~2x on the
+        # whole filter chain.
         pad_h = 0
         if H % 8 or (-H) % 8 < 4:
-            padded = H + 4
-            padded += (-padded) % 8
+            padded = -(-(H + 4) // 24) * 24
+            if padded - H > H:          # tiny images: keep 8-multiples
+                padded = H + 4
+                padded += (-padded) % 8
             pad_h = padded - H
         tile = _fused_filters_ok(H + pad_h, W,
                                  f32_out=to_srgb_bits is None)
