@@ -90,6 +90,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_int32), c.POINTER(c.c_int32),
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,
         c.POINTER(c.c_int32)]
+    lib.encode_ac_tokens.restype = c.c_int64
+    lib.encode_ac_tokens.argtypes = [
+        c.POINTER(c.c_int32), c.c_int32,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int32),
+        c.c_int32, c.c_int32, c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
     lib.pack_family_i16.restype = c.c_int64
     lib.pack_family_i16.argtypes = [
         c.POINTER(c.c_int32), c.POINTER(c.c_int64),

@@ -664,6 +664,72 @@ int decode_ac_group_native(
 }
 
 // ---------------------------------------------------------------------
+// Encoder AC tokenization: the exact mirror of decode_ac_group_native's
+// context walk, emitting (ctx, value) token pairs for the entropy
+// writer (replaces the Python per-token loop in
+// vardct/enc_real._write_ac_tokens).
+// anchors_flat: 10 int32 per anchor [bx, by, cov, log2cov, size, cx,
+// cy, bctx_x, bctx_y, bctx_b]; vals at val_offs[i] hold 3*size int32
+// (channel-major X, Y, B) scan-ordered values.  Returns token count.
+int64_t encode_ac_tokens(
+    const int32_t* anchors_flat, int32_t n_anchors,
+    const int64_t* val_offs, const int32_t* vals,
+    int32_t xs_b, int32_t ys_b, int32_t num_ctxs,
+    int32_t* out_ctx, int32_t* out_val) {
+    std::vector<int32_t> nz_map((size_t)3 * ys_b * xs_b, 0);
+    static const int corder[3] = {1, 0, 2};
+    int64_t m = 0;
+    for (int32_t ai = 0; ai < n_anchors; ai++) {
+        const int32_t* a = anchors_flat + (size_t)ai * 10;
+        int bx = a[0], by = a[1], cov = a[2], log2cov = a[3];
+        int size = a[4], cx = a[5], cy = a[6];
+        int bctx_c[3] = {a[7], a[8], a[9]};
+        const int32_t* base = vals + val_offs[ai];
+        for (int ci = 0; ci < 3; ci++) {
+            int c = corder[ci];
+            int bctx = bctx_c[c];
+            const int32_t* v = base + (size_t)c * size;
+            int32_t* nzrow = nz_map.data() + (size_t)c * ys_b * xs_b;
+            int predicted;
+            if (by == 0)
+                predicted = bx == 0 ? 32 : nzrow[bx - 1];
+            else if (bx == 0)
+                predicted = nzrow[(by - 1) * xs_b + bx];
+            else
+                predicted = (nzrow[(by - 1) * xs_b + bx]
+                             + nzrow[by * xs_b + bx - 1] + 1) / 2;
+            if (predicted >= 64) predicted = 64;
+            int pctx = predicted < 8 ? predicted : 4 + predicted / 2;
+            int nz = 0;
+            for (int k = cov; k < size; k++) nz += v[k] != 0;
+            int spread = (nz + cov - 1) >> log2cov;
+            for (int yy = 0; yy < cy; yy++)
+                for (int xx = 0; xx < cx; xx++)
+                    nzrow[(by + yy) * xs_b + bx + xx] = spread;
+            out_ctx[m] = pctx * num_ctxs + bctx;
+            out_val[m] = nz;
+            m++;
+            int ctx_off = num_ctxs * 37 + 458 * bctx;
+            int prev = nz > (size >> 4) ? 0 : 1;
+            int nzeros = nz;
+            for (int k = cov; nzeros > 0; k++) {
+                int32_t val = v[k];
+                int nzl = (nzeros + cov - 1) >> log2cov;
+                int kk = k >> log2cov;
+                out_ctx[m] = ctx_off
+                    + (kCoeffNumNonzeroCtx[nzl] + kCoeffFreqCtx[kk]) * 2
+                    + prev;
+                out_val[m] = val >= 0 ? (val << 1) : ((-val) << 1) - 1;
+                m++;
+                prev = val != 0;
+                nzeros -= prev;
+            }
+        }
+    }
+    return m;
+}
+
+// ---------------------------------------------------------------------
 // Device-marshalling pack: gather one strategy family's coefficients
 // out of the flat BlockArrays layout into the dense (n, 3, nc) int16
 // tensor the TPU consumes, applying the static scan->basis

@@ -476,7 +476,17 @@ def _greedy_select(cands, cand_data, cost8, vals8, qf_map, ys_b, xs_b):
 
 def _write_ac_tokens(ts, acs_map, vals_map, xs_b, ys_b):
     """Mirror of read_pass_group's varblock walk: nonzero counts with
-    spread prediction, zero-density contexts with covered/log2cov."""
+    spread prediction, zero-density contexts with covered/log2cov.
+    Uses the native single-pass tokenizer when available (the Python
+    per-token loop below remains the oracle; tests cross-check)."""
+    try:
+        from .. import native as native_mod
+        if native_mod.get_lib() is not None:
+            _write_ac_tokens_native(native_mod.get_lib(), ts, acs_map,
+                                    vals_map, xs_b, ys_b)
+            return
+    except ImportError:
+        pass
     nz_map = np.zeros((3, ys_b, xs_b), np.int32)
     for by in range(ys_b):
         for bx in range(xs_b):
@@ -517,6 +527,41 @@ def _write_ac_tokens(ts, acs_map, vals_map, xs_b, ys_b):
                     prev = 1 if v else 0
                     nzeros -= prev
                     k += 1
+
+
+def _write_ac_tokens_native(lib, ts, acs_map, vals_map, xs_b, ys_b):
+    import ctypes
+    bys, bxs = np.nonzero(acs_map >= 0)
+    ids = acs_map[bys, bxs]
+    n = len(ids)
+    anchors = np.empty((max(n, 1), 10), np.int32)
+    offs = np.zeros(n + 1, np.int64)
+    sizes = np.asarray([STRATEGIES[int(s)].num_coeffs for s in ids],
+                       np.int64)
+    np.cumsum(3 * sizes, out=offs[1:])
+    vals_flat = np.empty(max(int(offs[-1]), 1), np.int32)
+    for i in range(n):
+        s = STRATEGIES[int(ids[i])]
+        anchors[i] = (int(bxs[i]), int(bys[i]), s.covered,
+                      s.log2_covered, s.num_coeffs, s.cx, s.cy,
+                      DEFAULT_CTX_MAP[1 * 13 + s.order_bucket],
+                      DEFAULT_CTX_MAP[0 * 13 + s.order_bucket],
+                      DEFAULT_CTX_MAP[2 * 13 + s.order_bucket])
+        chans = vals_map[(int(bys[i]), int(bxs[i]))]
+        off = int(offs[i])
+        sz = int(sizes[i])
+        for c in range(3):
+            vals_flat[off + c * sz: off + (c + 1) * sz] = chans[c]
+    cap = int(3 * n + (offs[-1] - 3 * n * 0))      # nz tokens + coeffs
+    out_ctx = np.empty(max(cap, 1), np.int32)
+    out_val = np.empty(max(cap, 1), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    m = lib.encode_ac_tokens(
+        anchors.ctypes.data_as(i32p), n,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals_flat.ctypes.data_as(i32p), xs_b, ys_b, NUM_CTXS,
+        out_ctx.ctypes.data_as(i32p), out_val.ctypes.data_as(i32p))
+    ts.tokens.extend(zip(out_ctx[:m].tolist(), out_val[:m].tolist()))
 
 
 def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
