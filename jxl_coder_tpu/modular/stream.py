@@ -219,6 +219,18 @@ def encode_channel(ts: TokenStream, tree: Tree, chan: Channel,
     eligible_prev = [p for (p, hs, vs) in prev_channels
                      if p.shape == (h, w)
                      and hs == chan.hshift and vs == chan.vshift]
+    try:
+        from .. import native as native_mod
+    except ImportError:
+        native_mod = None
+    if native_mod is not None:
+        toks = native_mod.encode_channel_tokens(
+            tree, data, chan_index, stream_id, wp_params,
+            eligible_prev, need_wp, max_prop)
+        if toks is not None:
+            ctxs, vals = toks
+            ts.tokens.extend(zip(ctxs.tolist(), vals.tolist()))
+            return
     for y in range(h):
         if wp is not None and y > 0:
             wp.new_row()

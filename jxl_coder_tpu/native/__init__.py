@@ -90,6 +90,15 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_int32), c.POINTER(c.c_int32),
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,
         c.POINTER(c.c_int32)]
+    lib.encode_channel_native.restype = c.c_int
+    lib.encode_channel_native.argtypes = [
+        c.POINTER(c.c_int32), c.c_int32,
+        c.POINTER(c.c_int32), c.c_int32, c.c_int32,
+        c.c_int32, c.c_int32,
+        c.POINTER(c.c_int32),
+        c.POINTER(c.POINTER(c.c_int64)), c.c_int32,
+        c.c_int32, c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
     lib.encode_ac_tokens.restype = c.c_int64
     lib.encode_ac_tokens.argtypes = [
         c.POINTER(c.c_int32), c.c_int32,
@@ -121,6 +130,45 @@ def get_lib() -> Optional[ctypes.CDLL]:
         else:
             _lib = _build_and_load()
     return _lib
+
+
+def encode_channel_tokens(tree, data, chan_index, stream_id, wp_params,
+                          prev_planes, use_wp, max_prop):
+    """Native mirror of modular/stream.encode_channel's per-pixel walk:
+    returns (ctx int32 array, packed-residual int32 array) or None when
+    the native library is unavailable or the walk hit an error."""
+    import numpy as np
+    lib = get_lib()
+    if lib is None:
+        return None
+    cols = []
+    for n in tree.nodes:
+        cols.append([n.property, n.splitval, n.left, n.right,
+                     n.predictor, n.offset, n.multiplier, n.ctx])
+    tree_a = np.asarray(cols, np.int32).reshape(-1)
+    wp_a = np.asarray([wp_params.p1, wp_params.p2, wp_params.p3a,
+                       wp_params.p3b, wp_params.p3c, wp_params.p3d,
+                       wp_params.p3e, wp_params.w0, wp_params.w1,
+                       wp_params.w2, wp_params.w3], np.int32)
+    h, w = data.shape
+    data32 = np.ascontiguousarray(data, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    prev64 = [np.ascontiguousarray(p, np.int64) for p in prev_planes]
+    PrevArr = i64p * max(1, len(prev64))
+    prev_ptrs = PrevArr(*[p.ctypes.data_as(i64p) for p in prev64]) \
+        if prev64 else PrevArr()
+    out_ctx = np.empty(h * w, np.int32)
+    out_val = np.empty(h * w, np.int32)
+    rc = lib.encode_channel_native(
+        tree_a.ctypes.data_as(i32p), len(tree.nodes),
+        data32.ctypes.data_as(i32p), w, h, chan_index, stream_id,
+        wp_a.ctypes.data_as(i32p), prev_ptrs, len(prev64),
+        1 if use_wp else 0, max_prop,
+        out_ctx.ctypes.data_as(i32p), out_val.ctypes.data_as(i32p))
+    if rc != 0:
+        return None
+    return out_ctx, out_val
 
 
 class NativeEntropy:

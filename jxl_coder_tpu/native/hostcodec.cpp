@@ -663,6 +663,120 @@ int decode_ac_group_native(
     return ctx->error | (ctx->br.overrun ? 16 : 0);
 }
 
+// Encode mirror of decode_channel_native: same MA-tree property walk
+// and predictors over KNOWN channel data, emitting (leaf ctx,
+// pack_signed residual) token pairs (replaces the Python per-pixel
+// loop that dominates WP-tree modular encoding).
+int encode_channel_native(
+    const int32_t* tree_flat, int32_t n_nodes,
+    const int32_t* data, int32_t w, int32_t h,
+    int32_t chan_index, int32_t stream_id,
+    const int32_t* wp_params,
+    const int64_t** prev_planes, int32_t n_prev,
+    int32_t use_wp, int32_t max_prop,
+    int32_t* out_ctx, int32_t* out_val) {
+    const int COLS = 8;
+    WPStateC wp;
+    if (use_wp) wp.init(wp_params, w);
+    int errflag = 0;
+    int64_t m = 0;
+    for (int y = 0; y < h; y++) {
+        if (use_wp && y > 0) wp.new_row();
+        int64_t prev_grad = 0;
+        for (int x = 0; x < w; x++) {
+            int64_t W = x > 0 ? data[y * w + x - 1]
+                       : (y > 0 ? data[(y - 1) * w + x] : 0);
+            int64_t N = y > 0 ? data[(y - 1) * w + x] : W;
+            int64_t NW = (x > 0 && y > 0) ? data[(y - 1) * w + x - 1] : W;
+            int64_t NE = (x + 1 < w && y > 0) ? data[(y - 1) * w + x + 1]
+                                              : N;
+            int64_t NN = y > 1 ? data[(y - 2) * w + x] : N;
+            int64_t WW = x > 1 ? data[y * w + x - 2] : W;
+            int64_t NEE = (x + 2 < w && y > 0) ? data[(y - 1) * w + x + 2]
+                                               : NE;
+            int64_t wp_pred = 0, wp_prop = 0;
+            if (use_wp) {
+                wp_pred = wp.predict(x, y, w, W, N, NW, NE, NN);
+                wp_prop = wp.prop;
+            }
+            int64_t grad = W + N - NW;
+            int node = 0;
+            if (max_prop >= 0) {
+                while (tree_flat[node * COLS + 0] >= 0) {
+                    int prop = tree_flat[node * COLS + 0];
+                    int64_t v;
+                    switch (prop) {
+                        case 0: v = chan_index; break;
+                        case 1: v = stream_id; break;
+                        case 2: v = y; break;
+                        case 3: v = x; break;
+                        case 4: v = N < 0 ? -N : N; break;
+                        case 5: v = W < 0 ? -W : W; break;
+                        case 6: v = N; break;
+                        case 7: v = W; break;
+                        case 8: v = W - prev_grad; break;
+                        case 9: v = grad; break;
+                        case 10: v = W - NW; break;
+                        case 11: v = NW - N; break;
+                        case 12: v = N - NE; break;
+                        case 13: v = N - NN; break;
+                        case 14: v = W - WW; break;
+                        case 15: v = wp_prop; break;
+                        default: {
+                            int pi = (prop - 16) >> 2;
+                            int sub = (prop - 16) & 3;
+                            if (pi < n_prev) {
+                                const int64_t* pp = prev_planes[pi];
+                                int64_t pv = pp[y * w + x];
+                                int64_t vleft = x ? pp[y * w + x - 1] : 0;
+                                int64_t vtop = y ? pp[(y - 1) * w + x]
+                                                 : vleft;
+                                int64_t vtl = (x && y)
+                                    ? pp[(y - 1) * w + x - 1] : vleft;
+                                int64_t vpred = clamped_gradient(
+                                    vtop, vleft, vtl);
+                                switch (sub) {
+                                    case 0: v = pv < 0 ? -pv : pv; break;
+                                    case 1: v = pv; break;
+                                    case 2: {
+                                        int64_t dvv = pv - vpred;
+                                        v = dvv < 0 ? -dvv : dvv;
+                                        break;
+                                    }
+                                    default: v = pv - vpred; break;
+                                }
+                            } else v = 0;
+                            break;
+                        }
+                    }
+                    node = (v > tree_flat[node * COLS + 1])
+                        ? tree_flat[node * COLS + 2]
+                        : tree_flat[node * COLS + 3];
+                }
+            }
+            prev_grad = grad;
+            int predictor = tree_flat[node * COLS + 4];
+            int64_t offset = tree_flat[node * COLS + 5];
+            int64_t multiplier = tree_flat[node * COLS + 6];
+            int leaf_ctx = tree_flat[node * COLS + 7];
+            int64_t pred = predict_one(predictor, W, N, NW, NE, NN, WW,
+                                       NEE, wp_pred, &errflag);
+            int64_t val = data[y * w + x];
+            int64_t diff = val - pred - offset;
+            if (multiplier != 1) {
+                if (diff % multiplier != 0) { errflag |= 32; }
+                diff = diff / multiplier;
+            }
+            out_ctx[m] = leaf_ctx;
+            out_val[m] = (int32_t)(diff >= 0 ? (diff << 1)
+                                             : ((-diff) << 1) - 1);
+            m++;
+            if (use_wp) wp.update(x, val);
+        }
+    }
+    return errflag;
+}
+
 // ---------------------------------------------------------------------
 // Encoder AC tokenization: the exact mirror of decode_ac_group_native's
 // context walk, emitting (ctx, value) token pairs for the entropy
