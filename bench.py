@@ -150,6 +150,16 @@ def main():
     assert len(outs) == KB and outs[0].shape[:2] == (H, W)
     e2e_mps = KB * W * H / bt / 1e6
 
+    # ---- lossy encode (device front end: XYB/DCT/RD on accelerator) --
+    crop = np.asarray(out[:512, :512, :3], np.uint8)
+    _ = api.encode(crop, lossless=False, quality=90)     # warm/compile
+    et = float("inf")
+    for _i in range(2):
+        t0 = time.perf_counter()
+        enc_bytes = api.encode(crop, lossless=False, quality=90)
+        et = min(et, time.perf_counter() - t0)
+    enc_mps = 512 * 512 / et / 1e6
+
     # ---- parse once, time device reconstruction on the real state ----
     cs = container_mod.extract_codestream(data).codestream
     br = BitReader(cs)
@@ -213,6 +223,8 @@ def main():
         "vs_baseline": round(stage_mps / target, 3),
         "end_to_end_mps": round(e2e_mps, 3),
         "end_to_end_single_mps": round(e2e_single_mps, 3),
+        "encode_512_mps": round(enc_mps, 3),
+        "encode_512_s": round(et, 3),
         "tunnel_h2d_mbps": round(h2d_mbps, 1),
         "tunnel_d2h_mbps": round(d2h_mbps, 1),
         "libjxl_1t_mps": round(m1, 1) if m1 else None,
