@@ -46,6 +46,19 @@ def test_icc_embed_roundtrip_byte_exact():
     assert out.shape == (40, 56, 3)
 
 
+def test_icc_embed_other_profiles():
+    """Arbitrary profiles (different sizes/headers) survive byte-exact
+    through the predicted-header + entropy-coded want_icc path."""
+    from PIL import ImageCms
+    for prof in (ImageCms.createProfile("LAB"),
+                 ImageCms.createProfile("XYZ")):
+        icc = ImageCms.ImageCmsProfile(prof).tobytes()
+        d = api.encode(_img(), lossless=True, icc=icc)
+        cs = C.extract_codestream(d).codestream
+        hdr = read_image_header(BitReader(cs))
+        assert hdr.metadata.icc_profile == icc, len(icc)
+
+
 def test_icc_lossy_converts_to_srgb():
     icc = _icc_bytes()
     yy, xx = np.mgrid[0:40, 0:56]
