@@ -198,21 +198,20 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
         values = [br.u32(*_U32_HUFF_VALUE) for _ in range(nsym)]
         d.huffman.append(JbrdHuffCode(is_ac, hid, is_last, counts,
                                       values))
-    # One component count for the whole scan section (scan 0 is always
-    # a full-component DC scan); per scan the count is derived: DC
-    # scans (Ss == 0) cover every component, AC scans exactly one —
-    # the only scripts libjxl's bundle can express.  Pinned by bit
-    # forensics on libjxl-0.7 progressive streams (round 3): field
-    # order is Ss, Se, Al, Ah (Al FIRST) and per-component order is
-    # (comp_idx, ac_tbl, dc_tbl).
-    ncomp_scan0 = br.u32(*_U32_COUNT4)
+    # Scan section, pinned by bit forensics on libjxl-0.7 streams
+    # (round 3, research/jbrd_prog_probe.py): EVERY scan leads with its
+    # component count (U32 Val(1..4)); field order is Ss, Se, Al, Ah
+    # (Al FIRST); per-component order is (comp_idx, ac_tbl, dc_tbl);
+    # reset points, then the single global restart interval after the
+    # first scan's resets, then a 2-bit field observed zero on every
+    # canonical stream (baseline byte-exactness pins its presence).
     for si in range(nscan):
         sc = JbrdScan(components=[])
+        ncomp = br.u32(*_U32_COUNT4)
         sc.Ss = br.u(6)
         sc.Se = br.u(6)
         sc.Al = br.u(4)
         sc.Ah = br.u(4)
-        ncomp = ncomp_scan0 if sc.Ss == 0 else 1
         for _ in range(ncomp):
             ci = br.u(2)
             ac = br.u(2)
@@ -223,37 +222,61 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
         for _ in range(nrst):
             last_block += br.u32(*_U32_BLOCK_IDX)
             sc.reset_points.append(last_block)
-        # the (single, global) restart interval sits between the first
-        # scan's reset points and its extra-zero-runs section (pinned
-        # by bit forensics on DRI streams, research/jbrd_diff.py)
         if not d.scans and 0xDD in d.marker_order:
             d.restart_interval = br.u(16)
-        # refinement-ZRL metadata: a 2-bit count was observed (the
-        # entry layout and the true distribution are unpinned — only
-        # the zero case round-trips); refuse nonzero rather than
-        # misparse everything after it
-        nezr = br.u(2)
-        if nezr:
-            raise JbrdError(
-                "progressive extra-zero-run metadata not supported")
         d.scans.append(sc)
-    # trailing per-AC-scan field (5 bits, zero on every canonical
-    # stream observed; meaning unpinned)
-    for sc in d.scans:
-        if sc.Ss > 0:
-            if br.u(5) != 0:
-                raise JbrdError(
-                    "nonzero progressive scan metadata not supported")
-    inter_lens = [br.u(16) for _ in range(ninter)]
-    tail_len = br.u32(*_U32_TAIL_LEN)
-    has_padding = bool(br.u(1))
-    if has_padding:
-        npad = br.u(24)
-        d.padding_bits = [br.u(1) for _ in range(npad)]
-    if br.u(2) != 0:
-        raise JbrdError("unexpected jbrd bundle extensions")
-    br.zero_pad_to_byte()
-    blob = brotli_ffi.decompress(payload[br.pos // 8:])
+    blob = None
+    tail_from_blob = False
+    save_pos = br.pos
+    try:
+        if br.u(2):
+            raise JbrdError("nonzero scan-section trailer")
+        inter_lens = [br.u(16) for _ in range(ninter)]
+        tail_len = br.u32(*_U32_TAIL_LEN)
+        has_padding = bool(br.u(1))
+        if has_padding:
+            npad = br.u(24)
+            d.padding_bits = [br.u(1) for _ in range(npad)]
+        if br.u(2) != 0:
+            raise JbrdError("unexpected jbrd bundle extensions")
+        br.zero_pad_to_byte()
+        blob = brotli_ffi.decompress(payload[br.pos // 8:])
+    except Exception as first_err:
+        # Progressive libjxl bundles carry a variable-length all-zero
+        # region between the scan list and the brotli blob whose exact
+        # field structure is unpinned.  The information it could carry
+        # is recoverable/ignorable for canonical streams (tail length
+        # falls out of the blob, padding is the all-ones default), so:
+        # verify the gap is all zero, locate the blob by trial
+        # decompression, and take the tail from the blob remainder.
+        if ninter:
+            raise
+        inter_lens = []
+        d.padding_bits = []
+        min_blob = sum(n + 1 for i, n in enumerate(app_lens)
+                       if d.app_marker_types[i] == APP_UNKNOWN) \
+            + sum(n + 1 for n in com_lens)
+        start_byte = -(-save_pos // 8)
+        blob = None
+        for k in range(start_byte, len(payload)):
+            br2 = BitReader(payload)
+            br2.pos = save_pos
+            bits_ok = all(br2.u(1) == 0
+                          for _ in range(k * 8 - save_pos))
+            if not bits_ok:
+                break
+            try:
+                cand = brotli_ffi.decompress(payload[k:])
+            except Exception:
+                continue
+            if len(cand) >= min_blob:
+                blob = cand
+                break
+        if blob is None:
+            raise JbrdError(
+                "unparseable jbrd trailing section") from first_err
+        tail_len = None
+        tail_from_blob = True
     pos = 0
     # payloads ride in marker_order traversal order
     app_i = com_i = inter_i = 0
@@ -286,6 +309,11 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
     d.app_data = app_payloads
     d.com_data = com_payloads
     d.inter_marker_data = inter_payloads
+    if tail_from_blob:
+        # trailing-section fallback: whatever the marker payloads did
+        # not consume is the after-EOI tail data
+        d.tail_data = blob[pos:]
+        return d
     d.tail_data = blob[pos:pos + tail_len]
     pos += tail_len
     if pos != len(blob):
@@ -329,18 +357,14 @@ def write_jbrd(d: JbrdData) -> bytes:
             _u32_write(bw, c, _U32_HUFF_COUNT)
         for v in h.values:
             _u32_write(bw, v, _U32_HUFF_VALUE)
-    # scan section (grammar pinned round 3; see parse_jbrd): one
-    # component count (scan 0), then per scan Ss/Se/Al/Ah + derived-
-    # count components in (idx, ac, dc) order
-    ncomp0 = len(d.scans[0].components) if d.scans else 1
-    _u32_write(bw, ncomp0, _U32_COUNT4)
+    # scan section (grammar pinned round 3; see parse_jbrd): per scan
+    # [count][Ss][Se][Al][Ah][comps (idx, ac, dc)][resets][ri?][2x0]
     for si, sc in enumerate(d.scans):
-        expect = ncomp0 if sc.Ss == 0 else 1
-        if len(sc.components) != expect:
+        if not 1 <= len(sc.components) <= 4:
             raise JbrdError(
-                "scan script not expressible in the jbrd bundle "
-                f"(scan {si}: {len(sc.components)} components, "
-                f"expected {expect})")
+                f"scan {si}: {len(sc.components)} components not "
+                "expressible in the jbrd bundle")
+        _u32_write(bw, len(sc.components), _U32_COUNT4)
         bw.u(sc.Ss, 6)
         bw.u(sc.Se, 6)
         bw.u(sc.Al, 4)
@@ -359,10 +383,10 @@ def write_jbrd(d: JbrdData) -> bytes:
         if sc.extra_zero_runs:
             raise JbrdError(
                 "progressive extra-zero-run metadata not supported")
-        bw.u(0, 2)
-    for sc in d.scans:
-        if sc.Ss > 0:
-            bw.u(0, 5)
+    # 2 zero bits lead the trailing section (pinned by baseline
+    # byte-exactness vs libjxl; the full progressive trailing-region
+    # grammar is still open — parse_jbrd skips it by brotli probing)
+    bw.u(0, 2)
     for b in d.inter_marker_data:
         bw.u(len(b), 16)
     _u32_write(bw, len(d.tail_data), _U32_TAIL_LEN)

@@ -2,11 +2,21 @@
 round-trip)."""
 
 import io
+import os
+import sys
 
 import numpy as np
 import pytest
 
 from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "research"))
+try:
+    import refjxl
+    HAVE_LIBJXL = True
+except Exception:
+    HAVE_LIBJXL = False
 
 from jxl_coder_tpu import api
 from jxl_coder_tpu.jpeg.parser import parse_jpeg, JpegError
@@ -183,3 +193,19 @@ def test_wire_subsampled_roundtrip(subsampling):
 def test_wire_subsampled_odd_size():
     jpeg = _jpeg(_img(h=43, w=51, noise=7), 70, subsampling=2)
     assert api.reconstruct_jpeg(api.construct(jpeg)) == jpeg
+
+
+@pytest.mark.skipif(not HAVE_LIBJXL, reason="system libjxl missing")
+@pytest.mark.parametrize("subsampling", [0, 2])
+def test_libjxl_progressive_reconstructs_byte_exact(subsampling):
+    """libjxl-constructed PROGRESSIVE files reconstruct byte-exactly
+    through our decoder (scan grammar + trailing-region skip pinned in
+    round 3; our canonical libjpeg re-encode reproduces the original
+    entropy bytes including refinement ZRLs and EOB runs)."""
+    buf = io.BytesIO()
+    Image.fromarray(_img(noise=8)).save(
+        buf, format="JPEG", quality=78, progressive=True,
+        subsampling=subsampling)
+    jpeg = buf.getvalue()
+    ljx = refjxl.jpeg_construct(jpeg)
+    assert api.reconstruct_jpeg(ljx) == jpeg
