@@ -199,12 +199,13 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
         d.huffman.append(JbrdHuffCode(is_ac, hid, is_last, counts,
                                       values))
     # Scan section, pinned by bit forensics on libjxl-0.7 streams
-    # (round 3, research/jbrd_prog_probe.py): EVERY scan leads with its
-    # component count (U32 Val(1..4)); field order is Ss, Se, Al, Ah
-    # (Al FIRST); per-component order is (comp_idx, ac_tbl, dc_tbl);
-    # reset points, then the single global restart interval after the
-    # first scan's resets, then a 2-bit field observed zero on every
-    # canonical stream (baseline byte-exactness pins its presence).
+    # (round 3, research/jbrd_prog_probe.py; ours->libjxl AND
+    # libjxl->ours progressive byte-exactness confirm it): EVERY scan
+    # leads with its component count (U32 Val(1..4)); field order is
+    # Ss, Se, Al, Ah (Al FIRST); per-component order is (comp_idx,
+    # ac_tbl, dc_tbl); then a 2-bit field observed zero on every
+    # canonical stream, then the single global restart interval after
+    # scan 0's field when DRI is present.
     for si in range(nscan):
         sc = JbrdScan(components=[])
         ncomp = br.u32(*_U32_COUNT4)
@@ -217,11 +218,8 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
             ac = br.u(2)
             dc = br.u(2)
             sc.components.append(JbrdScanComponent(ci, dc, ac))
-        last_block = 0
-        nrst = br.u32(*_U32_NUM_RESET)
-        for _ in range(nrst):
-            last_block += br.u32(*_U32_BLOCK_IDX)
-            sc.reset_points.append(last_block)
+        if br.u32(*_U32_NUM_RESET):
+            raise JbrdError("inline scan metadata not supported")
         if not d.scans and 0xDD in d.marker_order:
             d.restart_interval = br.u(16)
         d.scans.append(sc)
@@ -229,16 +227,21 @@ def parse_jbrd(payload: bytes, trace=None) -> JbrdData:
     tail_from_blob = False
     save_pos = br.pos
     try:
-        if br.u(2):
-            raise JbrdError("nonzero scan-section trailer")
+        # pooled per-scan [num_reset_points u32][num_extra_zero_runs
+        # u32] (entry layouts unpinned: nonzero counts raise), then
+        # tail length + padding.  NO extensions field (ours->libjxl
+        # progressive byte-exactness pins its absence).
+        for sc in d.scans:
+            if br.u32(*_U32_NUM_RESET) or br.u32(*_U32_NUM_EZR):
+                raise JbrdError(
+                    "reset-point / extra-zero-run entries not "
+                    "supported")
         inter_lens = [br.u(16) for _ in range(ninter)]
         tail_len = br.u32(*_U32_TAIL_LEN)
         has_padding = bool(br.u(1))
         if has_padding:
             npad = br.u(24)
             d.padding_bits = [br.u(1) for _ in range(npad)]
-        if br.u(2) != 0:
-            raise JbrdError("unexpected jbrd bundle extensions")
         br.zero_pad_to_byte()
         blob = brotli_ffi.decompress(payload[br.pos // 8:])
     except Exception as first_err:
@@ -373,20 +376,16 @@ def write_jbrd(d: JbrdData) -> bytes:
             bw.u(c.comp_idx, 2)
             bw.u(c.ac_tbl, 2)
             bw.u(c.dc_tbl, 2)
-        _u32_write(bw, len(sc.reset_points), _U32_NUM_RESET)
-        last = 0
-        for rp in sc.reset_points:
-            _u32_write(bw, rp - last, _U32_BLOCK_IDX)
-            last = rp
+        if sc.reset_points or sc.extra_zero_runs:
+            raise JbrdError(
+                "reset-point / extra-zero-run entries not supported")
+        bw.u(0, 2)                       # unknown per-scan field
         if si == 0 and 0xDD in d.marker_order:
             bw.u(d.restart_interval, 16)
-        if sc.extra_zero_runs:
-            raise JbrdError(
-                "progressive extra-zero-run metadata not supported")
-    # 2 zero bits lead the trailing section (pinned by baseline
-    # byte-exactness vs libjxl; the full progressive trailing-region
-    # grammar is still open — parse_jbrd skips it by brotli probing)
-    bw.u(0, 2)
+    # pooled per-scan reset/extra-zero-run counts (both empty)
+    for _sc in d.scans:
+        _u32_write(bw, 0, _U32_NUM_RESET)
+        _u32_write(bw, 0, _U32_NUM_EZR)
     for b in d.inter_marker_data:
         bw.u(len(b), 16)
     _u32_write(bw, len(d.tail_data), _U32_TAIL_LEN)
@@ -397,7 +396,9 @@ def write_jbrd(d: JbrdData) -> bytes:
             bw.u(bit, 1)
     else:
         bw.u(0, 1)
-    bw.u(0, 2)  # empty extensions u64
+    # no extensions field (pinned by ours->libjxl progressive
+    # byte-exactness: with one, libjxl rejects multi-scan bundles;
+    # single-scan bundles coincided bit-for-bit either way)
     bw.zero_pad_to_byte()
     blob = bytearray()
     app_i = com_i = inter_i = 0

@@ -209,3 +209,17 @@ def test_libjxl_progressive_reconstructs_byte_exact(subsampling):
     jpeg = buf.getvalue()
     ljx = refjxl.jpeg_construct(jpeg)
     assert api.reconstruct_jpeg(ljx) == jpeg
+
+
+@pytest.mark.skipif(not HAVE_LIBJXL, reason="system libjxl missing")
+def test_libjxl_reconstructs_our_progressive_construct():
+    """The full interop matrix: libjxl byte-exactly reconstructs OUR
+    progressive construct output (the trailing-section grammar —
+    pooled per-scan reset/EZR counts, no extensions field — pinned in
+    round 3)."""
+    buf = io.BytesIO()
+    Image.fromarray(_img(noise=8)).save(
+        buf, format="JPEG", quality=78, progressive=True)
+    jpeg = buf.getvalue()
+    jx = api.construct(jpeg)
+    assert refjxl.jpeg_reconstruct(jx) == jpeg
