@@ -110,6 +110,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_int32), c.POINTER(c.c_int64),
         c.POINTER(c.c_int32), c.c_int64, c.c_int32,
         c.POINTER(c.c_int32), c.POINTER(c.c_int16)]
+    lib.pack_family_i8.restype = c.c_int64
+    lib.pack_family_i8.argtypes = [
+        c.POINTER(c.c_int32), c.POINTER(c.c_int64),
+        c.POINTER(c.c_int32), c.c_int64, c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int8), c.c_int64,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
     lib.ans_stream_encode.restype = c.c_int64
     lib.ans_stream_encode.argtypes = [
         c.POINTER(c.c_int32), c.POINTER(c.c_int64), c.c_int64,

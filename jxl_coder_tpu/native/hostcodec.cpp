@@ -852,6 +852,42 @@ int64_t encode_ac_tokens(
 // profile showed prepare_families dominating at 4-9 s/4K-frame on the
 // 2-core host).  Returns the max |coefficient| seen (callers fall
 // back to the int32 path when it exceeds int16).
+// int8 variant: values outside int8 go into an exception list
+// (flat index into the (nsel, 3, nc) tensor + true value), the int8
+// slot holds 0 so the device applies them with one scatter-ADD.
+// Returns the exception count, or -1 when it exceeds cap (caller
+// falls back to the int16 pack).  Halves the host->device coefficient
+// upload — the dominant e2e term on transfer-limited links.
+int64_t pack_family_i8(const int32_t* coeffs, const int64_t* offs,
+                       const int32_t* sel, int64_t nsel, int32_t nc,
+                       const int32_t* perm,
+                       int8_t* out, int64_t cap,
+                       int32_t* fix_idx, int32_t* fix_val) {
+    int64_t nexc = 0;
+    for (int64_t i = 0; i < nsel; i++) {
+        const int32_t* src = coeffs + offs[sel[i]];
+        int8_t* dst = out + i * 3 * (int64_t)nc;
+        for (int c = 0; c < 3; c++) {
+            const int32_t* s = src + (int64_t)c * nc;
+            int8_t* dx = dst + (int64_t)c * nc;
+            int64_t base = (i * 3 + c) * (int64_t)nc;
+            for (int32_t j = 0; j < nc; j++) {
+                int32_t v = s[perm[j]];
+                if (v >= -128 && v <= 127) {
+                    dx[j] = (int8_t)v;
+                } else {
+                    if (nexc >= cap) return -1;
+                    fix_idx[nexc] = (int32_t)(base + j);
+                    fix_val[nexc] = v;
+                    nexc++;
+                    dx[j] = 0;
+                }
+            }
+        }
+    }
+    return nexc;
+}
+
 int64_t pack_family_i16(const int32_t* coeffs, const int64_t* offs,
                         const int32_t* sel, int64_t nsel, int32_t nc,
                         const int32_t* perm,  // len nc: out[j]=in[perm[j]]

@@ -81,13 +81,16 @@ def _special_resp(lf, sid, c):
 
 
 def _pack_family(ba, sel, nc, P, n_pad):
-    """Gather one family's coefficients into (n_pad, 3, nc) int16 with
-    the permutation P applied (out[j] = in[P[j]]), via the native
-    single-pass pack when available; returns (tensor, max|v|)."""
+    """Gather one family's coefficients into (n_pad, 3, nc) with the
+    permutation P applied (out[j] = in[P[j]]).  Preferred form: int8
+    plus a short exception list (flat index, value) applied on device
+    with one scatter-add — halves the h2d bytes again vs int16.
+    Returns (tensor, fixes-or-None, max|v|); fixes is (idx int32,
+    val int32) padded to a power-of-two bucket with harmless
+    (0, 0) entries."""
     n = len(sel)
-    out = np.zeros((n_pad, 3, nc), np.int16)
     if not n:
-        return out, 0
+        return np.zeros((n_pad, 3, nc), np.int16), None, 0
     lib = None
     if ba.coeffs.dtype == np.int32:
         from .. import native as native_mod
@@ -100,19 +103,42 @@ def _pack_family(ba, sel, nc, P, n_pad):
         sel32 = np.ascontiguousarray(sel, np.int32)
         offs = np.ascontiguousarray(ba.offs, np.int64)
         P32 = np.ascontiguousarray(P, np.int32)
+        # exceptions beyond ~1.5% of the blocks stop paying for the
+        # scatter: fall back to int16
+        cap = max(32, (n * 3 * nc) // 256)
+        out8 = np.zeros((n_pad, 3, nc), np.int8)
+        fix_idx = np.zeros(cap, np.int32)
+        fix_val = np.zeros(cap, np.int32)
+        nexc = lib.pack_family_i8(
+            co.ctypes.data_as(i32p),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sel32.ctypes.data_as(i32p), n, int(nc),
+            P32.ctypes.data_as(i32p),
+            out8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            cap, fix_idx.ctypes.data_as(i32p),
+            fix_val.ctypes.data_as(i32p))
+        if nexc >= 0:
+            if nexc == 0:
+                return out8, None, 127
+            e_pad = max(8, 1 << (int(nexc) - 1).bit_length())
+            if e_pad <= cap:
+                return out8, (fix_idx[:e_pad].copy(),
+                              fix_val[:e_pad].copy()), 127
+        out = np.zeros((n_pad, 3, nc), np.int16)
         mx = lib.pack_family_i16(
             co.ctypes.data_as(i32p),
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             sel32.ctypes.data_as(i32p), n, int(nc),
             P32.ctypes.data_as(i32p),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
-        return out, int(mx)
+        return out, None, int(mx)
     src = ba.offs[sel][:, None] + np.arange(3 * nc, dtype=np.int64)
     raw = ba.coeffs[src].reshape(n, 3, nc)
     mx = int(np.abs(raw).max(initial=0))
+    out = np.zeros((n_pad, 3, nc), np.int16)
     if mx < 32768:
         out[:n] = raw[:, :, P]
-    return out, mx
+    return out, None, mx
 
 
 def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
@@ -187,7 +213,7 @@ def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
             B = S.scan_to_basis(sid)
             P = np.empty(K, np.int32)
             P[B] = np.arange(K, dtype=np.int32)
-        cmat, mx = _pack_family(ba, sel, nc, P, n_pad)
+        cmat, fixes, mx = _pack_family(ba, sel, nc, P, n_pad)
         if mx >= 32768:
             # rare (multi-pass shifted coefficients): int32 fallback
             src = (ba.offs[sel][:, None]
@@ -195,6 +221,7 @@ def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
             raw = ba.coeffs[src].reshape(n, 3, nc)
             cmat = np.zeros((n_pad, 3, K), np.int32)
             cmat[:n] = raw[:, :, P]
+            fixes = None
 
         if special:
             resp = np.stack([_special_resp(lf, sid, c).astype(np.float32)
@@ -207,6 +234,8 @@ def prepare_families(lf, fh, blocks_global, qf_map: np.ndarray,
                             for c in range(3)])
             fam = dict(cmat=cmat, tab=tab, bys=bys, bxs=bxs,
                        inv_qac=inv_qac, xf=xf, bf=bf)
+        if fixes is not None:
+            fam["fix_idx"], fam["fix_val"] = fixes
         desc.append((sid, n_pad, bh, bw, cov, special))
         args.append(fam)
         # destination tile indices for the one-gather frame assembly
@@ -273,6 +302,17 @@ def _inv_matrix(bh: int, bw: int) -> np.ndarray:
     return R[:, cols].astype(np.float32)
 
 
+def _with_fixes(vals_int, fam):
+    """Apply the int8 pack's exception list (scatter-ADD of the true
+    values at flat indices; pad entries are (0, 0) and harmless)."""
+    import jax.numpy as jnp
+    if "fix_idx" not in fam:
+        return vals_int
+    flat = vals_int.reshape(-1).astype(jnp.int32)
+    flat = flat.at[fam["fix_idx"]].add(fam["fix_val"])
+    return flat.reshape(vals_int.shape)
+
+
 def _bias_device(vals_int):
     """AdjustQuantBias on device (f32): vals_int (n, 3, K) ints ->
     bias-adjusted float32.  Matches the host float64-LUT path to f32
@@ -302,7 +342,8 @@ def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
     gx = jnp.clip(bxs, 0, dc_glob.shape[2] - 1)
 
     if special:
-        vals, resp = _bias_device(fam["vals"]), fam["resp"]
+        vals = _bias_device(_with_fixes(fam["vals"], fam))
+        resp = fam["resp"]
         resp_y_def = fam["resp_y_def"]
         acY = jnp.einsum("ns,syx->nyx", vals[:, 1, 1:], resp_y_def[1:],
                          precision=hi) * inv_qac[:, None, None]
@@ -320,9 +361,10 @@ def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
     else:
         cy, cx = STRATEGIES[sid].cy, STRATEGIES[sid].cx
         tab = fam["tab"]
-        # cmat arrives basis-ordered int16/int32 (host applied the
-        # scan->basis permutation); only the elementwise bias runs here
-        cmat = _bias_device(fam["cmat"])
+        # cmat arrives basis-ordered int8/int16/int32 (host applied the
+        # scan->basis permutation); the int8 exception scatter and the
+        # elementwise bias run here
+        cmat = _bias_device(_with_fixes(fam["cmat"], fam))
         deq = cmat * (tab[None] * qm[None, :, None]) \
             * inv_qac[:, None, None]
         dY = deq[:, 1]

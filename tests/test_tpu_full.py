@@ -112,3 +112,26 @@ def test_decode_batch_pipelined(monkeypatch):
         ref, _ = api.decode(data)
         assert out.shape == ref.shape
         assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_device_int8_exception_path(monkeypatch):
+    """Values beyond int8 must flow through the exception scatter: a
+    high-contrast image at tiny distance produces coefficients in the
+    hundreds."""
+    monkeypatch.setenv("JXL_TPU_DEVICE", "1")
+    monkeypatch.setenv("JXL_TPU_DEVICE_STRICT", "1")
+    from jxl_coder_tpu import api
+    from jxl_coder_tpu.vardct.enc_real import encode_vardct_real
+    yy, xx = np.mgrid[0:64, 0:128]
+    img = np.clip(128 + 127 * np.sin(yy / 3.2) * np.sin(xx / 3.5),
+                  0, 255).astype(np.uint8)
+    img = np.stack([img, img, img], -1)
+    # coefficients reach ~670 here: several families take the int8 +
+    # exception-scatter form, one falls back to int16 (verified by the
+    # probe in the commit message)
+    data = encode_vardct_real(img, distance=0.1, effort=3)
+    monkeypatch.setenv("JXL_TPU_DEVICE", "0")
+    host, _ = api.decode(data)
+    monkeypatch.setenv("JXL_TPU_DEVICE", "1")
+    dev, _ = api.decode(data)
+    assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
