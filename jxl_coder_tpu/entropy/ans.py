@@ -438,6 +438,51 @@ def counts_items(counts):
     return list(enumerate(counts))
 
 
+def estimate_ans_distribution_bits(counts: List[int],
+                                   num_tokens: int = 0) -> float:
+    """Header size (bits) a write_ans_distribution call would emit,
+    without building a stream.  Used by histogram clustering, where
+    merge decisions need a size, not bytes; a coarser shift grid than
+    the real writer keeps it fast (the estimate being a few bits high
+    only makes a merge marginally more/less attractive — any clustering
+    yields a valid stream)."""
+    nz = [(s, c) for s, c in enumerate(counts) if c > 0]
+    if len(nz) == 1:
+        return 2 + _u8_bits(nz[0][0])
+    if len(nz) == 2:
+        return 2 + _u8_bits(nz[0][0]) + _u8_bits(nz[1][0]) + 12
+    if counts == flat_counts(len(counts)):
+        return 2 + _u8_bits(len(counts) - 1)
+    import math
+    alphabet_size = len(counts)
+    while alphabet_size > 3 and counts[alphabet_size - 1] == 0:
+        alphabet_size -= 1
+    alphabet_size = max(alphabet_size, 3)
+    c2 = list(counts[:alphabet_size]) + [0] * (alphabet_size
+                                               - len(counts))
+    best = None
+    for shift in (1, 3, 5, 7, 9, 11, 13):
+        res = _quantize_for_shift(c2, shift)
+        if res is None:
+            continue
+        q, omit = res
+        runs = _rle_runs(q, omit)
+        # 2 flag bits + <=4-bit shift token + u8 alphabet size
+        hdr = (_complex_cost_bits(q, omit, runs, shift) + 6
+               + _u8_bits(alphabet_size - 3))
+        kl = 0.0
+        for c, c2q in zip(c2, q):
+            if c > 0:
+                if c2q <= 0:
+                    kl = math.inf
+                    break
+                kl += (c / ANS_TAB_SIZE) * math.log2(c / c2q)
+        total = hdr + max(0.0, kl) * num_tokens
+        if best is None or total < best[0]:
+            best = (total, hdr)
+    return float(best[1]) if best else 6.0 * alphabet_size + 40.0
+
+
 # --------------------------------------------------------------------------
 # Alias table
 

@@ -278,29 +278,39 @@ def cluster_histograms(hists: List[dict], max_clusters: int = 24):
             # alphabet beyond the ANS distribution form (prefix-code
             # backend): header-size estimate is enough for merging
             return 6.0 * len(h) + 40.0
-        bw = BitWriter()
         counts = _ans.normalize_counts([h.get(s, 0)
                                         for s in range(max(h) + 1)])
-        _ans.write_ans_distribution(bw, counts,
-                                    num_tokens=sum(h.values()))
-        return float(bw.bit_pos)
+        return _ans.estimate_ans_distribution_bits(
+            counts, num_tokens=sum(h.values()))
 
     groups = [dict(h) for h in seed_h]
     bits = [hist_bits(h) for h in groups]
     cost = [_hist_cost(h) for h in groups]
     remap = list(range(len(groups)))
     alive = [True] * len(groups)
+    pair_cache = {}   # (i,j) i<j -> (delta, merged); only the merged
+    # cluster's pairs change between iterations
+
+    def pair_delta(i, j):
+        key = (i, j) if i < j else (j, i)
+        e = pair_cache.get(key)
+        if e is None:
+            m = dict(groups[i])
+            for s, c in groups[j].items():
+                m[s] = m.get(s, 0) + c
+            delta = (_hist_cost(m) - cost[i] - cost[j]) \
+                - (bits[i] + bits[j] - hist_bits(m))
+            e = (delta, m)
+            pair_cache[key] = e
+        return e
+
     while sum(alive) > 1:
         best = (0.0, None)
         live = [i for i in range(len(groups)) if alive[i]]
         for ai in range(len(live)):
             for bi in range(ai + 1, len(live)):
                 i, j = live[ai], live[bi]
-                m = dict(groups[i])
-                for s, c in groups[j].items():
-                    m[s] = m.get(s, 0) + c
-                delta = (_hist_cost(m) - cost[i] - cost[j]) \
-                    - (bits[i] + bits[j] - hist_bits(m))
+                delta, m = pair_delta(i, j)
                 if delta < best[0]:
                     best = (delta, (i, j, m))
         if best[1] is None:
@@ -310,6 +320,8 @@ def cluster_histograms(hists: List[dict], max_clusters: int = 24):
         bits[i] = hist_bits(m)
         cost[i] = _hist_cost(m)
         alive[j] = False
+        pair_cache = {k: v for k, v in pair_cache.items()
+                      if i not in k and j not in k}
         for k in range(len(remap)):
             if remap[k] == j:
                 remap[k] = i
