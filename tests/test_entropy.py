@@ -204,3 +204,31 @@ def test_token_stream_roundtrip_multi_context():
     for c, v in tokens:
         assert dec.read(c) == v
     assert dec.check_final_state()
+
+
+def test_estimate_ans_distribution_bits_tracks_writer():
+    """The clustering size estimate must stay close to the real wire
+    size across distribution shapes (simple forms exact, complex form
+    within a handful of bits — it searches a coarser shift grid)."""
+    rng = random.Random(11)
+    cases = []
+    # simple: single symbol, pair, flat
+    cases.append([A.ANS_TAB_SIZE] + [0] * 7)
+    cases.append([0, 700, A.ANS_TAB_SIZE - 700] + [0] * 5)
+    cases.append(A.flat_counts(11))
+    # complex: geometric-ish, noisy, sparse tails
+    for _ in range(12):
+        n = rng.randint(4, 64)
+        h = [max(0, int(1000 * (0.6 ** i) + rng.randint(-20, 20)))
+             for i in range(n)]
+        if sum(h) == 0:
+            h[0] = 5
+        cases.append(A.normalize_counts(h))
+    for counts in cases:
+        ntok = sum(counts) // 8
+        est = A.estimate_ans_distribution_bits(counts, num_tokens=ntok)
+        bw = BitWriter()
+        A.write_ans_distribution(bw, list(counts), num_tokens=ntok)
+        real = bw.bit_pos
+        assert abs(est - real) <= max(12, 0.15 * real), \
+            (counts[:8], est, real)
