@@ -287,7 +287,7 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
     # effort semantics (JxlEffort.kt 1-10 -> JXL_ENC_FRAME_SETTING_
     # EFFORT, jxl/encode.h:132-138): every step buys real search depth —
     #   1           no colour decorrelation, fixed gradient predictor
-    #   2           + RCT (YCoCg)
+    #   2           + RCT (YCoCg), kept only when it wins
     #   3..6        + learned MA tree, leaf budget 6/10/16/24
     #   7           + RCT on/off search (pick the smaller stream)
     #   8           + alternative RCT subtypes {6, 0}
@@ -317,9 +317,12 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
     elif eff == 1:
         body = enc(False, None)
     elif eff == 2:
-        body = enc(True, None)
+        # RCT is not a free win (modulo/gradient synthetics compress
+        # better untouched): keep the better of RCT/no-RCT so the
+        # ladder never loses to effort 1
+        body = min(enc(True, None), enc(False, None), key=len)
     elif eff <= 6:
-        body = enc(True, learn(True))
+        body = min(enc(True, learn(True)), enc(False, None), key=len)
     else:
         rct_types = {7: [6], 8: [6, 0],
                      9: [6, 0, 1, 2, 3, 4, 5],

@@ -238,6 +238,7 @@ def test_lossless_effort_ladder():
         out, _ = api.decode(d)
         assert np.array_equal(out, img), e
         sizes[e] = len(d)
+    assert sizes[3] <= sizes[1]   # e2+ keep the no-RCT fallback
     assert sizes[5] <= sizes[3]
     assert sizes[7] <= sizes[5]
     assert sizes[10] <= sizes[7]
