@@ -785,6 +785,8 @@ def fused_real_filters3(X: jnp.ndarray, Y: jnp.ndarray, B: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(X, Y, B, aux)
 
 

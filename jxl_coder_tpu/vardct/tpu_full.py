@@ -288,6 +288,26 @@ def _epf2_device(X, Y, B, sigma_map, sigma_scale):
 
 
 @functools.lru_cache(maxsize=None)
+def _inv_matrix_bigc(bh: int, bw: int) -> np.ndarray:
+    """(3K, T*192) block-diagonal-over-channels inverse transform whose
+    output columns are already flat 8x8 tile rows in (tile, c, py, px)
+    order: tiles = cm3.reshape(n, 3K) @ Big lands in the exact
+    all_tiles row layout, removing the (n, 3, T, 64) -> (n, T, 3, 64)
+    transpose pair that cost 1.25 ms/frame at 4K.  3x the matmul FLOPs
+    of the per-channel form, which wins while the op stays
+    bandwidth-bound (K <= 256; larger families keep the per-channel
+    einsum + transpose)."""
+    R = _inv_matrix(bh, bw)
+    K = bh * bw
+    T = K // 64
+    big = np.zeros((3, K, T, 3, 64), np.float32)
+    Rr = R.reshape(K, T, 64)
+    for c in range(3):
+        big[c, :, :, c, :] = Rr
+    return big.reshape(3 * K, T * 192)
+
+
+@functools.lru_cache(maxsize=None)
 def _inv_matrix(bh: int, bw: int) -> np.ndarray:
     """(K, K) full 2D inverse transform: kron of the 1D cosine bases,
     built in float64 and cast once.  Row index = basis (k, l); columns
@@ -375,13 +395,19 @@ def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
         anX = jnp.asarray(S.ana_basis(cx).astype(np.float32))
         rs = jnp.asarray(np.outer(S.resample_vec(cy),
                                   S.resample_vec(cx)).astype(np.float32))
+        # NOTE on this gather: it costs ~766 us/frame for the 16x16
+        # family at 4K (3-float strided rows), but both attempted
+        # reformulations measured far worse — a dense windowed
+        # pre-gather tensor 2x slower, vmapped dynamic_slice rows 7x
+        # slower.  XLA's advanced-index lowering is the best known.
         dyi = jnp.arange(cy)
         dxi = jnp.arange(cx)
         giy = jnp.clip(gy[:, None, None] + dyi[None, :, None],
                        0, dc_glob.shape[1] - 1)
         gix = jnp.clip(gx[:, None, None] + dxi[None, None, :],
                        0, dc_glob.shape[2] - 1)
-        dcb = dc_glob[:, giy, gix]                     # (3, n, cy, cx)
+        dcb = dc_glob.at[:, giy, gix].get(
+            mode="promise_in_bounds")                  # (3, n, cy, cx)
         llf = jnp.einsum("ky,cnyx,lx->cnkl", anY, dcb, anX,
                          precision=hi) * rs
         cm3 = cm3.reshape(n_pad, 3, bh, bw).at[:, :, :cy, :cx].set(
@@ -389,11 +415,17 @@ def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
         # single MXU matmul: the full 2D inverse transform is the
         # Kronecker product of the two cosine bases, columns already in
         # tile order
-        Rm = jnp.asarray(_inv_matrix(bh, bw))
         sh, sw = bh // 8, bw // 8
         T = sh * sw
-        tiles = jnp.einsum("nck,kp->ncp", cm3.reshape(n_pad, 3, bh * bw),
-                           Rm, precision=hi)
+        K = bh * bw
+        if T > 1 and K <= 256:
+            Big = jnp.asarray(_inv_matrix_bigc(bh, bw))
+            tiles = jnp.einsum("nk,kp->np", cm3.reshape(n_pad, 3 * K),
+                               Big, precision=jax.lax.Precision.HIGH)
+            return tiles.reshape(n_pad * T, 192)
+        Rm = jnp.asarray(_inv_matrix(bh, bw))
+        tiles = jnp.einsum("nck,kp->ncp", cm3.reshape(n_pad, 3, K),
+                           Rm, precision=jax.lax.Precision.HIGH)
         tiles = tiles.reshape(n_pad, 3, T, 64).transpose(0, 2, 1, 3)
         return tiles.reshape(n_pad * T, 192)
 
@@ -522,12 +554,22 @@ def _build_fn(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
         all_tiles = (fam_tiles[0] if len(fam_tiles) == 1
                      else jnp.concatenate(fam_tiles, axis=0))
         ny, nx = H8 // 8, W8 // 8
-        # one dense 192-wide gather + transpose (a finer row-granular
-        # gather that skips the transpose measured 2.7x SLOWER on TPU:
-        # 8-wide gather rows starve the lanes)
-        frame = jnp.take(all_tiles, perm_inv, axis=0)  # (ny*nx, 192)
-        frame = frame.reshape(ny, nx, 3, 8, 8)
-        frame = frame.transpose(2, 0, 3, 1, 4).reshape(3, H8, W8)
+        # one dense 192-wide gather (hinted: perm_inv is a permutation
+        # subset), then detile via 24 strided (c, py) slices + stack +
+        # row-permuting transpose.  The direct 5D transpose
+        # (ny, nx, 3, 8, 8) -> (3, ny, 8, nx, 8) interleaves the nx
+        # axis into lanes and measured 6.6 ms alone at 4K; this
+        # decomposition measures 4.3 ms INCLUDING the gather
+        # (research/detile_probe.py).  A finer row-granular gather that
+        # skips the transpose was 2.7x slower (8-wide rows starve the
+        # lanes), and a Pallas strided-DMA detile crashed the Mosaic
+        # server-side compiler.
+        g = all_tiles.at[perm_inv].get(unique_indices=True,
+                                       mode="promise_in_bounds")
+        g = g.reshape(ny, nx, 3, 8, 8)
+        rows = [g[:, :, c, py, :] for c in range(3) for py in range(8)]
+        st = jnp.stack(rows, axis=0).reshape(3, 8, ny, W8)
+        frame = st.transpose(0, 2, 1, 3).reshape(3, H8, W8)
         planes = [frame[0], frame[1], frame[2]]
         if (gab or epf_iters >= 1) and (crop_h < H8 or crop_w < W8):
             # filter at the TRUE image size with Mirror() borders (the
