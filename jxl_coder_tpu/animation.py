@@ -367,7 +367,7 @@ def decode_frames_batch(img: "AnimatedImage", indices=None,
     # path below understands only the round-1 private payload; real-
     # format frames (the current encoder output) reconstruct per frame
     # — host entropy stages in a thread pool (GIL-released native
-    # loops), device reconstruction when JXL_TPU_DEVICE=1
+    # loops), device reconstruction when a TPU is attached
     legacy = all(
         VF.is_legacy_vardct_payload(hdr, img.frames[i].header,
                                     img.frames[i].toc)

@@ -371,8 +371,9 @@ def decode(data: bytes):
     pixels: uint8/uint16 (H, W, C) with C in 1/3/4.  Both coding paths
     are supported: Modular (bit-exact lossless) and full VarDCT
     (multi-size DCT, CfL, gaborish/EPF, patches, splines, noise,
-    progressive DC/AC, upsampling, ICC); with JXL_TPU_DEVICE=1 the
-    post-entropy VarDCT reconstruction runs on the TPU.
+    progressive DC/AC, upsampling, ICC); the post-entropy VarDCT
+    reconstruction runs on the TPU automatically when an accelerator
+    is attached (JXL_TPU_DEVICE=0/1 force-overrides).
     """
     import numpy as np
     from .bitstream.reader import BitReader

@@ -35,11 +35,26 @@ from .dec_real import (KINV_SIGMA, EPF_CHANNEL_SCALE, EPF_SIGMA_PER,
 _PAD_SENTINEL = 1 << 20
 
 
+@functools.lru_cache(maxsize=1)
+def _accelerator_present() -> bool:
+    """True when the default JAX backend is an accelerator (TPU/GPU)."""
+    try:
+        import jax
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def device_enabled() -> bool:
-    """Device reconstruction is opt-in: JXL_TPU_DEVICE=1 (the host
-    path stays the bit-exactness reference and is faster for one-shot
-    small images over the device tunnel)."""
-    return os.environ.get("JXL_TPU_DEVICE", "0") not in ("", "0")
+    """Device reconstruction runs automatically when an accelerator is
+    attached — matching the reference, where the threaded codec path is
+    simply *the* decode path (interop/JxlDecoding.cpp:46-60).
+    JXL_TPU_DEVICE=0/1 force-overrides either way (the host path stays
+    the bit-exactness reference)."""
+    env = os.environ.get("JXL_TPU_DEVICE")
+    if env is not None and env != "":
+        return env != "0"
+    return _accelerator_present()
 
 
 def _bucket(n: int) -> int:

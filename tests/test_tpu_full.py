@@ -135,3 +135,32 @@ def test_device_int8_exception_path(monkeypatch):
     monkeypatch.setenv("JXL_TPU_DEVICE", "1")
     dev, _ = api.decode(data)
     assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
+
+
+def test_device_dispatch_default(monkeypatch):
+    """With JXL_TPU_DEVICE unset, the device path is THE path whenever
+    an accelerator backend is attached (host fallback on CPU-only
+    hosts); the env var remains a force-override both ways.  Mirrors
+    the reference, where the threaded codec path is simply the decode
+    path (interop/JxlDecoding.cpp:46-60)."""
+    from jxl_coder_tpu.vardct import tpu_full as TF
+    monkeypatch.delenv("JXL_TPU_DEVICE", raising=False)
+
+    monkeypatch.setattr(TF, "_accelerator_present", lambda: True)
+    assert TF.device_enabled()
+    monkeypatch.setattr(TF, "_accelerator_present", lambda: False)
+    assert not TF.device_enabled()
+
+    # overrides beat autodetect in both directions
+    monkeypatch.setenv("JXL_TPU_DEVICE", "1")
+    assert TF.device_enabled()
+    monkeypatch.setattr(TF, "_accelerator_present", lambda: True)
+    monkeypatch.setenv("JXL_TPU_DEVICE", "0")
+    assert not TF.device_enabled()
+
+
+def test_device_dispatch_autodetect_cpu():
+    """Under the CPU-forced test harness, autodetect resolves False."""
+    from jxl_coder_tpu.vardct import tpu_full as TF
+    TF._accelerator_present.cache_clear()
+    assert TF._accelerator_present() is False
