@@ -147,10 +147,31 @@ class _LearnData:
 
 def wp_planes(D: np.ndarray):
     """Sequential weighted-predictor pass over known data: returns the
-    WP prediction plane and the property-15 plane.  O(h*w) Python —
-    keep to small channels (DC images, metadata)."""
+    WP prediction plane and the property-15 plane.  Native C++ when
+    available (the pass is inherently sequential; it was the encoder's
+    hottest host loop at ~0.3 s per 512^2 frame), Python fallback
+    below stays the oracle."""
     from .predict import WPState, WPParams
     h, w = D.shape
+    try:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+    except ImportError:
+        lib = None
+    if lib is not None and h > 0 and w > 0:
+        import ctypes
+        p = WPParams()
+        wp_a = np.asarray([p.p1, p.p2, p.p3a, p.p3b, p.p3c, p.p3d,
+                           p.p3e, p.w0, p.w1, p.w2, p.w3], np.int32)
+        D64 = np.ascontiguousarray(D, np.int64)
+        pred = np.empty((h, w), np.int64)
+        prop = np.empty((h, w), np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.wp_forward(
+            D64.ctypes.data_as(i64p), w, h,
+            wp_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pred.ctypes.data_as(i64p), prop.ctypes.data_as(i64p))
+        return pred, prop
     wp = WPState(WPParams(), w)
     pred = np.zeros((h, w), np.int64)
     prop = np.zeros((h, w), np.int64)
@@ -223,7 +244,9 @@ def _best_leaf(data: _LearnData, idx: np.ndarray) -> Tuple[int, float]:
 
 def _learn_node(data: _LearnData, idx: np.ndarray, leaves_left: List[int],
                 split_penalty: float, props_allowed: Sequence[int],
-                n_buckets: int = 32):
+                n_buckets: int = 16):
+    # n_buckets=16 halves the split-search cost vs 32 for a measured
+    # +0.13% lossless / +-0 lossy rate on the photo probes
     pred, leaf_cost = _best_leaf(data, idx)
     node = _TmpNode(predictor=pred)
     if leaves_left[0] < 2 or len(idx) < 64:

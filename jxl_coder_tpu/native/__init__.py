@@ -84,6 +84,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         c.c_int32, c.c_int32, c.POINTER(c.c_int32),
         c.POINTER(c.POINTER(c.c_int64)), c.c_int32,
         c.c_int32, c.c_int32]
+    lib.wp_forward.restype = None
+    lib.wp_forward.argtypes = [
+        c.POINTER(c.c_int64), c.c_int32, c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int64),
+        c.POINTER(c.c_int64)]
     lib.decode_ac_group_native.restype = c.c_int
     lib.decode_ac_group_native.argtypes = [
         c.c_void_p, c.POINTER(c.c_int32), c.c_int32,

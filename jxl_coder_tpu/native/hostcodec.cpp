@@ -468,6 +468,32 @@ static inline int64_t predict_one(int p, int64_t W, int64_t N, int64_t NW,
     return 0;
 }
 
+// Forward weighted-predictor pass over KNOWN data (encoder-side MA
+// learning; cf. modular/learn.py wp_planes): fills the WP prediction
+// plane and the property-15 plane.  Neighbor edge rules match the
+// decode loop below exactly.
+void wp_forward(const int64_t* D, int32_t w, int32_t h,
+                const int32_t* wp_params,
+                int64_t* out_pred, int64_t* out_prop) {
+    WPStateC wp;
+    wp.init(wp_params, w);
+    for (int y = 0; y < h; y++) {
+        if (y > 0) wp.new_row();
+        for (int x = 0; x < w; x++) {
+            int64_t W = x > 0 ? D[y * w + x - 1]
+                       : (y > 0 ? D[(y - 1) * w + x] : 0);
+            int64_t N = y > 0 ? D[(y - 1) * w + x] : W;
+            int64_t NW = (x > 0 && y > 0) ? D[(y - 1) * w + x - 1] : W;
+            int64_t NE = (x + 1 < w && y > 0) ? D[(y - 1) * w + x + 1]
+                                              : N;
+            int64_t NN = y > 1 ? D[(y - 2) * w + x] : N;
+            out_pred[y * w + x] = wp.predict(x, y, w, W, N, NW, NE, NN);
+            out_prop[y * w + x] = wp.prop;
+            wp.update(x, D[y * w + x]);
+        }
+    }
+}
+
 // tree_flat: 7 int32 per node:
 //   [property, splitval, left, right, predictor, offset, multiplier]
 //   leaf ctx = node index order of leaves (precomputed on Python side

@@ -139,7 +139,13 @@ def _front(ph: int, pw: int, gab_iters: int = 4):
         y2 = jnp.sum(yac * yac, axis=(1, 3, 4))
         xy = jnp.sum(cft[0, :, :, :, :, 1:] * yac, axis=(1, 3, 4))
         by = jnp.sum(cft[2, :, :, :, :, 1:] * yac, axis=(1, 3, 4))
-        return planes, co, mask, y2, xy, by
+        # one flat buffer for everything the host needs from stage 1
+        # (mask + CfL sums + the DC coefficient slice): a single d2h
+        # transfer instead of five ~50 ms tunnel round-trips
+        small = jnp.concatenate([
+            mask.ravel(), y2.ravel(), xy.ravel(), by.ravel(),
+            co[:, :, :, 0, 0].ravel()])
+        return planes, co, small
 
     return jax.jit(fn)
 
@@ -252,7 +258,14 @@ def _costs(ys_b: int, xs_b: int, cands: tuple, deadzone: float):
             outs.append(vals.astype(jnp.int16).reshape(
                 nyc, nxc, 3, -1))
             outs.append((rate + lam * dist).reshape(nyc, nxc))
-        return tuple(outs)
+        # costs ship as ONE small flat f32 buffer (the greedy decision
+        # needs only costs); the value grids STAY ON DEVICE — the host
+        # gathers just the winners afterwards (fetch_selected).  The
+        # full candidate-grid fetch was 10.8 MB ≈ 0.4 s over the
+        # tunnel, almost all of it losing candidates.
+        cflat = jnp.concatenate([outs[k].reshape(-1)
+                                 for k in range(1, len(outs), 2)])
+        return tuple(outs[k] for k in range(0, len(outs), 2)) + (cflat,)
 
     meta = [(sid, cy, cx, nyc, nxc, cov)
             for (sid, cy, cx, nyc, nxc, cov, *_r) in cand_static]
@@ -262,50 +275,146 @@ def _costs(ys_b: int, xs_b: int, cands: tuple, deadzone: float):
 def run_front(pad_f32: np.ndarray, gab_iters: int = 4):
     """Host entry for stage 1: (ph, pw, 3) float32 sRGB-encoded in
     [0, 1].  Returns (device planes, device co, mask np, ytox np,
-    ytob np).  gab_iters=0 skips the gaborish sharpening (fast
-    decoding-speed tiers)."""
+    ytob np, co_dc np (3, ys_b, xs_b)).  gab_iters=0 skips the gaborish
+    sharpening (fast decoding-speed tiers)."""
     ph, pw, _ = pad_f32.shape
+    ys_b, xs_b = ph // 8, pw // 8
+    ty, tx = -(-ys_b // 8), -(-xs_b // 8)
     fn = _front(ph, pw, gab_iters)
-    planes, co, mask, y2, xy, by = fn(pad_f32)
-    y2 = np.asarray(y2)
-    xyn = np.asarray(xy)
-    byn = np.asarray(by)
+    planes, co, small_d = fn(pad_f32)
+    small = np.asarray(small_d)
+    nb = ys_b * xs_b
+    nt = ty * tx
+    mask = small[:nb].reshape(ys_b, xs_b)
+    y2 = small[nb:nb + nt].reshape(ty, tx)
+    xyn = small[nb + nt:nb + 2 * nt].reshape(ty, tx)
+    byn = small[nb + 2 * nt:nb + 3 * nt].reshape(ty, tx)
+    co_dc = small[nb + 3 * nt:].reshape(3, ys_b, xs_b).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         fx = np.where(y2 > 1e-9, xyn / y2, 0.0)
         fb = np.where(y2 > 1e-9, byn / y2, 0.0)
     ytox = np.clip(np.round(fx * 84.0), -128, 127).astype(np.int32)
     ytob = np.clip(np.round(fb * 84.0), -128, 127).astype(np.int32)
-    return planes, co, np.asarray(mask), ytox, ytob
+    return planes, co, mask, ytox, ytob, co_dc
+
+
+def run_costs_dispatch(planes, co, qf_map, fx_blk, fb_blk, dq_dc, igs,
+                       lam, cands, deadzone):
+    """Dispatch stage 2 asynchronously; pair with run_costs_fetch.
+    The caller can run independent host work (DC tree learning) while
+    the device computes."""
+    import jax.numpy as jnp
+    ys_b, xs_b = qf_map.shape
+    fn, meta = _costs(ys_b, xs_b, tuple(cands), float(deadzone))
+    res = fn(planes, co, jnp.asarray(qf_map.astype(np.int32)),
+             jnp.asarray(fx_blk.astype(np.float32)),
+             jnp.asarray(fb_blk.astype(np.float32)),
+             jnp.asarray(dq_dc.astype(np.float32)),
+             np.float32(igs), np.float32(lam))
+    return res[:-1], res[-1], meta, qf_map
+
+
+def run_costs_fetch(pending):
+    """Block on a run_costs_dispatch handle and fetch the COST grids
+    only (one small f32 transfer).  Returns (cost8, cost_data {sid:
+    (cost, qfm)}, vals_list-on-device, meta)."""
+    vals_list, cflat_d, meta, qf_map = pending
+    ys_b, xs_b = qf_map.shape
+    cflat = np.asarray(cflat_d)
+    cost8 = cflat[:ys_b * xs_b].astype(np.float64).reshape(ys_b, xs_b)
+    cost_data = {}
+    co_ = ys_b * xs_b
+    for (sid, cy, cx, nyc, nxc, cov) in meta:
+        cost = cflat[co_:co_ + nyc * nxc].astype(np.float64).reshape(
+            nyc, nxc)
+        co_ += nyc * nxc
+        qfm = qf_map[:nyc * cy, :nxc * cx].reshape(
+            nyc, cy, nxc, cx).min(axis=(1, 3)).astype(np.int32)
+        cost_data[sid] = (cost, qfm)
+    return cost8, cost_data, vals_list, meta
+
+
+def _bucket_pow2(n: int) -> int:
+    return max(8, 1 << (int(n) - 1).bit_length()) if n else 8
+
+
+@functools.lru_cache(maxsize=1)
+def _sel_gather_jit():
+    import jax
+    import jax.numpy as jnp
+
+    def fn(arrs, idxs):
+        outs = []
+        for a, ix in zip(arrs, idxs):
+            flat = a.reshape((-1,) + a.shape[2:])
+            g = jnp.take(flat, ix, axis=0, mode="clip")
+            outs.append(g.reshape(-1))
+        return jnp.concatenate(outs)
+
+    return jax.jit(fn)
+
+
+def fetch_selected(vals_list, meta, acs_map):
+    """Gather the WINNING anchors' quantized values on device and fetch
+    them in one transfer.  Returns vals_map {(by, bx): {c: int64
+    (num_coeffs,)}} with the leading `cov` zero slots re-inserted, as
+    the host token writer expects."""
+    ys_b, xs_b = acs_map.shape
+    by_all, bx_all = np.nonzero(acs_map >= 0)
+    sid_all = acs_map[by_all, bx_all]
+    srcs, idxs, anchors = [], [], []
+    # source 0: DCT8 anchors from the vals8 grid
+    m8 = sid_all == 0
+    idx8 = (by_all[m8] * xs_b + bx_all[m8]).astype(np.int32)
+    srcs.append(vals_list[0])
+    idxs.append(idx8)
+    anchors.append((0, 1, list(zip(by_all[m8], bx_all[m8]))))
+    for k, (sid, cy, cx, nyc, nxc, cov) in enumerate(meta):
+        m = sid_all == sid
+        if not m.any():
+            continue
+        ix = ((by_all[m] // cy) * nxc + bx_all[m] // cx).astype(np.int32)
+        srcs.append(vals_list[k + 1])
+        idxs.append(ix)
+        anchors.append((sid, cov, list(zip(by_all[m], bx_all[m]))))
+    idx_pad = []
+    for ix in idxs:
+        pad = _bucket_pow2(len(ix))
+        ip = np.zeros(pad, np.int32)
+        ip[:len(ix)] = ix
+        idx_pad.append(ip)
+    flat = np.asarray(_sel_gather_jit()(tuple(srcs), tuple(idx_pad)))
+    vals_map = {}
+    off = 0
+    for (sid, cov, pos), ip, src in zip(anchors, idx_pad, srcs):
+        tlen = int(src.shape[-1])
+        rows = flat[off:off + len(ip) * 3 * tlen].reshape(
+            len(ip), 3, tlen)
+        off += len(ip) * 3 * tlen
+        for i, (by, bx) in enumerate(pos):
+            v = np.zeros((3, cov + tlen), np.int64)
+            v[:, cov:] = rows[i]
+            vals_map[(int(by), int(bx))] = {c: v[c] for c in range(3)}
+    return vals_map
 
 
 def run_costs(planes, co, qf_map, fx_blk, fb_blk, dq_dc, igs, lam,
               cands, deadzone):
-    """Host entry for stage 2.  Returns (vals8, cost8, {sid: (vals,
-    cost, qf)}) as numpy, mirroring enc_real._select_strategies's
-    cand_data layout."""
-    import jax.numpy as jnp
+    """Synchronous stage 2 with full host materialization (tests /
+    compatibility; the encode path uses dispatch/fetch +
+    fetch_selected).  Returns (vals8, cost8, {sid: (vals, cost, qf)})."""
+    pending = run_costs_dispatch(planes, co, qf_map, fx_blk, fb_blk,
+                                 dq_dc, igs, lam, cands, deadzone)
+    cost8, cost_data, vals_list, meta = run_costs_fetch(pending)
     ys_b, xs_b = qf_map.shape
-    fn, meta = _costs(ys_b, xs_b, tuple(cands), float(deadzone))
-    outs = fn(planes, co, jnp.asarray(qf_map.astype(np.int32)),
-              jnp.asarray(fx_blk.astype(np.float32)),
-              jnp.asarray(fb_blk.astype(np.float32)),
-              jnp.asarray(dq_dc.astype(np.float32)),
-              np.float32(igs), np.float32(lam))
-    # re-insert the `cov` leading zero slots the host token writer
-    # expects (device returns only the scan tail)
     vals8 = np.zeros((ys_b, xs_b, 3, 64), np.int64)
-    vals8[..., 1:] = np.asarray(outs[0])
-    cost8 = np.asarray(outs[1]).astype(np.float64)
+    vals8[..., 1:] = np.asarray(vals_list[0]).reshape(ys_b, xs_b, 3, 63)
     cand_data = {}
-    k = 2
-    for (sid, cy, cx, nyc, nxc, cov) in meta:
-        tail = np.asarray(outs[k])
+    for k, (sid, cy, cx, nyc, nxc, cov) in enumerate(meta):
+        tail = np.asarray(vals_list[k + 1])
         vals = np.zeros(tail.shape[:3] + (cov + tail.shape[3],),
                         np.int64)
         vals[..., cov:] = tail
-        cost = np.asarray(outs[k + 1]).astype(np.float64)
-        k += 2
-        qfm = qf_map[:nyc * cy, :nxc * cx].reshape(
-            nyc, cy, nxc, cx).min(axis=(1, 3)).astype(np.int32)
+        cost, qfm = cost_data[sid]
         cand_data[sid] = (vals, cost, qfm)
     return vals8, cost8, cand_data

@@ -426,11 +426,11 @@ def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
                           ys_b, xs_b)
 
 
-def _greedy_select(cands, cand_data, cost8, vals8, qf_map, ys_b, xs_b):
-    """Greedy largest-first winner pass over precomputed cost grids
-    (shared by the host float64 path and the device front end)."""
+def _greedy_decide(cands, cost_data, cost8, qf_map, ys_b, xs_b):
+    """Greedy largest-first winner pass over precomputed cost grids;
+    values are NOT touched — only cost/qf grids.  cost_data: {sid:
+    (cgrid, qgrid)}.  Returns (acs_map, qf_sel)."""
     acs_map = np.full((ys_b, xs_b), -1, np.int32)
-    vals_map = {}
     qf_sel = np.array(qf_map, np.int32)
     # summed-area table for O(1) DCT8 cost sums over any rectangle
     sat = np.zeros((ys_b + 1, xs_b + 1))
@@ -449,11 +449,11 @@ def _greedy_select(cands, cand_data, cost8, vals8, qf_map, ys_b, xs_b):
                 if by % cy or bx % cx:
                     continue
                 if by + cy > ys_b or bx + cx > xs_b or sid not in \
-                        cand_data:
+                        cost_data:
                     continue
                 if not np.all(acs_map[by:by + cy, bx:bx + cx] == -1):
                     continue
-                vgrid, cgrid, qgrid = cand_data[sid]
+                cgrid, qgrid = cost_data[sid]
                 cm = cgrid[by // cy, bx // cx]
                 # big transforms must clear a stronger bar: greedy
                 # largest-first can otherwise beat 4 smaller merges
@@ -461,16 +461,31 @@ def _greedy_select(cands, cand_data, cost8, vals8, qf_map, ys_b, xs_b):
                 if cm < c8sum(by, bx, cy, cx) * thresh:
                     acs_map[by:by + cy, bx:bx + cx] = -2
                     acs_map[by, bx] = sid
-                    v = vgrid[by // cy, bx // cx]
-                    vals_map[(by, bx)] = {c: v[c] for c in range(3)}
                     qf_sel[by:by + cy, bx:bx + cx] = \
                         qgrid[by // cy, bx // cx]
                     placed = True
                     break
             if not placed:
                 acs_map[by, bx] = 0
-                v = vals8[by, bx]
-                vals_map[(by, bx)] = {c: v[c] for c in range(3)}
+    return acs_map, qf_sel
+
+
+def _greedy_select(cands, cand_data, cost8, vals8, qf_map, ys_b, xs_b):
+    """Greedy winner pass + host vals_map materialization (the host
+    float64 path; the device path gathers winners on device instead —
+    enc_device.fetch_selected)."""
+    cost_data = {sid: (c, q) for sid, (v, c, q) in cand_data.items()}
+    acs_map, qf_sel = _greedy_decide(cands, cost_data, cost8, qf_map,
+                                     ys_b, xs_b)
+    vals_map = {}
+    for by, bx in zip(*np.nonzero(acs_map >= 0)):
+        sid = int(acs_map[by, bx])
+        if sid == 0:
+            v = vals8[by, bx]
+        else:
+            cy, cx = STRATEGIES[sid].cy, STRATEGIES[sid].cx
+            v = cand_data[sid][0][by // cy, bx // cx]
+        vals_map[(int(by), int(bx))] = {c: v[c] for c in range(3)}
     return acs_map, vals_map, qf_sel
 
 
@@ -616,7 +631,8 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
             dev_front = None
 
     if dev_front is not None:
-        planes_dev, co_dev, mask, ytox_dev, ytob_dev = dev_front
+        planes_dev, co_dev, mask, ytox_dev, ytob_dev, co_dc_dev = \
+            dev_front
         X = Y = B = None
     else:
         if pad.dtype == np.uint8 and colour is None:
@@ -659,9 +675,9 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                 for d in DC_STEPS]
 
     if dev_front is not None:
-        # DC terms come back as one small slice; planes/coefficients
-        # stay on device for the cost stage
-        co_dc = np.asarray(co_dev[:, :, :, 0, 0]).astype(np.float64)
+        # DC terms arrived in run_front's single flat fetch;
+        # planes/coefficients stay on device for the cost stage
+        co_dc = co_dc_dev
         dc_int = np.zeros((3, ys_b, xs_b), np.int64)
         dc_int[0] = np.round(co_dc[1] / dc_steps[1])
         dc_int[1] = np.round(co_dc[0] / dc_steps[0])
@@ -696,12 +712,32 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     lam = LAMBDA_MULT / (step_ref * step_ref)
     cands = _EFFORT_CANDS['full'] if effort >= 6 else (
         _EFFORT_CANDS['mid'] if effort >= 3 else _EFFORT_CANDS['fast'])
+    dc_subs = None
     if dev_front is not None:
-        vals8, cost8, cand_data = ENCDEV.run_costs(
+        pending = ENCDEV.run_costs_dispatch(
             planes_dev, co_dev, qf_map, fx_blk, fb_blk, dq_dc, igs,
             lam, cands, AC_DEADZONE)
-        acs_map, vals_map, qf_map = _greedy_select(
-            cands, cand_data, cost8, vals8, qf_map, ys_b, xs_b)
+        # overlap: learn + encode the DC modular substreams on host
+        # while the device computes the RD cost grids (they depend
+        # only on dc_int, not on the selection)
+        lfb_ = 256
+        gxl_ = -(-xs_b // lfb_)
+        gyl_ = -(-ys_b // lfb_)
+        dc_subs = {}
+        for gi_ in range(gxl_ * gyl_):
+            lx_ = (gi_ % gxl_) * lfb_
+            ly_ = (gi_ // gxl_) * lfb_
+            gw_ = min(lfb_, xs_b - lx_)
+            gh_ = min(lfb_, ys_b - ly_)
+            dc_subs[gi_] = _modular_substream([
+                Channel(gw_, gh_, data=np.ascontiguousarray(
+                    dc_int[i, ly_:ly_ + gh_, lx_:lx_ + gw_], np.int32))
+                for i in range(3)], learn=True, max_leaves=24)
+        cost8, cost_data, vals_list, meta = ENCDEV.run_costs_fetch(
+            pending)
+        acs_map, qf_map = _greedy_decide(cands, cost_data, cost8,
+                                         qf_map, ys_b, xs_b)
+        vals_map = ENCDEV.fetch_selected(vals_list, meta, acs_map)
     else:
         acs_map, vals_map, qf_map = _select_strategies(
             co, X, Y, B, qf_map, igs, fx_blk, fb_blk, ys_b, xs_b,
@@ -805,31 +841,26 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
             w_.append_writer(ec_global_bits())
         return w_
 
-    def lf_group_bits(gi):
+    def _meta_substream(gi):
+        """AC-metadata modular substream of one LF group (ytox/ytob,
+        blockinfo, sharpness).  (A worker-thread overlap with the AC
+        token work measured neutral-to-worse on the 2-core box — both
+        sides are partly GIL-bound — so it runs inline.)"""
         lx = (gi % gx_lf) * lf_b
         ly = (gi // gx_lf) * lf_b
         gw = min(lf_b, xs_b - lx)
         gh = min(lf_b, ys_b - ly)
-        w_ = BitWriter()
-        w_.u(extra_precision, 2)
-        w_.append_writer(_modular_substream([
-            Channel(gw, gh, data=np.ascontiguousarray(
-                dc_int[i, ly:ly + gh, lx:lx + gw], np.int32))
-            for i in range(3)], learn=True, max_leaves=24))
         sub_acs = acs_map[ly:ly + gh, lx:lx + gw]
         sub_qf = qf_map[ly:ly + gh, lx:lx + gw]
         anchors = [(by, bx) for by in range(gh) for bx in range(gw)
                    if sub_acs[by, bx] >= 0]
         nb = len(anchors)
-        upper = gw * gh
-        cb = (upper - 1).bit_length() if upper > 1 else 0
-        w_.u(nb - 1, cb)
         blockinfo = np.zeros((2, nb), np.int32)
         blockinfo[0, :] = [int(sub_acs[a]) for a in anchors]
         blockinfo[1, :] = [int(sub_qf[a]) - 1 for a in anchors]
         cw, ch = -(-gw // 8), -(-gh // 8)
         tx0, ty0 = lx // 8, ly // 8
-        w_.append_writer(_modular_substream([
+        sub = _modular_substream([
             Channel(cw, ch, hshift=3, vshift=3,
                     data=np.ascontiguousarray(
                         ytox[ty0:ty0 + ch, tx0:tx0 + cw], np.int32)),
@@ -839,7 +870,28 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
             Channel(nb, 2, data=blockinfo),
             Channel(gw, gh, data=np.full((gh, gw), EPF_SHARPNESS,
                                          np.int32))],
-            learn=True, max_leaves=24))
+            learn=True, max_leaves=24)
+        return nb, gw, gh, sub
+
+    def lf_group_bits(gi):
+        lx = (gi % gx_lf) * lf_b
+        ly = (gi // gx_lf) * lf_b
+        gw = min(lf_b, xs_b - lx)
+        gh = min(lf_b, ys_b - ly)
+        w_ = BitWriter()
+        w_.u(extra_precision, 2)
+        if dc_subs is not None:
+            w_.append_writer(dc_subs[gi])
+        else:
+            w_.append_writer(_modular_substream([
+                Channel(gw, gh, data=np.ascontiguousarray(
+                    dc_int[i, ly:ly + gh, lx:lx + gw], np.int32))
+                for i in range(3)], learn=True, max_leaves=24))
+        nb, gw2, gh2, meta_sub = _meta_substream(gi)
+        upper = gw2 * gh2
+        cb = (upper - 1).bit_length() if upper > 1 else 0
+        w_.u(nb - 1, cb)
+        w_.append_writer(meta_sub)
         return w_
 
     def hf_global_bits():
@@ -863,13 +915,18 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         _write_ac_tokens(ts, sub_acs, sub_vals, gw, gh)
 
     if ng == 1 and ndc == 1:
-        sec = lf_global_bits()
-        sec.append_writer(lf_group_bits(0))
-        sec.append_writer(hf_global_bits())
+        # token gathering + histogram/symbol writing run BEFORE the
+        # lf_group_bits join point so the threaded AC-metadata
+        # substream overlaps with them
         ts = TokenStream(NUM_CTXS * (NONZERO_BUCKETS
                                      + ZERO_DENSITY_CTX_COUNT), use_ans=True)
         group_tokens(0, ts)
-        ts.write(sec)
+        tw = BitWriter()
+        ts.write(tw)
+        sec = lf_global_bits()
+        sec.append_writer(lf_group_bits(0))
+        sec.append_writer(hf_global_bits())
+        sec.append_writer(tw)
         sec.append_writer(ec_group_bits(0))
         sec.zero_pad_to_byte()
         payloads = [sec.to_bytes()]
