@@ -46,11 +46,15 @@ class AnimatedImage:
     """Random-access animated decoder handle."""
 
     def __init__(self, data: bytes):
+        import threading
+        self._mutex = threading.Lock()
         try:
             c = container_mod.extract_codestream(data)
             self.codestream = c.codestream
             br = BitReader(self.codestream)
             self.image_header = read_image_header(br)
+            from .api import _check_decode_size
+            _check_decode_size(self.image_header)
             m = self.image_header.metadata
             if m.animation is None:
                 # single still treated as 1-frame animation (the reference
@@ -115,10 +119,15 @@ class AnimatedImage:
         hdr = self.image_header
         full = (fh.blending_info.mode == BlendMode.REPLACE
                 and not fh.have_crop and fh.frame_type in (0, 3))
-        if full:
-            out = self._decode_entry(entry)[:hdr.ysize, :hdr.xsize]
-        else:
-            out = self._compose_to(i)
+        # the compose cursor (_seq) is shared mutable state: a player
+        # thread and a caller thread may race here, so frame access is
+        # mutex-guarded exactly like the reference decoder
+        # (interop/JxlAnimatedDecoder.hpp:235)
+        with self._mutex:
+            if full:
+                out = self._decode_entry(entry)[:hdr.ysize, :hdr.xsize]
+            else:
+                out = self._compose_to(i)
         if scale_width > 0 and scale_height > 0:
             from .ops.resize import rescale_image
             out = rescale_image(out, scale_width, scale_height)

@@ -117,6 +117,21 @@ class InvalidImageSizeError(ValueError):
     pixels*bytes < 2^31 ceiling (interop/JxlDecoding.cpp:103-109)."""
 
 
+def _check_decode_size(hdr) -> None:
+    """Total image-size ceiling, checked BEFORE any allocation: a
+    forged header claiming e.g. 10^6 x 10^6 px must raise, not attempt
+    the buffers.  Mirrors interop/JxlDecoding.cpp:103-109
+    (w * h * 4 channels * bytes-per-sample < INT32_MAX)."""
+    m = hdr.metadata
+    w, h = hdr.size.xsize, hdr.size.ysize
+    bps = 2 if (m.bit_depth.bits_per_sample > 8
+                or m.bit_depth.float_sample) else 1
+    if w * h * 4 * bps >= (1 << 31):
+        raise InvalidImageSizeError(
+            f"image too large to decode: {w}x{h} at {bps * 8}-bit "
+            f"exceeds the 2^31-byte buffer ceiling")
+
+
 # ---- Probe functions -----------------------------------------------------
 
 def is_jxl(data: bytes) -> bool:
@@ -410,6 +425,7 @@ def decode(data: bytes):
         cs = c.codestream
         br = BitReader(cs)
         hdr = read_image_header(br)
+        _check_decode_size(hdr)
         m = hdr.metadata
         # skip LF (progressive-DC) and reference-only frames, stashing
         # their XYB output for the frame that references them
@@ -487,6 +503,7 @@ def decode_batch(datas):
             cs = c.codestream
             br = BitReader(cs)
             hdr = read_image_header(br)
+            _check_decode_size(hdr)
             m = hdr.metadata
             if (m.icc_profile is not None or m.extra_channels
                     or m.animation is not None):
@@ -708,6 +725,7 @@ def decode_frames(data: bytes):
         cs = c.codestream
         br = BitReader(cs)
         hdr = read_image_header(br)
+        _check_decode_size(hdr)
         m = hdr.metadata
         frames = []
         durations = []
@@ -788,6 +806,7 @@ def decode_thumbnail(data: bytes):
         cs = c.codestream
         br = BitReader(cs)
         hdr = read_image_header(br)
+        _check_decode_size(hdr)
         dc_frames = {}
         while True:
             fh = read_frame_header(br, hdr)

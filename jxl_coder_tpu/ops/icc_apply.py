@@ -12,15 +12,20 @@ log-and-continue behaviour (colorspace.cpp:46-50).
 from __future__ import annotations
 
 import io
+import logging
 
 import numpy as np
+
+_log = logging.getLogger("jxl_coder_tpu.icc")
 
 
 def icc_to_srgb(pixels: np.ndarray, icc: bytes) -> np.ndarray:
     """uint8/uint16 (H, W, C) in the ICC space -> same shape in sRGB."""
     try:
         from PIL import Image, ImageCms
-    except Exception:
+    except Exception as e:
+        _log.warning("ICC transform unavailable (no littlecms): %s — "
+                     "returning pixels unconverted", e)
         return pixels
     try:
         src = ImageCms.ImageCmsProfile(io.BytesIO(icc))
@@ -48,5 +53,9 @@ def icc_to_srgb(pixels: np.ndarray, icc: bytes) -> np.ndarray:
         if alpha is not None:
             arr = np.concatenate([arr, alpha[..., None]], axis=2)
         return arr
-    except Exception:
+    except Exception as e:
+        # log-and-continue, as the reference does on lcms failure
+        # (colorspaces/colorspace.cpp:46-50)
+        _log.warning("ICC -> sRGB transform failed: %s — returning "
+                     "pixels unconverted", e)
         return pixels

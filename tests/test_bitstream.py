@@ -138,3 +138,73 @@ def test_animated_frame_count():
 def test_bad_data_raises():
     with pytest.raises(api.InvalidJXLError):
         api.get_size(b"\x89PNG\r\n\x1a\nnotjxl")
+
+
+def test_total_size_ceiling():
+    """A forged header claiming a huge image must raise
+    InvalidImageSizeError BEFORE any allocation — the reference's
+    w*h*4*bpp < 2^31 guard (interop/JxlDecoding.cpp:103-109)."""
+    import numpy as np
+    from jxl_coder_tpu.bitstream.writer import BitWriter
+    from jxl_coder_tpu.bitstream.headers import (ImageHeader,
+                                                 ImageMetadata, SizeHeader)
+    from jxl_coder_tpu.codec import write_image_header
+    from jxl_coder_tpu import api
+    import pytest
+    hdr = ImageHeader(size=SizeHeader(xsize=10 ** 6, ysize=10 ** 6),
+                      metadata=ImageMetadata())
+    bw = BitWriter()
+    write_image_header(bw, hdr)
+    data = bw.to_bytes() + b"\x00" * 64
+    for fn in (api.decode, api.decode_frames, api.decode_thumbnail):
+        with pytest.raises(api.InvalidImageSizeError):
+            fn(data)
+    from jxl_coder_tpu.animation import AnimatedImage
+    with pytest.raises(api.InvalidImageSizeError):
+        AnimatedImage(data)
+    # the boundary itself: just-under passes the size check (then fails
+    # later on the truncated stream, which must NOT be a size error)
+    hdr2 = ImageHeader(size=SizeHeader(xsize=16384, ysize=16384),
+                       metadata=ImageMetadata())
+    bw2 = BitWriter()
+    write_image_header(bw2, hdr2)
+    with pytest.raises(api.InvalidJXLError):
+        api.decode(bw2.to_bytes() + b"\x00" * 64)
+
+
+def test_animated_get_frame_thread_safety():
+    """Concurrent get_frame from two threads must not corrupt the
+    compose cursor (the reference mutexes its animated decoder,
+    interop/JxlAnimatedDecoder.hpp:235)."""
+    import threading
+    import numpy as np
+    from jxl_coder_tpu import api
+    from jxl_coder_tpu.animation import AnimatedImage, AnimatedEncoder
+    rng = np.random.default_rng(5)
+    enc = AnimatedEncoder(width=40, height=32, num_loops=0)
+    frames = [rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+              for _ in range(6)]
+    for f in frames:
+        enc.add_frame(f, duration_ms=40)
+    data = enc.encode()
+    img = AnimatedImage(data)
+    expect = [img.get_frame(i) for i in range(6)]
+    img2 = AnimatedImage(data)
+    errs = []
+
+    def worker(order):
+        try:
+            for i in order:
+                got = img2.get_frame(i)
+                if not np.array_equal(got, expect[i]):
+                    errs.append(i)
+        except Exception as e:  # pragma: no cover
+            errs.append(repr(e))
+
+    ts = [threading.Thread(target=worker, args=([0, 3, 1, 5, 2, 4] * 3,)),
+          threading.Thread(target=worker, args=([5, 0, 4, 1, 3, 2] * 3,))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
