@@ -169,6 +169,156 @@ def worker_main(process_id: int, num_processes: int, port: int,
           file=sys.stderr)
 
 
+FRAMES_PER_DEVICE_ENC = 1
+
+
+def _enc_frames(F: int):
+    """F deterministic distinct test frames (identical on every
+    process)."""
+    rng = np.random.default_rng(23)
+    yy, xx = np.mgrid[0:96, 0:160]
+    noise = rng.integers(0, 24, (96, 160))
+    frames = []
+    for f in range(F):
+        img = np.clip(np.stack([
+            120 + 70 * np.sin((yy + 7 * f) / 13.0) + noise,
+            (xx * 0.9 + 11 * f) % 200,
+            (xx + yy + 29 * f) % 220], -1), 0, 255).astype(np.uint8)
+        frames.append(img)
+    return frames
+
+
+def worker_encode_main(process_id: int, num_processes: int, port: int,
+                       devices_per_process: int, total_frames: int) -> None:
+    """GOP-sharded ENCODE participant: the F frames of an animation
+    split frame-wise across every device of every process (frames are
+    independent — the natural encode sharding axis, cf. the reference's
+    encoder thread pool, jxl/thread_parallel_runner.h:46); each
+    device's frames run the full product encoder (device front end +
+    host bitstream) pinned to that device.  Bitstreams are reported as
+    digests so the driver can check byte-identity against the
+    single-process run."""
+    import hashlib
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=num_processes, process_id=process_id)
+    n_dev = len(jax.devices())
+    assert n_dev == num_processes * devices_per_process, n_dev
+    local = jax.local_devices()
+
+    from ..vardct.enc_real import encode_vardct_real
+    # weak scaling, like the decode dryrun: the GOP grows with the
+    # device count (on this box host cores are the fixed resource, so
+    # fixed-F strong scaling would only measure core contention);
+    # byte-identity is still checked on the FIXED first
+    # `total_frames` frames, which both runs encode.
+    F = max(total_frames, FRAMES_PER_DEVICE_ENC * n_dev)
+    frames = _enc_frames(F)
+    mine = [f for f in range(F) if f % num_processes == process_id]
+
+    # warm every local device's executables (device-pinned jits
+    # compile per device; keep compiles out of the timed pass)
+    for d in local:
+        with jax.default_device(d):
+            _ = encode_vardct_real(frames[mine[0]], distance=1.0,
+                                   effort=5)
+
+    digests = {}
+    t0 = time.perf_counter()
+    for k, f in enumerate(mine):
+        with jax.default_device(local[k % len(local)]):
+            blob = encode_vardct_real(frames[f], distance=1.0, effort=5)
+        if f < total_frames:
+            digests[f] = hashlib.sha256(blob).hexdigest()
+    wall = time.perf_counter() - t0
+    print(json.dumps({"pid": process_id, "frames": len(mine),
+                      "wall": round(wall, 4), "digests": digests}))
+
+
+def _run_encode_workers(num_processes, devices_per_process, timeout,
+                        total_frames):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    procs = []
+    for pid in range(num_processes):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JXL_TPU_DEVICE"] = "1"
+        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                            f"{devices_per_process}")
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "jxl_coder_tpu.parallel.multihost",
+             str(pid), str(num_processes), str(port),
+             str(devices_per_process), "encode", str(total_frames)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs, errs, fail = [], [], False
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            fail = True
+        outs.append(out.decode(errors="replace"))
+        errs.append(err.decode(errors="replace"))
+        fail = fail or p.returncode != 0
+    if fail:
+        raise RuntimeError("multihost encode workers failed:\n"
+                           + "\n".join(o + e for o, e in zip(outs, errs)))
+    digests = {}
+    wall = 0.0
+    total = 0
+    for o in outs:
+        r = json.loads(o.strip().splitlines()[-1])
+        digests.update({int(k): v for k, v in r["digests"].items()})
+        wall = max(wall, r["wall"])
+        total += r["frames"]
+    return {"digests": digests, "wall": wall, "frames": total}
+
+
+def multihost_encode_dryrun(num_processes: int = 2,
+                            devices_per_process: int = 4,
+                            timeout: float = 900.0) -> dict:
+    """GOP-sharded animated/batch ENCODE under jax.distributed
+    (BASELINE configs 3-4): frames encode across all devices of all
+    processes; the N-process bitstreams must be byte-identical to the
+    single-process run, and the frames/s scaling efficiency is
+    measured.  Returns {"fps_1proc", "fps_nproc", "efficiency",
+    "byte_identical"}."""
+    n_dev = num_processes * devices_per_process
+    # byte-identity is checked on these fixed frames; the per-run GOP
+    # weak-scales with the device count
+    F_CHECK = 4
+    r1 = _run_encode_workers(1, devices_per_process, timeout, F_CHECK)
+    rn = _run_encode_workers(num_processes, devices_per_process, timeout,
+                             F_CHECK)
+    identical = (r1["digests"] == rn["digests"]
+                 and len(r1["digests"]) == F_CHECK)
+    fps1 = r1["frames"] / r1["wall"]
+    fpsn = rn["frames"] / rn["wall"]
+    eff = fpsn / (num_processes * fps1)
+    result = {"fps_1proc": round(fps1, 2), "fps_nproc": round(fpsn, 2),
+              "num_processes": num_processes,
+              "devices_per_process": devices_per_process,
+              "efficiency": round(eff, 3),
+              "byte_identical": bool(identical)}
+    if not identical:
+        raise RuntimeError(
+            f"sharded encode bitstreams diverge: {result}")
+    print(f"multihost_encode_dryrun: GOP-sharded encode OK — "
+          f"{result['fps_1proc']} f/s @1proc vs {result['fps_nproc']} "
+          f"f/s @{num_processes}proc ({devices_per_process} dev each): "
+          f"scaling efficiency {eff:.2f}, bitstreams byte-identical")
+    return result
+
+
 def _run_workers(num_processes, devices_per_process, timeout):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -228,5 +378,10 @@ def multihost_dryrun(num_processes: int = 2,
 
 
 if __name__ == "__main__":
-    worker_main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
-                int(sys.argv[4]))
+    if len(sys.argv) > 5 and sys.argv[5] == "encode":
+        worker_encode_main(int(sys.argv[1]), int(sys.argv[2]),
+                           int(sys.argv[3]), int(sys.argv[4]),
+                           int(sys.argv[6]))
+    else:
+        worker_main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+                    int(sys.argv[4]))
