@@ -42,7 +42,19 @@ _SIG_STATE = ANS_SIGNATURE << 16
 
 
 def entropy_device_enabled() -> bool:
-    """Device entropy decode is opt-in: JXL_TPU_ENTROPY=1."""
+    """Device entropy decode is opt-in: JXL_TPU_ENTROPY=1.
+
+    It stays opt-in after a round-4 batch study
+    (research/entropy_batch_probe.py): the host C++ path entropy-decodes
+    the 4K bench frame in ~0.96 s, while the lockstep kernel needs
+    11.8 s single-frame and only amortizes to ~7.5 s/frame-equivalent
+    at 8x lane multiplicity (1080 lanes).  The wall is bounded by
+    max-tokens-per-lane x per-step cost, and the per-step cost is
+    nearly flat in lane count — so batching frames into one lockstep
+    call can never close the ~8x gap.  The kernel remains the
+    bit-exact architectural reference for on-device entropy decode;
+    production decode overlaps host entropy with device
+    reconstruction instead (api.decode_batch)."""
     return os.environ.get("JXL_TPU_ENTROPY", "0") not in ("", "0")
 
 
