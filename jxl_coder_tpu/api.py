@@ -261,12 +261,32 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
         q = quality if quality is not None else 90
         distance = quality_to_distance(int(q))
         from .vardct.enc_real import encode_vardct_real
-        return encode_vardct_real(pixels, distance=distance,
+        blob = encode_vardct_real(pixels, distance=distance,
                                   decoding_speed=decoding_speed,
                                   effort=effort, alpha=alpha_plane,
                                   colour=colour,
                                   bit_depth=bits_per_sample,
                                   intensity_target=intensity_target)
+        # screen-content mode decision (libjxl behaviour: cjxl encodes
+        # few-colour images losslessly in modular mode even at lossy
+        # settings, often an order of magnitude smaller than VarDCT):
+        # when a sample shows few distinct colours, also run the
+        # lossless encoder and keep the smaller stream.
+        if (effort >= 3 and alpha_plane is None and colour is None
+                and pixels.dtype == np.uint8):
+            samp = pixels[::max(1, pixels.shape[0] // 64),
+                          ::max(1, pixels.shape[1] // 64)]
+            flat = samp.reshape(-1, samp.shape[2])
+            packed = (flat[:, 0].astype(np.uint32) << 16) \
+                | (flat[:, 1].astype(np.uint32) << 8) | flat[:, 2]
+            if len(np.unique(packed)) <= 64:
+                try:
+                    ll = encode(pixels, lossless=True, effort=effort)
+                    if len(ll) < len(blob):
+                        return ll
+                except Exception:
+                    pass
+        return blob
 
     m = ImageMetadata()
     m.xyb_encoded = False

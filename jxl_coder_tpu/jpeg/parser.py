@@ -102,6 +102,7 @@ class JpegData:
     dc_tables: Dict[int, HuffTable] = dataclasses.field(default_factory=dict)
     ac_tables: Dict[int, HuffTable] = dataclasses.field(default_factory=dict)
     restart_interval: int = 0
+    dri_count: int = 0          # jbrd stores ONE DRI; >1 is unrepresentable
     header_bytes: bytes = b""   # SOI .. end of SOS header (inclusive)
     trailer_bytes: bytes = b""  # EOI and anything after
     hmax: int = 1
@@ -267,6 +268,7 @@ def parse_jpeg(data: bytes) -> JpegData:
                 j.dht_meta.append((tc, th, p >= len(seg), counts, syms))
         elif marker == 0xDD:  # DRI
             j.restart_interval = int.from_bytes(seg[:2], "big")
+            j.dri_count += 1
         elif 0xE0 <= marker <= 0xEF:  # APPn
             j.app_payloads.append(data[pos + 1:pos + 2 + seg_len])
         elif marker == 0xFE:  # COM

@@ -87,6 +87,13 @@ def construct(jpeg_data: bytes) -> bytes:
     entropy context.
     """
     j = parse_jpeg(jpeg_data)
+    if j.dri_count > 1:
+        # jbrd carries a single DRI value; files that redefine the
+        # restart interval mid-stream are unrepresentable — the
+        # reference (libjxl enc_jpeg_data_reader.cc "Duplicate DRI
+        # marker") rejects them the same way
+        raise JpegError("multiple DRI markers cannot be represented "
+                        "losslessly (jbrd stores one restart interval)")
     ncomp = len(j.components)
     chans = []
     for c in j.components:

@@ -349,6 +349,11 @@ def write_jpeg_codestream(j: JpegData, _ytox=None, _ytob=None) -> bytes:
 def construct(jpeg_data: bytes) -> bytes:
     """JPEG -> standard JXL container (jbrd + VarDCT codestream)."""
     j = parse_jpeg(jpeg_data)
+    if j.dri_count > 1:
+        # jbrd stores a single DRI; the reference rejects multi-DRI
+        # files the same way (enc_jpeg_data_reader.cc "Duplicate DRI")
+        raise JpegError("multiple DRI markers cannot be represented "
+                        "losslessly (jbrd stores one restart interval)")
     jbrd_payload = JB.write_jbrd(JB.jbrd_from_jpeg(j))
     cs = write_jpeg_codestream(j)
     out = bytearray()

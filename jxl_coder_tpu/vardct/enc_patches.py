@@ -1,0 +1,260 @@
+"""Encoder-side patch extraction: repeated-glyph detection + atlas.
+
+Text/UI content costs VarDCT dearly (sharp edges ring at every
+repetition).  libjxl's encoder extracts repeated rectangular patches
+into a hidden kReferenceOnly frame and blends them back via the patch
+dictionary (the wrapper ships this behaviour inside its prebuilt
+libjxl.so; our decode side is vardct/patches.py).  This module is the
+encode half:
+
+1. detect():  high-residual connected components vs a blurred
+   background, exact-content deduplication — only patches whose pixels
+   REPEAT at least twice qualify (the win comes from paying for a
+   glyph once).  Photographic content yields nothing and encodes
+   exactly as before.
+2. the atlas: distinct patches shelf-packed into a small reference
+   frame (2 px edge-replicated gutters so the lossy atlas encode does
+   not bleed between patches).
+3. serialize_dictionary(): the wire mirror of PatchDictionary.read
+   (10-context entropy stream, delta-coded positions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .patches import (NUM_PATCH_CONTEXTS, CTX_NUM_REF_PATCH,
+                      CTX_REFERENCE_FRAME, CTX_PATCH_SIZE,
+                      CTX_PATCH_REFERENCE_POSITION, CTX_PATCH_POSITION,
+                      CTX_PATCH_BLEND_MODE, CTX_PATCH_OFFSET,
+                      CTX_PATCH_COUNT, BLEND_REPLACE)
+
+MAX_PATCH = 40          # max glyph bbox side
+MIN_AREA = 12           # min glyph bbox area
+MIN_REPEATS = 2         # content must appear this often
+MIN_COVERAGE = 0.004    # patched area fraction below which we skip
+GUTTER = 2              # atlas gap between patches
+
+
+def _box_blur(f: np.ndarray, r: int = 4) -> np.ndarray:
+    """(H, W, C) float box blur with edge clamp via cumsum."""
+    h, w = f.shape[:2]
+    pad = np.pad(f, ((r + 1, r), (r + 1, r), (0, 0)), mode="edge")
+    cs = pad.cumsum(0).cumsum(1)
+    n = (2 * r + 1) ** 2
+    return (cs[2 * r + 1:, 2 * r + 1:] - cs[:h, 2 * r + 1:]
+            - cs[2 * r + 1:, :w] + cs[:h, :w]) / n
+
+
+def _label(mask: np.ndarray) -> List[Tuple[int, int, int, int]]:
+    """Connected components (8-conn via row runs) -> bounding boxes.
+    Pure numpy/python union-find over runs; run counts are small for
+    glyph masks."""
+    h, w = mask.shape
+    parent: List[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    runs_prev: List[Tuple[int, int, int]] = []  # (x0, x1, label)
+    boxes: Dict[int, List[int]] = {}
+    run_rows: List[List[Tuple[int, int, int]]] = []
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            run_rows.append([])
+            runs_prev = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.nonzero(d == 1)[0] + 1)
+        ends = list(np.nonzero(d == -1)[0] + 1)
+        if row[0]:
+            starts = [0] + starts
+        if row[-1]:
+            ends = ends + [w]
+        runs = []
+        for x0, x1 in zip(starts, ends):
+            lab = len(parent)
+            parent.append(lab)
+            # 8-connectivity: overlap with [x0-1, x1+1)
+            for (px0, px1, plab) in runs_prev:
+                if px0 < x1 + 1 and px1 > x0 - 1:
+                    union(plab, lab)
+            runs.append((x0, x1, lab))
+        run_rows.append(runs)
+        runs_prev = runs
+    for y, runs in enumerate(run_rows):
+        for (x0, x1, lab) in runs:
+            r = find(lab)
+            b = boxes.get(r)
+            if b is None:
+                boxes[r] = [x0, y, x1, y + 1]
+            else:
+                b[0] = min(b[0], x0)
+                b[1] = min(b[1], y)
+                b[2] = max(b[2], x1)
+                b[3] = max(b[3], y + 1)
+    return [(b[0], b[1], b[2], b[3]) for b in boxes.values()]
+
+
+@dataclasses.dataclass
+class PatchPlan:
+    atlas: np.ndarray                 # (AH, AW, 3) uint8
+    rects: List[Tuple[int, int, int, int]]   # (x0, y0, w, h) in atlas
+    placements: List[List[Tuple[int, int]]]  # per rect, frame (x, y)
+    filled: np.ndarray                # frame with patch areas blurred out
+
+
+def detect(pixels: np.ndarray) -> Optional[PatchPlan]:
+    """Find repeated exact-content glyph patches.  Returns None unless
+    enough repeated coverage exists (photographs pass through)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 \
+            or pixels.dtype != np.uint8:
+        return None
+    h, w = pixels.shape[:2]
+    if h < 64 or w < 64:
+        return None
+    f = pixels.astype(np.float32)
+    # two-pass background estimate: the plain box blur smears ink into
+    # its surroundings, marking halo pixels as active and merging
+    # neighbouring glyphs into one giant component.  Re-estimate the
+    # background as the blur over NON-ink pixels only.
+    bg0 = _box_blur(f)
+    m0 = np.abs(f - bg0).max(axis=2) > 14.0
+    wm = (~m0).astype(np.float32)[..., None]
+    den = _box_blur(wm)
+    bg = np.where(den > 1e-3, _box_blur(f * wm) / np.maximum(den, 1e-3),
+                  bg0)
+    act0 = (np.abs(f - bg).max(axis=2) > 18.0)
+    if not act0.any():
+        return None
+    # dilate once (3x3) so glyph fragments merge into one component
+    act = act0
+    for _ in range(1):
+        a = act.copy()
+        a[1:] |= act[:-1]
+        a[:-1] |= act[1:]
+        b = a.copy()
+        b[:, 1:] |= a[:, :-1]
+        b[:, :-1] |= a[:, 1:]
+        act = b
+    comps = _label(act)
+    groups: Dict[bytes, List[Tuple[int, int]]] = {}
+    dims: Dict[bytes, Tuple[int, int]] = {}
+    for (x0, y0, x1, y1) in comps:
+        # tighten to the UNDILATED ink: the dilated bbox includes
+        # position-dependent halo, which breaks exact-content matching
+        sub = act0[y0:y1, x0:x1]
+        rows = np.nonzero(sub.any(axis=1))[0]
+        cols = np.nonzero(sub.any(axis=0))[0]
+        if not len(rows):
+            continue
+        y1 = y0 + int(rows[-1]) + 1
+        y0 = y0 + int(rows[0])
+        x1 = x0 + int(cols[-1]) + 1
+        x0 = x0 + int(cols[0])
+        # one-pixel margin so antialiased edges travel with the glyph
+        y0 = max(0, y0 - 1)
+        x0 = max(0, x0 - 1)
+        y1 = min(h, y1 + 1)
+        x1 = min(w, x1 + 1)
+        pw, ph = x1 - x0, y1 - y0
+        if pw > MAX_PATCH or ph > MAX_PATCH or pw * ph < MIN_AREA:
+            continue
+        content = pixels[y0:y1, x0:x1]
+        key = content.tobytes() + bytes([pw & 0xFF, pw >> 8,
+                                         ph & 0xFF])
+        groups.setdefault(key, []).append((x0, y0))
+        dims[key] = (pw, ph)
+    keep = {k: v for k, v in groups.items() if len(v) >= MIN_REPEATS}
+    coverage = sum(len(v) * dims[k][0] * dims[k][1]
+                   for k, v in keep.items())
+    if coverage < MIN_COVERAGE * h * w:
+        return None
+
+    # shelf-pack distinct patches (sorted by height) into the atlas
+    items = sorted(keep.items(), key=lambda kv: -dims[kv[0]][1])
+    aw = 256
+    while aw < max(dims[k][0] for k, _ in items) + 2 * GUTTER:
+        aw *= 2
+    x = y = shelf_h = 0
+    rects, placements, srcs = [], [], []
+    for k, places in items:
+        pw, ph = dims[k]
+        if x + pw + GUTTER > aw:
+            x = 0
+            y += shelf_h + GUTTER
+            shelf_h = 0
+        px0, py0 = places[0]
+        rects.append((x, y, pw, ph))
+        placements.append(sorted(places, key=lambda p: (p[1], p[0])))
+        srcs.append((px0, py0))
+        x += pw + GUTTER
+        shelf_h = max(shelf_h, ph)
+    ah = y + shelf_h
+    ah8 = -(-ah // 8) * 8
+    aw8 = aw
+    atlas = np.zeros((ah8, aw8, 3), np.uint8)
+    atlas[...] = 128
+    for (ax, ay, pw, ph), (sx, sy) in zip(rects, srcs):
+        patch = pixels[sy:sy + ph, sx:sx + pw]
+        g = GUTTER
+        yl0, yl1 = max(ay - g, 0), min(ay + ph + g, ah8)
+        xl0, xl1 = max(ax - g, 0), min(ax + pw + g, aw8)
+        # edge-replicated gutter then the patch itself
+        pad = np.pad(patch, ((ay - yl0, yl1 - ay - ph),
+                             (ax - xl0, xl1 - ax - pw), (0, 0)),
+                     mode="edge")
+        atlas[yl0:yl1, xl0:xl1] = pad
+
+    filled = pixels.copy()
+    bg8 = np.clip(np.rint(bg), 0, 255).astype(np.uint8)
+    for (ax, ay, pw, ph), places in zip(rects, placements):
+        for (px, py) in places:
+            filled[py:py + ph, px:px + pw] = bg8[py:py + ph,
+                                                 px:px + pw]
+    return PatchPlan(atlas=atlas, rects=rects, placements=placements,
+                     filled=filled)
+
+
+def serialize_dictionary(plan: PatchPlan, num_extra: int = 0,
+                         ref_slot: int = 1):
+    """Wire mirror of PatchDictionary.read: 10-context entropy stream,
+    REPLACE blending, positions delta-coded within each rect group."""
+    from ..entropy.coder import TokenStream
+    from ..bitstream.reader import pack_signed
+    from ..bitstream.writer import BitWriter
+    ts = TokenStream(NUM_PATCH_CONTEXTS, use_ans=True)
+    ts.add(CTX_NUM_REF_PATCH, len(plan.rects))
+    for (ax, ay, pw, ph), places in zip(plan.rects, plan.placements):
+        ts.add(CTX_REFERENCE_FRAME, ref_slot)
+        ts.add(CTX_PATCH_REFERENCE_POSITION, ax)
+        ts.add(CTX_PATCH_REFERENCE_POSITION, ay)
+        ts.add(CTX_PATCH_SIZE, pw - 1)
+        ts.add(CTX_PATCH_SIZE, ph - 1)
+        ts.add(CTX_PATCH_COUNT, len(places) - 1)
+        px = py = 0
+        for i, (x, y) in enumerate(places):
+            if i == 0:
+                ts.add(CTX_PATCH_POSITION, x)
+                ts.add(CTX_PATCH_POSITION, y)
+            else:
+                ts.add(CTX_PATCH_OFFSET, pack_signed(x - px))
+                ts.add(CTX_PATCH_OFFSET, pack_signed(y - py))
+            px, py = x, y
+            for _j in range(num_extra + 1):
+                ts.add(CTX_PATCH_BLEND_MODE, BLEND_REPLACE)
+    bw = BitWriter()
+    ts.write(bw)
+    return bw

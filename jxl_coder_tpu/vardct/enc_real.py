@@ -584,7 +584,9 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                        effort: int = 7, fh=None, hdr=None,
                        into_bw=None, alpha=None, colour=None,
                        bit_depth: int = None,
-                       intensity_target: float = None) -> bytes:
+                       intensity_target: float = None,
+                       patch_dict_bw=None,
+                       try_patches: bool = True) -> bytes:
     """(H, W, 3) colour -> real-format VarDCT codestream.
 
     pixels: uint8, uint16 or float [0, 1] in the colour encoding given
@@ -603,6 +605,22 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     pw, ph = xs_b * 8, ys_b * 8
     if bit_depth is None:
         bit_depth = 16 if pixels.dtype == np.uint16 else 8
+
+    # encoder-side patches (libjxl e7+ behaviour): repeated glyph
+    # content moves to a hidden reference frame; the main frame codes a
+    # smooth background and the dictionary pastes the glyphs back.
+    # Photographic inputs yield no repeated patches and take the normal
+    # path unchanged.
+    if (try_patches and fh is None and hdr is None and into_bw is None
+            and alpha is None and colour is None and effort >= 7
+            and pixels.dtype == np.uint8):
+        from . import enc_patches as EPAT
+        plan = EPAT.detect(pixels)
+        if plan is not None:
+            return _encode_with_patches(
+                pixels, plan, distance=distance, effort=effort,
+                decoding_speed=decoding_speed,
+                intensity_target=intensity_target)
     pad = np.pad(pixels, ((0, ph - H), (0, pw - W), (0, 0)), mode="edge")
     # decoding-speed tiers drop decode-side filters (the reference's
     # JxlDecodingSpeed semantics); gaborish costs a 3x3 conv at decode
@@ -759,12 +777,13 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
             m.extra_channels = [ec]
         hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
     xqm = 3 if distance >= 2.0 else 2
+    pflags = 0x2 if patch_dict_bw is not None else 0
     if fh is None:
-        fh = FrameHeader(encoding=Encoding.VARDCT, flags=0,
+        fh = FrameHeader(encoding=Encoding.VARDCT, flags=pflags,
                          x_qm_scale=xqm, b_qm_scale=2)
     else:
         fh.encoding = Encoding.VARDCT
-        fh.flags = 0
+        fh.flags = pflags
         fh.x_qm_scale = xqm
         fh.b_qm_scale = 2
     fh.restoration_filter.gab = use_gab
@@ -831,6 +850,10 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
 
     def lf_global_bits():
         w_ = BitWriter()
+        if patch_dict_bw is not None:
+            # patch dictionary precedes DcQuant when flags & kPatches
+            # (read_lf_global ordering)
+            w_.append_writer(patch_dict_bw)
         w_.bool(True)
         w_.u32(gs, (11, 1), (11, 2049), (12, 4097), (16, 8193))
         w_.u32(qdc, 16, (5, 1), (8, 1), (16, 1))
@@ -978,3 +1001,48 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     write_frame_header(bw, fh, hdr)
     write_toc(bw, [len(p) for p in payloads])
     return bw.to_bytes() + b"".join(payloads)
+
+
+def _encode_with_patches(pixels, plan, distance: float, effort: int,
+                         decoding_speed: int = 0,
+                         intensity_target: float = None) -> bytes:
+    """Two-frame stream: a hidden kReferenceOnly atlas frame carrying
+    the distinct glyph patches (saved before the colour transform, so
+    its XYB is what the dictionary pastes), then the main frame with
+    the glyph areas blurred out and flags kPatches + the dictionary at
+    the head of LfGlobal.  Mirrors libjxl's e7+ patch behaviour (the
+    wrapper ships it inside its prebuilt libjxl.so)."""
+    from ..bitstream.headers import BitDepth
+    from ..bitstream.frame_header import FrameType
+    from . import enc_patches as EPAT
+
+    H, W, _ = pixels.shape
+    m = ImageMetadata()
+    m.bit_depth = BitDepth(False, 8, 0)
+    if intensity_target:
+        m.tone_mapping.intensity_target = float(intensity_target)
+    hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
+
+    bw = BitWriter()
+    write_image_header(bw, hdr)
+
+    ah, aw = plan.atlas.shape[:2]
+    fh_ref = FrameHeader(frame_type=FrameType.REFERENCE_ONLY,
+                         encoding=Encoding.VARDCT, is_last=False,
+                         save_as_reference=1,
+                         save_before_color_transform=True,
+                         have_crop=True, frame_width=aw, frame_height=ah)
+    # glyph fidelity matters more than the atlas's rate share: encode
+    # the atlas a step finer than the main frame
+    encode_vardct_real(plan.atlas, distance=max(0.5, distance * 0.8),
+                       effort=effort, decoding_speed=decoding_speed,
+                       fh=fh_ref, hdr=hdr, into_bw=bw,
+                       try_patches=False)
+
+    pd_bw = EPAT.serialize_dictionary(plan, num_extra=0)
+    fh_main = FrameHeader(is_last=True)
+    encode_vardct_real(plan.filled, distance=distance, effort=effort,
+                       decoding_speed=decoding_speed, fh=fh_main,
+                       hdr=hdr, into_bw=bw, patch_dict_bw=pd_bw,
+                       try_patches=False)
+    return bw.to_bytes()

@@ -223,3 +223,100 @@ def test_libjxl_reconstructs_our_progressive_construct():
     jpeg = buf.getvalue()
     jx = api.construct(jpeg)
     assert refjxl.jpeg_reconstruct(jx) == jpeg
+
+
+def _fuzz_jpeg(progressive=False, quality=80, subsampling=2, gray=False,
+               qtables=None, restart_blocks=0, optimize=False):
+    import io
+    from PIL import Image
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:80, 0:96]
+    base = np.clip(np.stack(
+        [128 + 90 * np.sin(yy / 9) + rng.normal(0, 10, yy.shape),
+         120 + 70 * np.cos(xx / 7),
+         110 + 50 * np.sin((xx + yy) / 11)], -1), 0, 255).astype(np.uint8)
+    img = Image.fromarray(base[:, :, 0] if gray else base)
+    buf = io.BytesIO()
+    kw = dict(quality=quality)
+    if progressive:
+        kw["progressive"] = True
+    if not gray:
+        kw["subsampling"] = subsampling
+    if qtables is not None:
+        kw["qtables"] = qtables
+        kw.pop("quality", None)
+    if restart_blocks:
+        kw["restart_marker_blocks"] = restart_blocks
+    if optimize:
+        kw["optimize"] = True
+    img.save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+_Q16 = [[min(3000, 16 + i * j * 7) for i in range(8)] for j in range(8)]
+_Q16F = [v for row in _Q16 for v in row]
+
+_FUZZ_MATRIX = [
+    ("prog-420", dict(progressive=True, quality=75, subsampling=2)),
+    ("prog-422", dict(progressive=True, quality=75, subsampling=1)),
+    ("prog-444", dict(progressive=True, quality=90, subsampling=0)),
+    ("prog-gray", dict(progressive=True, quality=80, gray=True)),
+    ("base-restart", dict(quality=80, restart_blocks=4)),
+    ("base-q16", dict(quality=75, qtables=[_Q16F, _Q16F])),
+    ("prog-q16", dict(progressive=True, qtables=[_Q16F, _Q16F])),
+    ("base-optimized", dict(quality=85, optimize=True)),
+    ("prog-lowq", dict(progressive=True, quality=20, subsampling=2)),
+]
+
+
+@pytest.mark.parametrize("label,kw", _FUZZ_MATRIX)
+def test_jbrd_fuzz_matrix_own(label, kw):
+    """Exotic progressive/subsampled/16-bit-quant/restart JPEGs must
+    construct->reconstruct byte-exactly through our own pipeline
+    (VERDICT r3 item 7: pin the jbrd grammar adversarially)."""
+    from jxl_coder_tpu import api
+    j = _fuzz_jpeg(**kw)
+    b = api.construct(j)
+    assert api.reconstruct_jpeg(b) == j
+
+
+@pytest.mark.skipif(not HAVE_LIBJXL, reason="system libjxl unavailable")
+@pytest.mark.parametrize("label,kw", _FUZZ_MATRIX)
+def test_jbrd_fuzz_matrix_interop(label, kw):
+    """Same matrix cross-coded with libjxl: their construct -> our
+    reconstruct and our construct -> their reconstruct, both
+    byte-exact."""
+    import refjxl
+    from jxl_coder_tpu import api
+    j = _fuzz_jpeg(**kw)
+    ours_from_theirs = api.reconstruct_jpeg(refjxl.jpeg_construct(j))
+    assert ours_from_theirs == j
+    theirs_from_ours = refjxl.jpeg_reconstruct(api.construct(j))
+    assert theirs_from_ours == j
+
+
+def test_jbrd_multi_dri_rejected():
+    """Files redefining DRI mid-stream are unrepresentable in jbrd;
+    the reference rejects them (enc_jpeg_data_reader.cc "Duplicate DRI
+    marker") and so must we — with a clean error, not a bad stream."""
+    import io
+    from PIL import Image
+    from jxl_coder_tpu import api
+    from jxl_coder_tpu.jpeg.parser import JpegError
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, (80, 96, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    try:
+        Image.fromarray(base).save(buf, "JPEG", progressive=True,
+                                   quality=80, restart_marker_rows=2)
+    except Exception:
+        pytest.skip("Pillow lacks restart_marker_rows")
+    j = buf.getvalue()
+    if j.count(b"\xff\xdd") <= 1:
+        pytest.skip("encoder emitted a single DRI")
+    with pytest.raises((JpegError, api.InvalidJXLError)):
+        api.construct(j)
+    # the pure JPEG parse/serialize path must still be byte-exact
+    from jxl_coder_tpu.jpeg.parser import parse_jpeg
+    from jxl_coder_tpu.jpeg import writer as W
+    assert W.write_jpeg_multiscan(parse_jpeg(j)) == j
