@@ -198,7 +198,7 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
            effort: int = 7, quality: int = None,
            decoding_speed: int = 0, colour=None,
            intensity_target: float = None,
-           icc: bytes = None) -> bytes:
+           icc: bytes = None, progressive: bool = False) -> bytes:
     """Encode an image array to a bare JXL codestream.
 
     pixels: uint8/uint16/float array (H, W), (H, W, 1), (H, W, 3) or
@@ -266,7 +266,8 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
                                   effort=effort, alpha=alpha_plane,
                                   colour=colour,
                                   bit_depth=bits_per_sample,
-                                  intensity_target=intensity_target)
+                                  intensity_target=intensity_target,
+                                  progressive=progressive)
         # screen-content mode decision (libjxl behaviour: cjxl encodes
         # few-colour images losslessly in modular mode even at lossy
         # settings, often an order of magnitude smaller than VarDCT):

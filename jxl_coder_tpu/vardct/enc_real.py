@@ -586,7 +586,8 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                        bit_depth: int = None,
                        intensity_target: float = None,
                        patch_dict_bw=None,
-                       try_patches: bool = True) -> bytes:
+                       try_patches: bool = True,
+                       progressive: bool = False) -> bytes:
     """(H, W, 3) colour -> real-format VarDCT codestream.
 
     pixels: uint8, uint16 or float [0, 1] in the colour encoding given
@@ -777,6 +778,10 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
             m.extra_channels = [ec]
         hdr = ImageHeader(size=SizeHeader(xsize=W, ysize=H), metadata=m)
     xqm = 3 if distance >= 2.0 else 2
+    # progressive AC: two passes, coarse coefficients (>>1) then the
+    # refinement — decoders can show pass 0 early (the decode side has
+    # supported num_passes>1 since round 3)
+    npasses = 2 if (progressive and alpha is None) else 1
     pflags = 0x2 if patch_dict_bw is not None else 0
     if fh is None:
         fh = FrameHeader(encoding=Encoding.VARDCT, flags=pflags,
@@ -786,6 +791,10 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         fh.flags = pflags
         fh.x_qm_scale = xqm
         fh.b_qm_scale = 2
+    if npasses == 2:
+        fh.passes.num_passes = 2
+        fh.passes.num_downsample = 0
+        fh.passes.shift = [1]
     fh.restoration_filter.gab = use_gab
     # decoding-speed tiers progressively drop decode-side filters
     # (reference JxlDecodingSpeed semantics): ds>=1 drops EPF, ds>=2
@@ -926,24 +935,42 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         return w_
 
     # shared AC histograms must cover all groups: gather all tokens
-    def group_tokens(gi, ts):
+    def group_tokens(gi, ts, vmap):
         ax = (gi % gx) * gd_b
         ay = (gi // gx) * gd_b
         gw = min(gd_b, xs_b - ax)
         gh = min(gd_b, ys_b - ay)
         sub_acs = acs_map[ay:ay + gh, ax:ax + gw]
-        sub_vals = {(by, bx): vals_map[(ay + by, ax + bx)]
+        sub_vals = {(by, bx): vmap[(ay + by, ax + bx)]
                     for by in range(gh) for bx in range(gw)
                     if sub_acs[by, bx] >= 0}
         _write_ac_tokens(ts, sub_acs, sub_vals, gw, gh)
 
-    if ng == 1 and ndc == 1:
+    if npasses == 1:
+        vals_maps = [vals_map]
+    else:
+        # split each value as v = (v0 << 1) + v1 with v0 = round(v/2):
+        # pass 0 carries the coarse field, pass 1 a {-1,0,1} refinement
+        # (the decoder accumulates sum(v_p << shift_p))
+        v0m, v1m = {}, {}
+        for key, chans in vals_map.items():
+            a0, a1 = {}, {}
+            for c, v in chans.items():
+                v = np.asarray(v)
+                v0 = (v + 1) >> 1
+                a0[c] = v0
+                a1[c] = v - (v0 << 1)
+            v0m[key] = a0
+            v1m[key] = a1
+        vals_maps = [v0m, v1m]
+
+    if ng == 1 and ndc == 1 and npasses == 1:
         # token gathering + histogram/symbol writing run BEFORE the
         # lf_group_bits join point so the threaded AC-metadata
         # substream overlaps with them
         ts = TokenStream(NUM_CTXS * (NONZERO_BUCKETS
                                      + ZERO_DENSITY_CTX_COUNT), use_ans=True)
-        group_tokens(0, ts)
+        group_tokens(0, ts, vals_map)
         tw = BitWriter()
         ts.write(tw)
         sec = lf_global_bits()
@@ -959,26 +986,27 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         # groups carry only the symbol bits; TokenStream couples both,
         # so emit a joint histogram over all groups' tokens, then write
         # each group with the shared code.
-        all_ts = [TokenStream(NUM_CTXS * (NONZERO_BUCKETS
-                                          + ZERO_DENSITY_CTX_COUNT),
-                              use_ans=True)
-                  for _ in range(ng)]
-        for gi in range(ng):
-            group_tokens(gi, all_ts[gi])
-        joint = TokenStream(NUM_CTXS * (NONZERO_BUCKETS
-                                        + ZERO_DENSITY_CTX_COUNT),
-                            use_ans=True)
-        for t in all_ts:
-            joint.tokens.extend(t.tokens)
+        nctx = NUM_CTXS * (NONZERO_BUCKETS + ZERO_DENSITY_CTX_COUNT)
         hf = hf_global_bits()
-        shared = joint.write_histograms(hf)
         sections = []
-        for gi in range(ng):
-            gw_ = BitWriter()
-            all_ts[gi].write_symbols(gw_, shared)
-            gw_.append_writer(ec_group_bits(gi))
-            gw_.zero_pad_to_byte()
-            sections.append(gw_.to_bytes())
+        for p_ in range(npasses):
+            all_ts = [TokenStream(nctx, use_ans=True)
+                      for _ in range(ng)]
+            for gi in range(ng):
+                group_tokens(gi, all_ts[gi], vals_maps[p_])
+            joint = TokenStream(nctx, use_ans=True)
+            for t in all_ts:
+                joint.tokens.extend(t.tokens)
+            if p_ > 0:
+                # per-pass HfGlobal tail: used_orders + this pass's code
+                hf.u32(0, 0x5F, 0x13, 0, (13, 0))
+            shared = joint.write_histograms(hf)
+            for gi in range(ng):
+                gw_ = BitWriter()
+                all_ts[gi].write_symbols(gw_, shared)
+                gw_.append_writer(ec_group_bits(gi))
+                gw_.zero_pad_to_byte()
+                sections.append(gw_.to_bytes())
         lfg = lf_global_bits()
         lfg.zero_pad_to_byte()
         payloads = [lfg.to_bytes()]

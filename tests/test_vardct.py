@@ -198,3 +198,40 @@ def test_splines_parse_roundtrip():
         assert np.array_equal(a.points, b.points)
         assert np.array_equal(a.color_dct, b.color_dct)
         assert np.array_equal(a.sigma_dct, b.sigma_dct)
+
+
+def test_progressive_two_pass_encode():
+    """progressive=True emits a 2-pass stream (coarse + refinement)
+    whose accumulated decode is IDENTICAL to the single-pass stream's
+    (the split v = (v0 << 1) + v1 is exact)."""
+    import numpy as np
+    from jxl_coder_tpu import api
+    from jxl_coder_tpu.vardct.enc_real import encode_vardct_real
+    from jxl_coder_tpu.bitstream import container as container_mod
+    from jxl_coder_tpu.bitstream.reader import BitReader
+    from jxl_coder_tpu.bitstream.headers import read_image_header
+    from jxl_coder_tpu.bitstream.frame_header import read_frame_header
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:96, 0:160]
+    img = np.clip(np.stack(
+        [128 + 80 * np.sin(yy / 11) + rng.normal(0, 6, yy.shape),
+         120 + 60 * np.cos(xx / 13),
+         110 + 50 * np.sin((xx + yy) / 17)], -1), 0, 255).astype(np.uint8)
+    d1 = encode_vardct_real(img, distance=1.0, effort=5,
+                            try_patches=False)
+    d2 = encode_vardct_real(img, distance=1.0, effort=5,
+                            try_patches=False, progressive=True)
+    cs = container_mod.extract_codestream(d2).codestream
+    br = BitReader(cs)
+    hdr = read_image_header(br)
+    fh = read_frame_header(br, hdr)
+    assert fh.passes.num_passes == 2
+    assert list(fh.passes.shift) == [1]
+    o1, _ = api.decode(d1)
+    o2, _ = api.decode(d2)
+    assert np.array_equal(o1, o2)
+    # API surface
+    d3 = api.encode(img, lossless=False, quality=90, effort=5,
+                    progressive=True)
+    o3, _ = api.decode(d3)
+    assert o3.shape == img.shape
