@@ -141,6 +141,11 @@ _PERMUTATIONS = [
 
 def rct_inverse(image: ModularImage, t: Transform) -> None:
     b = t.begin_c
+    if b < 0 or b + 3 > len(image.channels):
+        from ..bitstream.reader import BitstreamError
+        raise BitstreamError(
+            f"RCT channel range [{b}, {b + 3}) outside the "
+            f"{len(image.channels)}-channel image")
     perm = t.rct_type // 7
     typ = t.rct_type % 7
     c0 = image.channels[b].data.astype(np.int64)
@@ -176,6 +181,11 @@ def rct_forward(image: ModularImage, t: Transform) -> None:
 def palette_meta_apply(image: ModularImage, t: Transform) -> None:
     """Adjust channel list before decoding (inverse-direction meta step)."""
     b, n = t.begin_c, t.num_c
+    if n < 1 or b < 0 or b + n > len(image.channels):
+        from ..bitstream.reader import BitstreamError
+        raise BitstreamError(
+            f"palette channel range [{b}, {b + n}) outside the "
+            f"{len(image.channels)}-channel image")
     first = image.channels[b]
     # replaced by 1 index channel; palette meta-channel prepended
     pal = Channel(t.nb_colours + t.nb_deltas, n, hshift=-1, vshift=-1)
@@ -364,6 +374,12 @@ def squeeze_meta_apply(image: ModularImage, t: Transform) -> None:
 
 
 def _apply_one_squeeze_meta(image: ModularImage, s: SqueezeParams) -> None:
+    from ..bitstream.reader import BitstreamError
+    if s.num_c < 1 or s.begin_c < 0 \
+            or s.begin_c + s.num_c > len(image.channels):
+        raise BitstreamError(
+            f"squeeze channel range [{s.begin_c}, {s.begin_c + s.num_c})"
+            f" outside the {len(image.channels)}-channel image")
     for i in range(s.num_c):
         c = s.begin_c + i
         ch = image.channels[c]

@@ -354,11 +354,11 @@ def _sel_gather_jit():
     return jax.jit(fn)
 
 
-def fetch_selected(vals_list, meta, acs_map):
-    """Gather the WINNING anchors' quantized values on device and fetch
-    them in one transfer.  Returns vals_map {(by, bx): {c: int64
-    (num_coeffs,)}} with the leading `cov` zero slots re-inserted, as
-    the host token writer expects."""
+def fetch_selected_dispatch(vals_list, meta, acs_map):
+    """Start the device gather of the winning anchors' values and
+    return a handle; pair with fetch_selected_fetch.  Callers can run
+    independent host work (AC-metadata tree learning) while the gather
+    and its d2h transfer are in flight."""
     ys_b, xs_b = acs_map.shape
     by_all, bx_all = np.nonzero(acs_map >= 0)
     sid_all = acs_map[by_all, bx_all]
@@ -383,7 +383,16 @@ def fetch_selected(vals_list, meta, acs_map):
         ip = np.zeros(pad, np.int32)
         ip[:len(ix)] = ix
         idx_pad.append(ip)
-    flat = np.asarray(_sel_gather_jit()(tuple(srcs), tuple(idx_pad)))
+    flat_d = _sel_gather_jit()(tuple(srcs), tuple(idx_pad))
+    return flat_d, anchors, idx_pad, srcs
+
+
+def fetch_selected_fetch(pending):
+    """Block on a fetch_selected_dispatch handle; returns vals_map
+    {(by, bx): {c: int64 (num_coeffs,)}} with the leading `cov` zero
+    slots re-inserted, as the host token writer expects."""
+    flat_d, anchors, idx_pad, srcs = pending
+    flat = np.asarray(flat_d)
     vals_map = {}
     off = 0
     for (sid, cov, pos), ip, src in zip(anchors, idx_pad, srcs):
@@ -396,6 +405,12 @@ def fetch_selected(vals_list, meta, acs_map):
             v[:, cov:] = rows[i]
             vals_map[(int(by), int(bx))] = {c: v[c] for c in range(3)}
     return vals_map
+
+
+def fetch_selected(vals_list, meta, acs_map):
+    """Synchronous winner gather (dispatch + fetch)."""
+    return fetch_selected_fetch(
+        fetch_selected_dispatch(vals_list, meta, acs_map))
 
 
 def run_costs(planes, co, qf_map, fx_blk, fb_blk, dq_dc, igs, lam,

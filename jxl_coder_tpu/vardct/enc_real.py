@@ -756,11 +756,16 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
             pending)
         acs_map, qf_map = _greedy_decide(cands, cost_data, cost8,
                                          qf_map, ys_b, xs_b)
-        vals_map = ENCDEV.fetch_selected(vals_list, meta, acs_map)
+        # the winner gather runs asynchronously; the AC-metadata tree
+        # learning below overlaps with its device work + d2h transfer
+        _vals_box = {"pending": ENCDEV.fetch_selected_dispatch(
+            vals_list, meta, acs_map)}
+        vals_map = None
     else:
         acs_map, vals_map, qf_map = _select_strategies(
             co, X, Y, B, qf_map, igs, fx_blk, fb_blk, ys_b, xs_b,
             dq_dc, lam, cands=cands)
+        _vals_box = {"vals": vals_map}
 
     # ---- frame assembly
     if hdr is None:
@@ -935,7 +940,8 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         return w_
 
     # shared AC histograms must cover all groups: gather all tokens
-    def group_tokens(gi, ts, vmap):
+    def group_tokens(gi, ts, p_):
+        vmap = _vals_maps()[p_]
         ax = (gi % gx) * gd_b
         ay = (gi // gx) * gd_b
         gw = min(gd_b, xs_b - ax)
@@ -946,35 +952,47 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                     if sub_acs[by, bx] >= 0}
         _write_ac_tokens(ts, sub_acs, sub_vals, gw, gh)
 
-    if npasses == 1:
-        vals_maps = [vals_map]
-    else:
-        # split each value as v = (v0 << 1) + v1 with v0 = round(v/2):
-        # pass 0 carries the coarse field, pass 1 a {-1,0,1} refinement
-        # (the decoder accumulates sum(v_p << shift_p))
-        v0m, v1m = {}, {}
-        for key, chans in vals_map.items():
-            a0, a1 = {}, {}
-            for c, v in chans.items():
-                v = np.asarray(v)
-                v0 = (v + 1) >> 1
-                a0[c] = v0
-                a1[c] = v - (v0 << 1)
-            v0m[key] = a0
-            v1m[key] = a1
-        vals_maps = [v0m, v1m]
+    def _vals_maps():
+        """Lazy winner-value maps: the first call blocks on the async
+        device gather (device branch), letting the assembly build the
+        DC/meta substreams first while it is in flight."""
+        if "maps" in _vals_box:
+            return _vals_box["maps"]
+        vm = _vals_box.get("vals")
+        if vm is None:
+            vm = ENCDEV.fetch_selected_fetch(_vals_box["pending"])
+        if npasses == 1:
+            maps = [vm]
+        else:
+            # split v = (v0 << 1) + v1 with v0 = round(v/2): pass 0
+            # the coarse field, pass 1 a {-1,0,1} refinement (the
+            # decoder accumulates sum(v_p << shift_p))
+            v0m, v1m = {}, {}
+            for key, chans in vm.items():
+                a0, a1 = {}, {}
+                for c, v in chans.items():
+                    v = np.asarray(v)
+                    v0 = (v + 1) >> 1
+                    a0[c] = v0
+                    a1[c] = v - (v0 << 1)
+                v0m[key] = a0
+                v1m[key] = a1
+            maps = [v0m, v1m]
+        _vals_box["maps"] = maps
+        return maps
 
     if ng == 1 and ndc == 1 and npasses == 1:
-        # token gathering + histogram/symbol writing run BEFORE the
-        # lf_group_bits join point so the threaded AC-metadata
-        # substream overlaps with them
+        # lf_group_bits (DC + AC-metadata tree learning) runs FIRST so
+        # it overlaps with the in-flight winner gather; group_tokens
+        # then blocks on the fetch
+        lfgb = lf_group_bits(0)
         ts = TokenStream(NUM_CTXS * (NONZERO_BUCKETS
                                      + ZERO_DENSITY_CTX_COUNT), use_ans=True)
-        group_tokens(0, ts, vals_map)
+        group_tokens(0, ts, 0)
         tw = BitWriter()
         ts.write(tw)
         sec = lf_global_bits()
-        sec.append_writer(lf_group_bits(0))
+        sec.append_writer(lfgb)
         sec.append_writer(hf_global_bits())
         sec.append_writer(tw)
         sec.append_writer(ec_group_bits(0))
@@ -987,13 +1005,20 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         # so emit a joint histogram over all groups' tokens, then write
         # each group with the shared code.
         nctx = NUM_CTXS * (NONZERO_BUCKETS + ZERO_DENSITY_CTX_COUNT)
+        # lf groups first: their tree learning overlaps the winner
+        # gather still in flight
+        lf_payloads = []
+        for gi in range(ndc):
+            b = lf_group_bits(gi)
+            b.zero_pad_to_byte()
+            lf_payloads.append(b.to_bytes())
         hf = hf_global_bits()
         sections = []
         for p_ in range(npasses):
             all_ts = [TokenStream(nctx, use_ans=True)
                       for _ in range(ng)]
             for gi in range(ng):
-                group_tokens(gi, all_ts[gi], vals_maps[p_])
+                group_tokens(gi, all_ts[gi], p_)
             joint = TokenStream(nctx, use_ans=True)
             for t in all_ts:
                 joint.tokens.extend(t.tokens)
@@ -1010,10 +1035,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         lfg = lf_global_bits()
         lfg.zero_pad_to_byte()
         payloads = [lfg.to_bytes()]
-        for gi in range(ndc):
-            b = lf_group_bits(gi)
-            b.zero_pad_to_byte()
-            payloads.append(b.to_bytes())
+        payloads.extend(lf_payloads)
         hf.zero_pad_to_byte()
         payloads.append(hf.to_bytes())
         payloads.extend(sections)
