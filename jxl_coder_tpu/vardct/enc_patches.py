@@ -133,9 +133,13 @@ def detect(pixels: np.ndarray) -> Optional[PatchPlan]:
     bg0 = _box_blur(f)
     m0 = np.abs(f - bg0).max(axis=2) > 14.0
     wm = (~m0).astype(np.float32)[..., None]
-    den = _box_blur(wm)
-    bg = np.where(den > 1e-3, _box_blur(f * wm) / np.maximum(den, 1e-3),
-                  bg0)
+    # r=6 for the masked re-estimate: narrower windows go all-masked
+    # between tightly-stacked glyph rows, falling back to the smeared
+    # bg0 and merging vertical neighbours into one component (probe:
+    # r=4 left 42 two-glyph stacks; r=6 separates all 126 glyphs)
+    den = _box_blur(wm, 6)
+    bg = np.where(den > 1e-3,
+                  _box_blur(f * wm, 6) / np.maximum(den, 1e-3), bg0)
     act0 = (np.abs(f - bg).max(axis=2) > 18.0)
     if not act0.any():
         return None
@@ -173,8 +177,12 @@ def detect(pixels: np.ndarray) -> Optional[PatchPlan]:
         if pw > MAX_PATCH or ph > MAX_PATCH or pw * ph < MIN_AREA:
             continue
         content = pixels[y0:y1, x0:x1]
-        key = content.tobytes() + bytes([pw & 0xFF, pw >> 8,
-                                         ph & 0xFF])
+        # tolerance matching: quantized keys group glyphs whose pixels
+        # differ by <= 3 (antialiasing wobble, near-flat backgrounds);
+        # the pasted representative is the GROUP MEAN, so the residual
+        # stays within a d>=0.8 quantization step
+        key = (content >> 2).tobytes() + bytes([pw & 0xFF, pw >> 8,
+                                                ph & 0xFF])
         groups.setdefault(key, []).append((x0, y0))
         dims[key] = (pw, ph)
     keep = {k: v for k, v in groups.items() if len(v) >= MIN_REPEATS}
@@ -207,8 +215,14 @@ def detect(pixels: np.ndarray) -> Optional[PatchPlan]:
     aw8 = aw
     atlas = np.zeros((ah8, aw8, 3), np.uint8)
     atlas[...] = 128
-    for (ax, ay, pw, ph), (sx, sy) in zip(rects, srcs):
-        patch = pixels[sy:sy + ph, sx:sx + pw]
+    for (ax, ay, pw, ph), places in zip(rects, placements):
+        # representative = group mean (tolerance-matched occurrences
+        # differ by <= 3/pixel; the mean splits the residual)
+        acc = np.zeros((ph, pw, 3), np.float64)
+        for (sx, sy) in places:
+            acc += pixels[sy:sy + ph, sx:sx + pw]
+        patch = np.clip(np.rint(acc / len(places)), 0,
+                        255).astype(np.uint8)
         g = GUTTER
         yl0, yl1 = max(ay - g, 0), min(ay + ph + g, ah8)
         xl0, xl1 = max(ax - g, 0), min(ax + pw + g, aw8)

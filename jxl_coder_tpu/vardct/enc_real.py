@@ -614,7 +614,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     # path unchanged.
     if (try_patches and fh is None and hdr is None and into_bw is None
             and alpha is None and colour is None and effort >= 7
-            and pixels.dtype == np.uint8):
+            and distance >= 0.5 and pixels.dtype == np.uint8):
         from . import enc_patches as EPAT
         plan = EPAT.detect(pixels)
         if plan is not None:
@@ -1084,7 +1084,7 @@ def _encode_with_patches(pixels, plan, distance: float, effort: int,
                          have_crop=True, frame_width=aw, frame_height=ah)
     # glyph fidelity matters more than the atlas's rate share: encode
     # the atlas a step finer than the main frame
-    encode_vardct_real(plan.atlas, distance=max(0.5, distance * 0.8),
+    encode_vardct_real(plan.atlas, distance=max(0.4, distance * 0.5),
                        effort=effort, decoding_speed=decoding_speed,
                        fh=fh_ref, hdr=hdr, into_bw=bw,
                        try_patches=False)

@@ -90,12 +90,27 @@ def test_patched_stream_libjxl_conformance():
 
 
 def test_screen_content_mode_decision():
-    """Few-colour lossy input: the encoder must pick the (smaller,
-    exact) lossless modular stream — libjxl's cjxl does the same."""
+    """Few-colour lossy input: the encoder compares the patched-VarDCT
+    and lossless-modular streams and keeps the smaller (cjxl makes the
+    same mode decision).  Either way the result must be far smaller
+    than the plain VarDCT stream and near-exact."""
     img = _text_image(flat=True)
     lossy = api.encode(img, lossless=False, quality=90)
     out, _ = api.decode(lossy)
-    assert np.array_equal(out, img)          # came out lossless
     baseline = encode_vardct_real(img, distance=1.0, effort=7,
                                   try_patches=False)
-    assert len(lossy) < len(baseline) // 2
+    ll = api.encode(img, lossless=True, effort=7)
+    assert len(lossy) <= min(len(ll), len(baseline) // 3)
+    assert _psnr(out, img) >= 45.0
+    # the decision remains live: force the no-patch path and the
+    # lossless fallback must kick in
+    from jxl_coder_tpu.vardct import enc_patches as EP
+    orig = EP.detect
+    EP.detect = lambda *_a, **_k: None
+    try:
+        lossy2 = api.encode(img, lossless=False, quality=90)
+    finally:
+        EP.detect = orig
+    out2, _ = api.decode(lossy2)
+    assert np.array_equal(out2, img)         # picked lossless
+    assert len(lossy2) < len(baseline) // 2
