@@ -222,6 +222,44 @@ def _gather_data(channels: Sequence[Channel], stream_id: int,
                       PREDICTORS + (6,) if use_wp else PREDICTORS)
 
 
+def _split_costs(data, idx, bucket, B, T, P, _ent):
+    """costs[p][j] = ent(buckets<=j) + ent(buckets>j) per predictor —
+    native C++ when available (the bincount + stacked entropy was the
+    encoder's hottest remaining numpy block), numpy oracle otherwise."""
+    lib = None
+    try:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+    except ImportError:
+        pass
+    if lib is not None:
+        import ctypes
+        toks = np.ascontiguousarray(data.tokens[:, idx], np.int32)
+        buck = np.ascontiguousarray(bucket, np.int32)
+        out = np.empty((P, B - 1), np.float64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.ma_split_costs(
+            toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            P, toks.shape[1],
+            buck.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            B, T, data.rb.ctypes.data_as(dp),
+            out.ctypes.data_as(dp))
+        return out
+    # numpy oracle: one bincount over (pred, bucket, token) and a
+    # stacked entropy evaluation; tie order matches (argmin is
+    # pred-major, split-ascending)
+    comb = (np.arange(P, dtype=np.int64)[:, None] * (B * T)
+            + bucket[None, :] * T + data.tokens[:, idx])
+    h2 = np.bincount(comb.ravel(),
+                     minlength=P * B * T).reshape(P, B, T)
+    cum = np.cumsum(h2, axis=1)
+    right = cum[:, :-1]                      # splits j = 0..B-2
+    left = cum[:, -1:] - right
+    e = _ent(np.concatenate([right, left], axis=1)
+             .reshape(P * 2 * (B - 1), T)).reshape(P, 2, B - 1)
+    return e[:, 0] + e[:, 1]                 # (P, B-1)
+
+
 class _TmpNode:
     __slots__ = ("prop", "splitval", "left", "right", "predictor")
 
@@ -273,21 +311,8 @@ def _learn_node(data: _LearnData, idx: np.ndarray, leaves_left: List[int],
         # the RIGHT side
         bucket = np.searchsorted(sv, pv, side="left").astype(np.int64)
         B = len(sv) + 1
-        # all predictors at once: one bincount over (pred, bucket,
-        # token) and one stacked entropy evaluation; identical results
-        # (and tie order: argmin is pred-major, split-ascending, same
-        # as the loops it replaces)
         P = len(data.pred_ids)
-        comb = (np.arange(P, dtype=np.int64)[:, None] * (B * T)
-                + bucket[None, :] * T + data.tokens[:, idx])
-        h2 = np.bincount(comb.ravel(),
-                         minlength=P * B * T).reshape(P, B, T)
-        cum = np.cumsum(h2, axis=1)
-        right = cum[:, :-1]                      # splits j = 0..B-2
-        left = cum[:, -1:] - right
-        e = _ent(np.concatenate([right, left], axis=1)
-                 .reshape(P * 2 * (B - 1), T)).reshape(P, 2, B - 1)
-        costs = e[:, 0] + e[:, 1]                # (P, B-1)
+        costs = _split_costs(data, idx, bucket, B, T, P, _ent)
         pj = np.unravel_index(int(np.argmin(costs)), costs.shape)
         if costs[pj] < best[1]:
             best = ((k, int(sv[pj[1]])), float(costs[pj]))

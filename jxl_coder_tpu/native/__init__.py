@@ -84,6 +84,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         c.c_int32, c.c_int32, c.POINTER(c.c_int32),
         c.POINTER(c.POINTER(c.c_int64)), c.c_int32,
         c.c_int32, c.c_int32]
+    lib.ma_split_costs.restype = None
+    lib.ma_split_costs.argtypes = [
+        c.POINTER(c.c_int32), c.c_int32, c.c_int64,
+        c.POINTER(c.c_int32), c.c_int32, c.c_int32,
+        c.POINTER(c.c_double), c.POINTER(c.c_double)]
     lib.wp_forward.restype = None
     lib.wp_forward.argtypes = [
         c.POINTER(c.c_int64), c.c_int32, c.c_int32,

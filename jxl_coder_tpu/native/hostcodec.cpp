@@ -494,6 +494,56 @@ void wp_forward(const int64_t* D, int32_t w, int32_t h,
     }
 }
 
+// MA-tree split search inner loop (encoder learning; cf.
+// modular/learn.py _learn_node): given per-predictor token ids and a
+// bucket id per sample, fill costs[p][j] = ent(right(j)) + ent(left(j))
+// where right(j) = samples with bucket <= j, using the same
+// entropy-estimate formula as learn._ent (n*log2(n) - sum x*log2(x)
+// + hist . raw_bits), in float64.
+void ma_split_costs(const int32_t* tokens /* (P, n) */, int32_t P,
+                    int64_t n, const int32_t* bucket /* (n,) */,
+                    int32_t B, int32_t T, const double* rb /* (T,) */,
+                    double* out_costs /* (P, B-1) */) {
+    std::vector<int64_t> h2((size_t)P * B * T, 0);
+    for (int p = 0; p < P; p++) {
+        const int32_t* tp = tokens + (size_t)p * n;
+        int64_t* hp = h2.data() + (size_t)p * B * T;
+        for (int64_t i = 0; i < n; i++) {
+            hp[(size_t)bucket[i] * T + tp[i]]++;
+        }
+    }
+    std::vector<int64_t> cum((size_t)T, 0);
+    std::vector<int64_t> tot((size_t)T, 0);
+    auto ent = [&](const int64_t* h) {
+        int64_t s = 0;
+        double xl = 0.0, rbits = 0.0;
+        for (int t = 0; t < T; t++) {
+            int64_t x = h[t];
+            if (x > 0) {
+                s += x;
+                xl += (double)x * std::log2((double)x);
+                rbits += (double)x * rb[t];
+            }
+        }
+        if (s == 0) return 0.0;
+        return (double)s * std::log2((double)s) - xl + rbits;
+    };
+    std::vector<int64_t> left((size_t)T, 0);
+    for (int p = 0; p < P; p++) {
+        const int64_t* hp = h2.data() + (size_t)p * B * T;
+        std::fill(cum.begin(), cum.end(), 0);
+        std::fill(tot.begin(), tot.end(), 0);
+        for (int b = 0; b < B; b++)
+            for (int t = 0; t < T; t++) tot[t] += hp[(size_t)b * T + t];
+        for (int j = 0; j < B - 1; j++) {
+            for (int t = 0; t < T; t++) cum[t] += hp[(size_t)j * T + t];
+            for (int t = 0; t < T; t++) left[t] = tot[t] - cum[t];
+            out_costs[(size_t)p * (B - 1) + j] =
+                ent(cum.data()) + ent(left.data());
+        }
+    }
+}
+
 // tree_flat: 7 int32 per node:
 //   [property, splitval, left, right, predictor, offset, multiplier]
 //   leaf ctx = node index order of leaves (precomputed on Python side
