@@ -222,6 +222,126 @@ def _hist_cost(h: dict) -> float:
 
 
 def cluster_histograms(hists: List[dict], max_clusters: int = 24):
+    """Vectorized front door: dense-array clustering (same algorithm,
+    costs and tie order as the dict implementation below; float
+    summation order differs, so near-tie decisions may pick a
+    different — equally valid — clustering).  Falls back to the dict
+    path for huge alphabets."""
+    import numpy as np
+    maxsym = 0
+    for h in hists:
+        if h:
+            m = max(h)
+            if m > maxsym:
+                maxsym = m
+    if maxsym > 4096:
+        return _cluster_histograms_dict(hists, max_clusters)
+    n = len(hists)
+    T = maxsym + 1
+    H = np.zeros((n, T), np.float64)
+    for i, h in enumerate(hists):
+        for sym, c in h.items():
+            H[i, sym] = c
+    totals = H.sum(1)
+
+    def cost_rows(M):
+        tot = M.sum(1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xl = np.where(M > 0, M * np.log2(np.where(M > 0, M, 1.0)),
+                          0.0).sum(1)
+        tl = np.where(tot > 0,
+                      tot * np.log2(np.where(tot > 0, tot, 1.0)), 0.0)
+        return tl - xl
+
+    selfc = cost_rows(H)
+    order = np.argsort(-totals, kind="stable")
+    S = np.zeros((max_clusters, T), np.float64)
+    seed_cost = np.zeros(max_clusters)
+    k = 0
+    assign = [0] * n
+    for i in order:
+        i = int(i)
+        if totals[i] == 0:
+            continue
+        if k:
+            extra = cost_rows(S[:k] + H[i]) - seed_cost[:k] - selfc[i]
+            best = int(np.argmin(extra))
+            bestc = float(extra[best])
+        else:
+            best, bestc = -1, float("inf")
+        if (best < 0 or bestc > 60.0) and k < max_clusters:
+            S[k] = H[i]
+            seed_cost[k] = selfc[i]
+            assign[i] = k
+            k += 1
+        else:
+            assign[i] = best
+            S[best] += H[i]
+            seed_cost[best] = float(cost_rows(S[best:best + 1])[0])
+    if k == 0:
+        return [0] * n, 1
+
+    def hist_bits_row(row):
+        nz = np.nonzero(row)[0]
+        if not len(nz):
+            return 0.0
+        maxs = int(nz[-1])
+        if maxs > 255:
+            return 6.0 * len(nz) + 40.0
+        counts = _ans.normalize_counts(
+            row[:maxs + 1].astype(np.int64).tolist())
+        return _ans.estimate_ans_distribution_bits(
+            counts, num_tokens=int(row.sum()))
+
+    groups = [S[ci].copy() for ci in range(k)]
+    bits = [hist_bits_row(g) for g in groups]
+    cost = [float(cost_rows(g[None])[0]) for g in groups]
+    remap = list(range(k))
+    alive = [True] * k
+    pair_cache = {}
+
+    def pair_delta(i, j):
+        key = (i, j) if i < j else (j, i)
+        e = pair_cache.get(key)
+        if e is None:
+            m = groups[i] + groups[j]
+            delta = (float(cost_rows(m[None])[0]) - cost[i] - cost[j])                 - (bits[i] + bits[j] - hist_bits_row(m))
+            e = (delta, m)
+            pair_cache[key] = e
+        return e
+
+    while sum(alive) > 1:
+        best = (0.0, None)
+        live = [i for i in range(k) if alive[i]]
+        for ai in range(len(live)):
+            for bi in range(ai + 1, len(live)):
+                i, j = live[ai], live[bi]
+                delta, m = pair_delta(i, j)
+                if delta < best[0]:
+                    best = (delta, (i, j, m))
+        if best[1] is None:
+            break
+        i, j, m = best[1]
+        groups[i] = m
+        bits[i] = hist_bits_row(m)
+        cost[i] = float(cost_rows(m[None])[0])
+        alive[j] = False
+        pair_cache = {kk: v for kk, v in pair_cache.items()
+                      if i not in kk and j not in kk}
+        for t in range(len(remap)):
+            if remap[t] == j:
+                remap[t] = i
+    dense = {}
+    out = [0] * n
+    for ci in range(n):
+        g = remap[assign[ci]]
+        if g not in dense:
+            dense[g] = len(dense)
+        out[ci] = dense[g]
+    return out, len(dense)
+
+
+def _cluster_histograms_dict(hists: List[dict], max_clusters: int = 24):
     """Greedy seeded clustering (FastClusterHistograms-style): pick the
     histograms that are most expensive to merge as seeds, assign the
     rest to the cheapest seed by cross-entropy increase."""

@@ -232,3 +232,22 @@ def test_estimate_ans_distribution_bits_tracks_writer():
         real = bw.bit_pos
         assert abs(est - real) <= max(12, 0.15 * real), \
             (counts[:8], est, real)
+
+
+def test_cluster_histograms_vectorized_matches_dict():
+    """The dense-array clustering must reproduce the dict oracle's
+    assignments (same algorithm, costs and tie order)."""
+    import numpy as np
+    from jxl_coder_tpu.entropy import coder as EC
+    rng = np.random.default_rng(0)
+    for _trial in range(4):
+        n = int(rng.integers(5, 150))
+        hists = []
+        for _ in range(n):
+            T = int(rng.integers(1, 60))
+            h = {int(s): int(rng.integers(1, 500))
+                 for s in rng.integers(0, T, rng.integers(0, 12))}
+            hists.append(h)
+        a, ka = EC.cluster_histograms(hists)
+        b, kb = EC._cluster_histograms_dict(hists)
+        assert (a, ka) == (b, kb)
