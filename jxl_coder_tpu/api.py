@@ -371,10 +371,57 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
         b = enc(False, learn(False))
         if len(b) < len(body):
             body = b
+
+    # palette transform (Transform id 1): few-colour images collapse to
+    # one index channel + the palette meta-channel — the decisive mode
+    # for screen content (cjxl's palette path).  Tried from effort 2;
+    # kept only when it wins.
+    if (eff >= 2 and nch == 3 and not m.extra_channels
+            and pixels.dtype in (np.uint8, np.uint16)):
+        pb = _try_palette_body(hdr, fh, planes, eff)
+        if pb is not None and len(pb) < len(body):
+            body = pb
     for byte in body:
         bw.u(byte, 8)
     bw.zero_pad_to_byte()
     return bw.to_bytes()
+
+
+def _try_palette_body(hdr, fh, planes, eff: int):
+    """Candidate modular body using the palette transform, or None when
+    the image has more than 256 distinct colours."""
+    import numpy as np
+    from . import codec
+    from .bitstream.writer import BitWriter
+    r, g, b3 = (p.astype(np.uint64) for p in planes[:3])
+    packed = (r << 32) | (g << 16) | b3
+    # cheap bail-out: a sparse sample with >256 colours decides early
+    samp = packed[::max(1, packed.shape[0] // 64),
+                  ::max(1, packed.shape[1] // 64)]
+    if len(np.unique(samp)) > 256:
+        return None
+    uniq, inv = np.unique(packed, return_inverse=True)
+    K = len(uniq)
+    if K > 256:
+        return None
+    pal = np.stack([(uniq >> 32) & 0xFFFF, (uniq >> 16) & 0xFFFF,
+                    uniq & 0xFFFF]).astype(np.int32)
+    idx = inv.reshape(packed.shape).astype(np.int32)
+    tree = None
+    if eff >= 3:
+        from .modular.learn import learn_tree
+        from .modular.image import Channel
+        pal_ch = Channel(K, 3, hshift=-1, vshift=-1)
+        pal_ch.data = pal
+        idx_ch = Channel(idx.shape[1], idx.shape[0])
+        idx_ch.data = idx
+        leaves = {3: 6, 4: 10, 5: 16, 6: 24}.get(min(eff, 6), 24)
+        tree = learn_tree([pal_ch, idx_ch], max_leaves=leaves,
+                          props_allowed=[0] + list(range(2, 15)))
+    cand = BitWriter()
+    codec.encode_modular_frame(cand, hdr, fh, planes, tree=tree,
+                               palette=(pal, idx))
+    return cand.to_bytes()
 
 
 def _subsampled_jpeg_probe(data: bytes):

@@ -358,19 +358,42 @@ def encode_modular_frame(bw: BitWriter, hdr: ImageHeader, fh: FrameHeader,
                          planes: List[np.ndarray],
                          use_ycocg: bool = True,
                          tree: Optional[Tree] = None,
-                         rct_type: int = 6) -> None:
-    """Encode a full modular frame (header + TOC + sections) into bw."""
+                         rct_type: int = 6,
+                         palette=None) -> None:
+    """Encode a full modular frame (header + TOC + sections) into bw.
+
+    palette: optional (pal_data (nc, K) int32, idx (H, W) int32) — the
+    frame's nc colour channels collapse to one index channel plus the
+    palette meta-channel (Transform id 1, the decode-side mirror of
+    modular/transform.palette_meta_apply); use_ycocg is ignored."""
     image = frame_channel_layout(hdr, fh)
-    for chan, plane in zip(image.channels, planes):
-        assert plane.shape == (chan.height, chan.width), \
-            (plane.shape, chan.height, chan.width)
-        chan.data = plane.astype(np.int32)
     header = GroupHeader()
-    ncolor = 3 if len(planes) >= 3 else 1
-    if use_ycocg and ncolor == 3:
-        t = T.Transform(id=0, begin_c=0, rct_type=rct_type)
-        header.transforms.append(t)
-        T.rct_forward(image, t)
+    if palette is not None:
+        pal_data, idx = palette
+        nc = len(image.channels)
+        assert pal_data.shape[0] == nc
+        first = image.channels[0]
+        K = pal_data.shape[1]
+        pal_ch = Channel(K, nc, hshift=-1, vshift=-1)
+        pal_ch.data = np.ascontiguousarray(pal_data, np.int32)
+        idx_ch = Channel(first.width, first.height, first.hshift,
+                         first.vshift)
+        idx_ch.data = np.ascontiguousarray(idx, np.int32)
+        image.channels = [pal_ch, idx_ch]
+        image.nb_meta_channels = 1
+        header.transforms.append(T.Transform(
+            id=1, begin_c=0, num_c=nc, nb_colours=K, nb_deltas=0,
+            d_pred=0))
+    else:
+        for chan, plane in zip(image.channels, planes):
+            assert plane.shape == (chan.height, chan.width), \
+                (plane.shape, chan.height, chan.width)
+            chan.data = plane.astype(np.int32)
+        ncolor = 3 if len(planes) >= 3 else 1
+        if use_ycocg and ncolor == 3:
+            t = T.Transform(id=0, begin_c=0, rct_type=rct_type)
+            header.transforms.append(t)
+            T.rct_forward(image, t)
     if tree is None:
         tree = Tree.single_leaf(predictor=5)
 

