@@ -495,6 +495,16 @@ def decode(data: bytes):
         hdr = read_image_header(br)
         _check_decode_size(hdr)
         m = hdr.metadata
+        if m.animation is not None:
+            # reference parity: libjxl's one-shot decode rewrites its
+            # output buffer at every FULL_IMAGE event, so decoding an
+            # animated stream yields the LAST composed frame
+            # (interop/JxlDecoding.cpp:74-175 event loop)
+            from .animation import AnimatedImage
+            img = AnimatedImage(data)
+            last = img.get_frame(img.frames_count - 1)
+            return apply_orientation(last, m.orientation), \
+                basic_info(data)
         # skip LF (progressive-DC) and reference-only frames, stashing
         # their XYB output for the frame that references them
         dc_frames = {}

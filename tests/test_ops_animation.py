@@ -395,3 +395,22 @@ def test_animated_lossy_alpha_and_ec_distance():
     err = np.abs(outq[:, :, 3].astype(int)
                  - frames[0][:, :, 3].astype(int)).max()
     assert 0 < err <= 8                     # bounded by the step
+
+
+def test_decode_animated_returns_last_frame():
+    """Reference parity: libjxl's one-shot decode rewrites its output
+    buffer per FULL_IMAGE event, so decoding an animated stream yields
+    the LAST composed frame — api.decode must match."""
+    import numpy as np
+    from jxl_coder_tpu import api
+    from jxl_coder_tpu.animation import AnimatedEncoder
+    rng = np.random.default_rng(8)
+    enc = AnimatedEncoder(width=48, height=40, num_loops=0)
+    frames = [rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
+              for _ in range(4)]
+    for f in frames:
+        enc.add_frame(f, duration_ms=30)
+    data = enc.encode()
+    one, info = api.decode(data)
+    assert info.have_animation
+    assert np.array_equal(one[:, :, :3], frames[-1])
