@@ -879,6 +879,19 @@ def decode_thumbnail(data: bytes):
     from .bitstream.frame_header import read_frame_header, read_toc, \
         Encoding
     info = basic_info(data)
+    if info.have_animation:
+        # animated: match the one-shot decode semantics (LAST composed
+        # frame) instead of previewing only the first frame's DC
+        full, info = decode(data)
+        h, w = full.shape[:2]
+        th, tw = -(-h // 8), -(-w // 8)
+        ph, pw = th * 8, tw * 8
+        import numpy as np
+        pad = np.pad(full, ((0, ph - h), (0, pw - w)) + ((0, 0),) *
+                     (full.ndim - 2), mode="edge")
+        small = pad.reshape(th, 8, tw, 8, -1).mean(axis=(1, 3))
+        return np.rint(small).astype(full.dtype).reshape(
+            th, tw, *full.shape[2:]), info
     try:
         c = _container.extract_codestream(data)
         cs = c.codestream
