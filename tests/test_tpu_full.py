@@ -164,3 +164,12 @@ def test_device_dispatch_autodetect_cpu():
     from jxl_coder_tpu.vardct import tpu_full as TF
     TF._accelerator_present.cache_clear()
     assert TF._accelerator_present() is False
+
+
+def test_multihost_encode_dryrun_two_processes():
+    """GOP-sharded ENCODE across 2 jax.distributed processes: the
+    bitstreams must be byte-identical to the single-process run
+    (BASELINE configs 3-4)."""
+    from jxl_coder_tpu.parallel.multihost import multihost_encode_dryrun
+    r = multihost_encode_dryrun(2, 2, timeout=600.0)
+    assert r["byte_identical"]
