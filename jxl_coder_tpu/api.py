@@ -553,6 +553,40 @@ def decode(data: bytes):
     return out, info
 
 
+def decode_preview(data: bytes, passes: int = 1):
+    """Progressive preview: decode only the first `passes` AC passes of
+    a multi-pass VarDCT still (api.encode(progressive=True) emits 2 —
+    pass 0 carries the coarse coefficients).  Streams without extra
+    passes — or with animation / reference frames — decode fully.
+
+    Returns (pixels, BasicInfo) at full resolution."""
+    import numpy as np
+    from .vardct.dec_real import decode_vardct_frame
+    try:
+        c = _container.extract_codestream(data)
+        cs = c.codestream
+        br = BitReader(cs)
+        hdr = read_image_header(br)
+        _check_decode_size(hdr)
+        m = hdr.metadata
+        if m.animation is not None:
+            return decode(data)
+        fh = read_frame_header(br, hdr)
+        ng, ndc = fh.counts(hdr)
+        n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+            2 + ndc + ng * fh.passes.num_passes)
+        toc = read_toc(br, n)
+        if (fh.encoding != Encoding.VARDCT or fh.frame_type != 0
+                or fh.passes.num_passes <= passes
+                or len(toc.entries) == 1):
+            return decode(data)
+        out = decode_vardct_frame(cs, hdr, fh, toc, max_passes=passes)
+        out = apply_orientation(out, m.orientation)
+        return out, basic_info(data)
+    except BitstreamError as e:
+        raise InvalidJXLError(str(e)) from e
+
+
 def decode_batch(datas):
     """Decode several still JXL files, pipelining host entropy decode
     (thread pool) with device reconstruction dispatch and the d2h fetch

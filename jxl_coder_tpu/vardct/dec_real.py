@@ -1453,7 +1453,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                         ref_frames=None,
                         dc_only: bool = False,
                         state_out: dict = None,
-                        parse_only: bool = False) -> np.ndarray:
+                        parse_only: bool = False,
+                        max_passes: int = None) -> np.ndarray:
     """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
 
     Handles multi-pass (progressive AC) streams: per-group coefficient
@@ -1481,6 +1482,11 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     # per-pass coefficient shifts: shift[i] for all but the last pass
     pass_shift = list(fh.passes.shift) + [0]
     single = len(toc.entries) == 1
+    if (max_passes is not None and 0 < max_passes < npasses
+            and not single):
+        # progressive preview: decode only the first max_passes AC
+        # passes; truncated coefficients keep their shifted scale
+        npasses = max_passes
 
     def section(idx):
         if single:

@@ -235,3 +235,31 @@ def test_progressive_two_pass_encode():
                     progressive=True)
     o3, _ = api.decode(d3)
     assert o3.shape == img.shape
+
+
+def test_decode_preview_pass0():
+    """decode_preview renders a progressive stream from its first AC
+    pass only: lower fidelity than the full decode but a faithful
+    image; non-progressive streams decode identically to decode()."""
+    import numpy as np
+    from jxl_coder_tpu import api
+    rng = np.random.default_rng(6)
+    yy, xx = np.mgrid[0:96, 0:128]
+    img = np.clip(np.stack(
+        [128 + 70 * np.sin(yy / 12) + rng.normal(0, 5, yy.shape),
+         120 + 60 * np.cos(xx / 15), 110 + 50 * np.sin((xx + yy) / 21)],
+        -1), 0, 255).astype(np.uint8)
+
+    def psnr(a, b):
+        m = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255.0 ** 2 / max(m, 1e-9))
+
+    d = api.encode(img, lossless=False, quality=90, effort=5,
+                   progressive=True)
+    full, _ = api.decode(d)
+    prev, _ = api.decode_preview(d, passes=1)
+    assert prev.shape == full.shape
+    assert psnr(prev, img) > 28.0
+    assert psnr(full, img) > psnr(prev, img)
+    d1 = api.encode(img, lossless=False, quality=90, effort=5)
+    assert np.array_equal(api.decode_preview(d1)[0], api.decode(d1)[0])
