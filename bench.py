@@ -154,11 +154,25 @@ def main():
     crop = np.asarray(out[:512, :512, :3], np.uint8)
     _ = api.encode(crop, lossless=False, quality=90)     # warm/compile
     et = float("inf")
-    for _i in range(2):
+    for _i in range(3):
         t0 = time.perf_counter()
         enc_bytes = api.encode(crop, lossless=False, quality=90)
         et = min(et, time.perf_counter() - t0)
     enc_mps = 512 * 512 / et / 1e6
+    # same-shape same-distance libjxl encode baseline (e7 d1.0, the
+    # settings quality=90 maps to), so the record shows the ratio
+    libjxl_enc_mps = None
+    try:
+        import refjxl
+        _ = refjxl.encode_ex(crop, distance=1.0, effort=7)
+        let = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = refjxl.encode_ex(crop, distance=1.0, effort=7)
+            let = min(let, time.perf_counter() - t0)
+        libjxl_enc_mps = 512 * 512 / let / 1e6
+    except Exception:
+        pass
 
     # ---- parse once, time device reconstruction on the real state ----
     cs = container_mod.extract_codestream(data).codestream
@@ -225,6 +239,10 @@ def main():
         "end_to_end_single_mps": round(e2e_single_mps, 3),
         "encode_512_mps": round(enc_mps, 3),
         "encode_512_s": round(et, 3),
+        "libjxl_encode_512_mps": (round(libjxl_enc_mps, 3)
+                                  if libjxl_enc_mps else None),
+        "encode_vs_libjxl": (round(enc_mps / libjxl_enc_mps, 3)
+                             if libjxl_enc_mps else None),
         "tunnel_h2d_mbps": round(h2d_mbps, 1),
         "tunnel_d2h_mbps": round(d2h_mbps, 1),
         "libjxl_1t_mps": round(m1, 1) if m1 else None,

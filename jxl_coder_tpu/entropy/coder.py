@@ -242,6 +242,9 @@ def cluster_histograms(hists: List[dict], max_clusters: int = 24):
     for i, h in enumerate(hists):
         for sym, c in h.items():
             H[i, sym] = c
+    res = _cluster_histograms_native(H, max_clusters)
+    if res is not None:
+        return res
     totals = H.sum(1)
 
     def cost_rows(M):
@@ -339,6 +342,30 @@ def cluster_histograms(hists: List[dict], max_clusters: int = 24):
             dense[g] = len(dense)
         out[ci] = dense[g]
     return out, len(dense)
+
+
+def _cluster_histograms_native(H, max_clusters: int):
+    """C++ clustering (native/hostcodec.cpp cluster_histograms_native):
+    same algorithm, costs and tie order as the paths below.  Returns
+    (cluster_map, num_clusters) or None when the library is absent."""
+    import ctypes
+    import numpy as np
+    try:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+    except Exception:
+        lib = None
+    if lib is None or not hasattr(lib, "cluster_histograms_native"):
+        return None
+    n, T = H.shape
+    Hi = np.ascontiguousarray(H, np.int64)
+    out = np.empty(n, np.int32)
+    nc = lib.cluster_histograms_native(
+        Hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, T,
+        max_clusters, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if nc <= 0:
+        return None
+    return out.tolist(), int(nc)
 
 
 def _cluster_histograms_dict(hists: List[dict], max_clusters: int = 24):
@@ -625,12 +652,56 @@ class TokenStream:
         self.num_contexts = num_contexts
         self.lz77 = lz77
         self.use_ans = use_ans
-        self.tokens: List[tuple] = []
+        self._pend: List[tuple] = []
+        self._segs: List[tuple] = []    # (ctx int64[], value int64[])
 
     def add(self, ctx: int, value: int) -> None:
         if value < 0:
             raise ValueError("tokens are unsigned")
-        self.tokens.append((ctx, value))
+        self._pend.append((ctx, value))
+
+    def add_arrays(self, ctx_arr, val_arr) -> None:
+        """Append a whole (ctx, value) array segment without the
+        per-token Python tuple round-trip (the native tokenizers emit
+        arrays; converting to tuples and back was an encoder hotspot)."""
+        import numpy as np
+        self._flush_pend()
+        self._segs.append((np.asarray(ctx_arr, np.int64).reshape(-1),
+                           np.asarray(val_arr, np.int64).reshape(-1)))
+
+    def extend_from(self, other: "TokenStream") -> None:
+        other._flush_pend()
+        self._flush_pend()
+        self._segs.extend(other._segs)
+
+    def _flush_pend(self) -> None:
+        if self._pend:
+            import numpy as np
+            a = np.asarray(self._pend, np.int64).reshape(-1, 2)
+            self._segs.append((a[:, 0], a[:, 1]))
+            self._pend = []
+
+    def arrays(self):
+        """(ctx int64[], value int64[]) in stream order (cached)."""
+        import numpy as np
+        self._flush_pend()
+        if not self._segs:
+            z = np.zeros(0, np.int64)
+            return z, z
+        if len(self._segs) > 1:
+            c = np.concatenate([s[0] for s in self._segs])
+            v = np.concatenate([s[1] for s in self._segs])
+            self._segs = [(c, v)]
+        return self._segs[0]
+
+    @property
+    def tokens(self) -> List[tuple]:
+        """Materialized token list (oracle / small-stream paths)."""
+        c, v = self.arrays()
+        return list(zip(c.tolist(), v.tolist()))
+
+    def __len__(self) -> int:
+        return len(self._pend) + sum(len(s[0]) for s in self._segs)
 
     def write(self, bw: BitWriter,
               config: HybridUintConfig = HybridUintConfig(4, 4, 0)) -> None:
@@ -651,13 +722,12 @@ class TokenStream:
         bw.bool(False)
         # vectorized tokenization for the histogram passes
         import numpy as np
-        if self.tokens:
-            arr = np.asarray(self.tokens, np.int64).reshape(-1, 2)
-            ctx_v = arr[:, 0]
-            tok_v = _tokenize_values_vec(config, arr[:, 1])
+        ctx_v, val_v = self.arrays()
+        if len(ctx_v):
+            tok_v = _tokenize_values_vec(config, val_v)
             ntok = int(tok_v.max()) + 1
         else:
-            ctx_v = tok_v = np.zeros(0, np.int64)
+            tok_v = ctx_v
             ntok = 1
         # cluster contexts by histogram similarity (greedy seeded
         # clustering); >8 clusters use the complex MTF cluster map
@@ -666,9 +736,15 @@ class TokenStream:
             counts = np.bincount(ctx_v * ntok + tok_v,
                                  minlength=self.num_contexts * ntok
                                  ).reshape(self.num_contexts, ntok)
-            per_ctx = [{int(t): int(row[t]) for t in np.nonzero(row)[0]}
-                       for row in counts]
-            cmap, _nc = cluster_histograms(per_ctx)
+            res = _cluster_histograms_native(counts, 24) \
+                if ntok <= 4097 else None
+            if res is not None:
+                cmap, _nc = res
+            else:
+                per_ctx = [{int(t): int(row[t])
+                            for t in np.nonzero(row)[0]}
+                           for row in counts]
+                cmap, _nc = cluster_histograms(per_ctx)
         num_clusters = (max(cmap) + 1) if cmap else 1
         write_cluster_map(bw, cmap if self.num_contexts > 1 else [0])
         cmap_a = np.asarray(cmap if self.num_contexts > 1
@@ -776,7 +852,7 @@ class TokenStream:
         except Exception:
             lib = None
         if lib is None or not hasattr(lib, "ans_stream_encode") \
-                or not self.tokens:
+                or not len(self):
             return False
         cmap, config, tables = shared
         from .ans import ANS_TAB_SIZE
@@ -791,17 +867,30 @@ class TokenStream:
                 f = np.asarray(t.freq, np.int32)
                 c_ = np.zeros(len(f), np.int32)
                 c_[1:] = np.cumsum(f)[:-1]
+                # vectorized reverse map: state idx -> (sym, off) via the
+                # alias lookup, scattered to cum[sym]+off
+                idx = np.arange(ANS_TAB_SIZE, dtype=np.int32)
+                bucket = idx >> t.log_entry
+                pos = idx & (t.entry_size - 1)
+                cuts = np.asarray(t.cutoffs, np.int32)[bucket]
+                in_right = pos >= cuts
+                sym = np.where(in_right,
+                               np.asarray(t.right, np.int32)[bucket],
+                               bucket)
+                off = np.where(
+                    in_right,
+                    np.asarray(t.offsets, np.int32)[bucket] + pos - cuts,
+                    pos)
                 r = np.zeros(ANS_TAB_SIZE, np.int32)
-                for (sym, off), idx in t.reverse_map().items():
-                    r[c_[sym] + off] = idx
+                r[c_[sym] + off] = idx
                 pack = t._enc_pack = (f, c_, r)
             f, c_, r = pack
             freq[cl, :len(f)] = f
             cum[cl, :len(f)] = c_
             rev[cl] = r
-        arr = np.asarray(self.tokens, np.int64).reshape(-1, 2)
-        ctxs = np.ascontiguousarray(arr[:, 0], np.int32)
-        vals = np.ascontiguousarray(arr[:, 1], np.int64)
+        ctx_v, val_v = self.arrays()
+        ctxs = np.ascontiguousarray(ctx_v, np.int32)
+        vals = np.ascontiguousarray(val_v, np.int64)
         cmap_a = np.asarray(cmap, np.int32)
         n = len(vals)
         cap_bits = 32 + n * 64 + 64
@@ -829,8 +918,9 @@ class TokenStream:
         Greedy: a literal v followed by >= min_length more copies of v
         becomes one copy token; the decoder's window serves the repeats.
         """
+        toklist = self.tokens
         max_tok = 0
-        for _, v in self.tokens:
+        for _, v in toklist:
             t, _, _ = config.tokenize(v)
             if t > max_tok:
                 max_tok = t
@@ -844,7 +934,7 @@ class TokenStream:
         n_ctx = self.num_contexts
         dist_ctx = n_ctx
         # detect runs over the raw value sequence
-        seq = self.tokens
+        seq = toklist
         events = []  # ("lit", ctx, value) | ("copy", ctx, length)
         i = 0
         N = len(seq)

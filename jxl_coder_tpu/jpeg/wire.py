@@ -319,7 +319,7 @@ def write_jpeg_codestream(j: JpegData, _ytox=None, _ytob=None) -> bytes:
             group_tokens(gi, all_ts[gi])
         joint = TokenStream(nctx, use_ans=True)
         for t in all_ts:
-            joint.tokens.extend(t.tokens)
+            joint.extend_from(t)
         hfb = hf_global_bits()
         shared = joint.write_histograms(hfb)
         sections = []

@@ -222,10 +222,12 @@ def _gather_data(channels: Sequence[Channel], stream_id: int,
                       PREDICTORS + (6,) if use_wp else PREDICTORS)
 
 
-def _split_costs(data, idx, bucket, B, T, P, _ent):
+def _split_costs(data, idx, bucket, B, T, P, _ent, toks=None):
     """costs[p][j] = ent(buckets<=j) + ent(buckets>j) per predictor —
     native C++ when available (the bincount + stacked entropy was the
-    encoder's hottest remaining numpy block), numpy oracle otherwise."""
+    encoder's hottest remaining numpy block), numpy oracle otherwise.
+    toks: optional pre-subset data.tokens[:, idx] (hoisted by the
+    caller across the property loop — idx is per-node)."""
     lib = None
     try:
         from .. import native as native_mod
@@ -234,7 +236,8 @@ def _split_costs(data, idx, bucket, B, T, P, _ent):
         pass
     if lib is not None:
         import ctypes
-        toks = np.ascontiguousarray(data.tokens[:, idx], np.int32)
+        if toks is None:
+            toks = np.ascontiguousarray(data.tokens[:, idx], np.int32)
         buck = np.ascontiguousarray(bucket, np.int32)
         out = np.empty((P, B - 1), np.float64)
         dp = ctypes.POINTER(ctypes.c_double)
@@ -248,8 +251,10 @@ def _split_costs(data, idx, bucket, B, T, P, _ent):
     # numpy oracle: one bincount over (pred, bucket, token) and a
     # stacked entropy evaluation; tie order matches (argmin is
     # pred-major, split-ascending)
+    if toks is None:
+        toks = data.tokens[:, idx]
     comb = (np.arange(P, dtype=np.int64)[:, None] * (B * T)
-            + bucket[None, :] * T + data.tokens[:, idx])
+            + bucket[None, :] * T + toks)
     h2 = np.bincount(comb.ravel(),
                      minlength=P * B * T).reshape(P, B, T)
     cum = np.cumsum(h2, axis=1)
@@ -300,19 +305,27 @@ def _learn_node(data: _LearnData, idx: np.ndarray, leaves_left: List[int],
         return nl - xl.sum(1) + M @ data.rb
 
     best = (None, leaf_cost - split_penalty)
+    toks_sub = np.ascontiguousarray(data.tokens[:, idx], np.int32)
+    props_sub = data.props[:, idx]
+    # one sort for ALL properties; sorted[round(q*(n-1))] is exactly
+    # np.quantile(method="nearest") and avoids 16 partition calls/node
+    sorted_props = np.sort(props_sub, axis=1)
+    qidx = np.round(np.linspace(0.02, 0.98, n_buckets)
+                    * (len(idx) - 1)).astype(np.intp)
     for k in props_allowed:
-        pv = data.props[k, idx]
-        if pv.min() == pv.max():
+        pv = props_sub[k]
+        sp = sorted_props[k]
+        if sp[0] == sp[-1]:
             continue
-        sv = np.unique(np.quantile(pv, np.linspace(0.02, 0.98, n_buckets),
-                                   method="nearest").astype(np.int64))
+        sv = np.unique(sp[qidx].astype(np.int64))
         # bucket b = #{j: sv[j] < v}; split j keeps LEFT = (v > sv[j])
         # = (b > j), so the cumulative histogram over buckets 0..j is
         # the RIGHT side
         bucket = np.searchsorted(sv, pv, side="left").astype(np.int64)
         B = len(sv) + 1
         P = len(data.pred_ids)
-        costs = _split_costs(data, idx, bucket, B, T, P, _ent)
+        costs = _split_costs(data, idx, bucket, B, T, P, _ent,
+                             toks=toks_sub)
         pj = np.unravel_index(int(np.argmin(costs)), costs.shape)
         if costs[pj] < best[1]:
             best = ((k, int(sv[pj[1]])), float(costs[pj]))

@@ -229,7 +229,7 @@ def encode_channel(ts: TokenStream, tree: Tree, chan: Channel,
             eligible_prev, need_wp, max_prop)
         if toks is not None:
             ctxs, vals = toks
-            ts.tokens.extend(zip(ctxs.tolist(), vals.tolist()))
+            ts.add_arrays(ctxs, vals)
             return
     for y in range(h):
         if wp is not None and y > 0:

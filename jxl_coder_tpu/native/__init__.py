@@ -126,6 +126,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_int32), c.c_int64, c.c_int32,
         c.POINTER(c.c_int32), c.POINTER(c.c_int8), c.c_int64,
         c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
+    lib.cluster_histograms_native.restype = c.c_int32
+    lib.cluster_histograms_native.argtypes = [
+        c.POINTER(c.c_int64), c.c_int32, c.c_int32, c.c_int32,
+        c.POINTER(c.c_int32)]
     lib.ans_stream_encode.restype = c.c_int64
     lib.ans_stream_encode.argtypes = [
         c.POINTER(c.c_int32), c.POINTER(c.c_int64), c.c_int64,

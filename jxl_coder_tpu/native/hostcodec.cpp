@@ -19,6 +19,8 @@
 #include <cstdlib>
 #include <vector>
 #include <unordered_map>
+#include <algorithm>
+#include <utility>
 
 extern "C" {
 
@@ -1391,6 +1393,332 @@ int64_t ans_stream_encode(
 #undef PUT
     free(tok); free(extra); free(nbits); free(cls); free(words);
     return pos;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Histogram clustering (encoder): greedy seeded clustering + agglomerative
+// refinement with ANS-header-size merge costs.  Mirrors
+// entropy/coder.cluster_histograms (dense path) and the helpers in
+// entropy/ans.py (normalize_counts, _quantize_for_shift, _rle_runs,
+// _complex_cost_bits, estimate_ans_distribution_bits) exactly, including
+// tie order.  Equivalent of libjxl's FastClusterHistograms +
+// agglomerative merge behind JxlEncoderAddImageFrame
+// (/root/reference vendors it inside libjxl.so).
+
+namespace cluster_impl {
+
+static const int kLogTab = 12;
+static const int kTabSize = 1 << kLogTab;
+// LOGCOUNT_CODE lengths (entropy/ans.py:57)
+static const int kLogCountLen[14] = {5,4,4,4,4,4,3,3,3,3,3,6,7,7};
+
+static inline int bit_length(int64_t v) {
+    return v <= 0 ? 0 : 64 - (int)__builtin_clzll((uint64_t)v);
+}
+static inline int logcount_of(int64_t c) {
+    return c == 0 ? 0 : (c == 1 ? 1 : bit_length(c));
+}
+static inline int u8_bits(int64_t v) {
+    return v == 0 ? 1 : 4 + (bit_length(v) - 1);
+}
+static inline int pop_precision(int logcount, int shift) {
+    int r = logcount < (shift - ((kLogTab - logcount) >> 1))
+        ? logcount : (shift - ((kLogTab - logcount) >> 1));
+    return r > 0 ? r : 0;
+}
+
+// Shannon cost (bits) of coding a histogram with its own distribution.
+static double hist_cost(const int64_t* h, int T) {
+    long double tot = 0, xl = 0;
+    for (int t = 0; t < T; t++) {
+        int64_t c = h[t];
+        if (c > 0) { tot += c; xl += (long double)c * log2l((long double)c); }
+    }
+    if (tot <= 0) return 0.0;
+    return (double)(tot * log2l(tot) - xl);
+}
+
+// normalize_counts (ans.py:202): largest-remainder to kTabSize with
+// every observed symbol kept >= 1.  hist/out length = alpha.
+static void normalize_counts(const int64_t* hist, int alpha, int64_t* out) {
+    long double total = 0;
+    for (int i = 0; i < alpha; i++) total += hist[i];
+    if (total <= 0) {
+        out[0] = kTabSize;
+        for (int i = 1; i < alpha; i++) out[i] = 0;
+        return;
+    }
+    std::vector<double> raw(alpha);
+    int64_t sum = 0;
+    for (int i = 0; i < alpha; i++) {
+        raw[i] = (double)((long double)hist[i] * kTabSize / total);
+        out[i] = hist[i] > 0 ? (int64_t)raw[i] : 0;   // trunc == floor (>=0)
+        if (hist[i] > 0 && out[i] < 1) out[i] = 1;
+        sum += out[i];
+    }
+    int64_t diff = kTabSize - sum;
+    std::vector<int> order(alpha);
+    for (int i = 0; i < alpha; i++) order[i] = i;
+    if (diff > 0) {
+        std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+            return (raw[a] - (double)out[a]) > (raw[b] - (double)out[b]); });
+        size_t k = 0;
+        while (diff > 0) {
+            int i = order[k % alpha];
+            if (hist[i] > 0) { out[i]++; diff--; }
+            k++;
+        }
+    } else if (diff < 0) {
+        std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+            return out[a] > out[b]; });
+        size_t k = 0;
+        while (diff < 0) {
+            int i = order[k % alpha];
+            if (out[i] > 1) { out[i]--; diff++; }
+            k++;
+        }
+    }
+}
+
+// _quantize_for_shift_scalar (ans.py:291).  Returns omit pos or -1.
+static int quantize_for_shift(const int64_t* counts, int alpha, int shift,
+                              int64_t* q) {
+    for (int i = 0; i < alpha; i++) {
+        int64_t c = counts[i];
+        if (c <= 1) { q[i] = c; continue; }
+        int code = bit_length(c);
+        int bitcount = pop_precision(code - 1, shift);
+        int64_t step = (int64_t)1 << (code - 1 - bitcount);
+        int64_t base = (int64_t)1 << (code - 1);
+        int64_t qq = base + ((c - base + step / 2) / step) * step;
+        if (qq >= ((int64_t)1 << code)) qq = ((int64_t)1 << code) - step;
+        q[i] = qq;
+    }
+    int omit = 0;
+    for (int i = 1; i < alpha; i++) if (q[i] > q[omit]) omit = i;
+    int64_t total = 0;
+    for (int i = 0; i < alpha; i++) total += q[i];
+    for (int iter = 0; iter <= alpha; iter++) {
+        int64_t rem = kTabSize - (total - q[omit]);
+        if (rem <= 0) return -1;
+        int64_t old = q[omit];
+        q[omit] = rem;
+        int dec_omit = 0, best_log = -1;
+        for (int i = 0; i < alpha; i++) {
+            int lg = logcount_of(q[i]);
+            if (lg > best_log) { best_log = lg; dec_omit = i; }
+        }
+        if (dec_omit == omit) return omit;
+        q[omit] = old;
+        omit = dec_omit;
+    }
+    return -1;
+}
+
+// _rle_runs (ans.py:322) + _complex_cost_bits (ans.py:346) fused.
+static int complex_cost_bits(const int64_t* q, int alpha, int omit,
+                             int shift) {
+    int bits = 0;
+    int i = 1;
+    std::vector<std::pair<int,int>> runs;
+    while (i < alpha) {
+        if (i == omit || i == omit + 1) { i++; continue; }
+        int j = i;
+        while (j < alpha && j != omit && q[j] == q[i - 1] && j - i < 259)
+            j++;
+        if (j - i >= 4) { runs.emplace_back(i, j - i); i = j; }
+        else i++;
+    }
+    std::vector<uint8_t> covered(alpha, 0);
+    for (auto& r : runs)
+        for (int k = r.first; k < r.first + r.second; k++) covered[k] = 1;
+    for (int k = 0; k < alpha; k++) {
+        if (covered[k]) continue;
+        int code = logcount_of(q[k]);
+        bits += kLogCountLen[code];
+        if (k != omit && code > 1) bits += pop_precision(code - 1, shift);
+    }
+    for (auto& r : runs)
+        bits += kLogCountLen[13] + u8_bits(r.second - 4);
+    return bits;
+}
+
+// estimate_ans_distribution_bits (ans.py:441): header size with the
+// coarse shift grid; num_tokens weights the KL regret in shift choice.
+static double estimate_dist_bits(const int64_t* counts, int alpha0,
+                                 int64_t num_tokens) {
+    int nnz = 0, first = -1, second = -1;
+    for (int i = 0; i < alpha0; i++)
+        if (counts[i] > 0) {
+            if (nnz == 0) first = i; else if (nnz == 1) second = i;
+            nnz++;
+        }
+    if (nnz == 1) return 2 + u8_bits(first);
+    if (nnz == 2) return 2 + u8_bits(first) + u8_bits(second) + 12;
+    // flat check (ans.py flat_counts)
+    {
+        int64_t base = kTabSize / alpha0;
+        int64_t remn = kTabSize - base * alpha0;
+        bool flat = true;
+        for (int i = 0; i < alpha0; i++)
+            if (counts[i] != base + (i < remn ? 1 : 0)) { flat = false; break; }
+        if (flat) return 2 + u8_bits(alpha0 - 1);
+    }
+    int alpha = alpha0;
+    while (alpha > 3 && counts[alpha - 1] == 0) alpha--;
+    if (alpha < 3) alpha = 3;
+    std::vector<int64_t> q(alpha);
+    double best_total = 0; int best_hdr = -1;
+    for (int shift = 1; shift <= 13; shift += 2) {
+        int omit = quantize_for_shift(counts, alpha, shift, q.data());
+        if (omit < 0) continue;
+        int hdr = complex_cost_bits(q.data(), alpha, omit, shift) + 6
+            + u8_bits(alpha - 3);
+        double kl = 0.0; bool inf = false;
+        for (int i = 0; i < alpha; i++) {
+            if (counts[i] > 0) {
+                if (q[i] <= 0) { inf = true; break; }
+                kl += ((double)counts[i] / kTabSize)
+                    * log2((double)counts[i] / (double)q[i]);
+            }
+        }
+        if (kl < 0.0) kl = 0.0;
+        double total = inf ? 1e300 : hdr + kl * (double)num_tokens;
+        if (best_hdr < 0 || total < best_total) {
+            best_total = total; best_hdr = hdr;
+        }
+    }
+    if (best_hdr < 0) return 6.0 * alpha + 40.0;
+    return (double)best_hdr;
+}
+
+// hist_bits_row (coder.py:284): serialized-header size of one histogram.
+static double hist_bits_row(const int64_t* row, int T) {
+    int maxs = -1;
+    int64_t ntok = 0;
+    int nnz = 0;
+    for (int t = 0; t < T; t++)
+        if (row[t] > 0) { maxs = t; ntok += row[t]; nnz++; }
+    if (maxs < 0) return 0.0;
+    if (maxs > 255) return 6.0 * nnz + 40.0;
+    std::vector<int64_t> norm(maxs + 1);
+    normalize_counts(row, maxs + 1, norm.data());
+    return estimate_dist_bits(norm.data(), maxs + 1, ntok);
+}
+
+}  // namespace cluster_impl
+
+extern "C" {
+
+// Full clustering: H is n x T row-major int64 counts.  Fills out_map[n],
+// returns the number of clusters (>=1) or -1 on error.
+int32_t cluster_histograms_native(const int64_t* H, int32_t n, int32_t T,
+                                  int32_t max_clusters, int32_t* out_map) {
+    using namespace cluster_impl;
+    if (n <= 0 || T <= 0 || max_clusters <= 0) return -1;
+    std::vector<int64_t> totals(n, 0);
+    std::vector<double> selfc(n);
+    for (int i = 0; i < n; i++) {
+        const int64_t* row = H + (int64_t)i * T;
+        for (int t = 0; t < T; t++) totals[i] += row[t];
+        selfc[i] = hist_cost(row, T);
+    }
+    std::vector<int> order(n);
+    for (int i = 0; i < n; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+        return totals[a] > totals[b]; });
+    // ---- seeding ----
+    std::vector<std::vector<int64_t>> S;
+    std::vector<double> seed_cost;
+    std::vector<int> assign(n, 0);
+    std::vector<int64_t> merged(T);
+    for (int oi = 0; oi < n; oi++) {
+        int i = order[oi];
+        if (totals[i] == 0) continue;
+        const int64_t* row = H + (int64_t)i * T;
+        int best = -1; double bestc = 1e300;
+        for (size_t si = 0; si < S.size(); si++) {
+            for (int t = 0; t < T; t++) merged[t] = S[si][t] + row[t];
+            double extra = hist_cost(merged.data(), T) - seed_cost[si]
+                - selfc[i];
+            if (extra < bestc) { bestc = extra; best = (int)si; }
+        }
+        if ((best < 0 || bestc > 60.0) && (int)S.size() < max_clusters) {
+            S.emplace_back(row, row + T);
+            seed_cost.push_back(selfc[i]);
+            assign[i] = (int)S.size() - 1;
+        } else {
+            assign[i] = best;
+            for (int t = 0; t < T; t++) S[best][t] += row[t];
+            seed_cost[best] = hist_cost(S[best].data(), T);
+        }
+    }
+    int k = (int)S.size();
+    if (k == 0) {
+        for (int i = 0; i < n; i++) out_map[i] = 0;
+        return 1;
+    }
+    // ---- agglomerative refinement ----
+    std::vector<double> bits(k), cost(k);
+    for (int c = 0; c < k; c++) {
+        bits[c] = hist_bits_row(S[c].data(), T);
+        cost[c] = hist_cost(S[c].data(), T);
+    }
+    std::vector<int> remap(k);
+    for (int c = 0; c < k; c++) remap[c] = c;
+    std::vector<uint8_t> alive(k, 1);
+    // pair cache: delta for (i,j), i<j; merged recomputed on take
+    std::vector<double> pd((size_t)k * k, 0.0);
+    std::vector<uint8_t> pd_valid((size_t)k * k, 0);
+    int n_alive = k;
+    while (n_alive > 1) {
+        double best_delta = 0.0; int bi = -1, bj = -1;
+        for (int i = 0; i < k; i++) {
+            if (!alive[i]) continue;
+            for (int j = i + 1; j < k; j++) {
+                if (!alive[j]) continue;
+                size_t key = (size_t)i * k + j;
+                double delta;
+                if (pd_valid[key]) delta = pd[key];
+                else {
+                    for (int t = 0; t < T; t++)
+                        merged[t] = S[i][t] + S[j][t];
+                    double mc = hist_cost(merged.data(), T);
+                    double mb = hist_bits_row(merged.data(), T);
+                    delta = (mc - cost[i] - cost[j])
+                        - (bits[i] + bits[j] - mb);
+                    pd[key] = delta; pd_valid[key] = 1;
+                }
+                if (delta < best_delta) {
+                    best_delta = delta; bi = i; bj = j;
+                }
+            }
+        }
+        if (bi < 0) break;
+        for (int t = 0; t < T; t++) S[bi][t] += S[bj][t];
+        bits[bi] = hist_bits_row(S[bi].data(), T);
+        cost[bi] = hist_cost(S[bi].data(), T);
+        alive[bj] = 0;
+        n_alive--;
+        for (int t2 = 0; t2 < k; t2++) {
+            size_t a = t2 < bi ? (size_t)t2 * k + bi : (size_t)bi * k + t2;
+            size_t b = t2 < bj ? (size_t)t2 * k + bj : (size_t)bj * k + t2;
+            pd_valid[a] = 0; pd_valid[b] = 0;
+        }
+        for (int t2 = 0; t2 < k; t2++)
+            if (remap[t2] == bj) remap[t2] = bi;
+    }
+    // densify
+    std::vector<int> dense(k, -1);
+    int nd = 0;
+    for (int ci = 0; ci < n; ci++) {
+        int g = remap[assign[ci]];
+        if (dense[g] < 0) dense[g] = nd++;
+        out_map[ci] = dense[g];
+    }
+    return nd;
 }
 
 }  // extern "C"

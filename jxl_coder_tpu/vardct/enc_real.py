@@ -576,7 +576,7 @@ def _write_ac_tokens_native(lib, ts, acs_map, vals_map, xs_b, ys_b):
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vals_flat.ctypes.data_as(i32p), xs_b, ys_b, NUM_CTXS,
         out_ctx.ctypes.data_as(i32p), out_val.ctypes.data_as(i32p))
-    ts.tokens.extend(zip(out_ctx[:m].tolist(), out_val[:m].tolist()))
+    ts.add_arrays(out_ctx[:m], out_val[:m])
 
 
 def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
@@ -1021,7 +1021,7 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                 group_tokens(gi, all_ts[gi], p_)
             joint = TokenStream(nctx, use_ans=True)
             for t in all_ts:
-                joint.tokens.extend(t.tokens)
+                joint.extend_from(t)
             if p_ > 0:
                 # per-pass HfGlobal tail: used_orders + this pass's code
                 hf.u32(0, 0x5F, 0x13, 0, (13, 0))
