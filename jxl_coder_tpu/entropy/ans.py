@@ -360,6 +360,35 @@ def _complex_cost_bits(q, omit_pos, runs, shift):
     return bits
 
 
+def _quantize_best_native(counts, num_tokens):
+    """Native shift search (hostcodec.cpp ans_quantize_best): same
+    search loop, costs and tie order as the Python loop below.
+    Returns (total, shift, q, omit, runs) or None."""
+    try:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+    except Exception:
+        lib = None
+    if lib is None or not hasattr(lib, "ans_quantize_best"):
+        return None
+    import ctypes
+    import numpy as np
+    c64 = np.asarray(counts, np.int64)
+    q_out = np.empty(len(counts), np.int64)
+    shift_out = ctypes.c_int32()
+    omit_out = ctypes.c_int32()
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.ans_quantize_best(
+        c64.ctypes.data_as(i64p), len(counts), int(num_tokens),
+        ctypes.byref(shift_out), q_out.ctypes.data_as(i64p),
+        ctypes.byref(omit_out))
+    if rc != 0:
+        return None
+    q = q_out.tolist()
+    omit = int(omit_out.value)
+    return (0.0, int(shift_out.value), q, omit, _rle_runs(q, omit))
+
+
 def write_ans_distribution_complex(bw: BitWriter, counts: List[int],
                                    num_tokens: int = 0) -> List[int]:
     """Full 'complex' histogram form with encoder-side shift selection
@@ -376,25 +405,26 @@ def write_ans_distribution_complex(bw: BitWriter, counts: List[int],
         alphabet_size = 3
     counts = list(counts[:alphabet_size]) + [0] * (alphabet_size
                                                    - len(counts))
-    import math
-    best = None
-    for shift in range(14):
-        res = _quantize_for_shift(counts, shift)
-        if res is None:
-            continue
-        q, omit = res
-        runs = _rle_runs(q, omit)
-        hdr = _complex_cost_bits(q, omit, runs, shift)
-        kl = 0.0
-        for c, c2 in zip(counts, q):
-            if c > 0:
-                if c2 <= 0:
-                    kl = math.inf
-                    break
-                kl += (c / ANS_TAB_SIZE) * math.log2(c / c2)
-        total = hdr + max(0.0, kl) * num_tokens
-        if best is None or total < best[0]:
-            best = (total, shift, q, omit, runs)
+    best = _quantize_best_native(counts, num_tokens)
+    if best is None:
+        import math
+        for shift in range(14):
+            res = _quantize_for_shift(counts, shift)
+            if res is None:
+                continue
+            q, omit = res
+            runs = _rle_runs(q, omit)
+            hdr = _complex_cost_bits(q, omit, runs, shift)
+            kl = 0.0
+            for c, c2 in zip(counts, q):
+                if c > 0:
+                    if c2 <= 0:
+                        kl = math.inf
+                        break
+                    kl += (c / ANS_TAB_SIZE) * math.log2(c / c2)
+            total = hdr + max(0.0, kl) * num_tokens
+            if best is None or total < best[0]:
+                best = (total, shift, q, omit, runs)
     _, shift, q, omit_pos, runs = best
     bw.u(0, 1)   # not simple
     bw.u(0, 1)   # not flat

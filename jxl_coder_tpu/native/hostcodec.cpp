@@ -1722,3 +1722,127 @@ int32_t cluster_histograms_native(const int64_t* H, int32_t n, int32_t T,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Greedy AC-strategy winner pass (encoder): largest-first placement over
+// precomputed RD cost grids.  Mirrors vardct/enc_real._greedy_decide
+// exactly (incl. the cumsum(0).cumsum(1) summed-area construction order,
+// so float rounding matches the numpy oracle).
+
+extern "C" {
+
+int32_t greedy_decide_native(
+    const double* cost8, const int32_t* qf_map,
+    int32_t ys_b, int32_t xs_b,
+    const int32_t* cdesc, int32_t K,       // K x 5: sid, cy, cx, nyc, nxc
+    const double* cgrid_all, const int32_t* qgrid_all,
+    const int64_t* goffs,                  // K+1 offsets into the grids
+    int32_t* acs_out, int32_t* qf_out)
+{
+    const int64_t W = xs_b, H = ys_b;
+    // sat = cost8.cumsum(axis=0).cumsum(axis=1), zero-padded
+    std::vector<double> col((size_t)H * W);
+    for (int64_t x = 0; x < W; x++) {
+        double run = 0.0;
+        for (int64_t y = 0; y < H; y++) {
+            run += cost8[y * W + x];
+            col[y * W + x] = run;
+        }
+    }
+    std::vector<double> sat((size_t)(H + 1) * (W + 1), 0.0);
+    for (int64_t y = 0; y < H; y++) {
+        double run = 0.0;
+        for (int64_t x = 0; x < W; x++) {
+            run += col[y * W + x];
+            sat[(y + 1) * (W + 1) + (x + 1)] = run;
+        }
+    }
+    auto c8sum = [&](int64_t by, int64_t bx, int64_t cy, int64_t cx) {
+        return sat[(by + cy) * (W + 1) + bx + cx]
+            - sat[by * (W + 1) + bx + cx]
+            - sat[(by + cy) * (W + 1) + bx]
+            + sat[by * (W + 1) + bx];
+    };
+    for (int64_t i = 0; i < H * W; i++) acs_out[i] = -1;
+    memcpy(qf_out, qf_map, (size_t)H * W * 4);
+    for (int64_t by = 0; by < H; by++) {
+        for (int64_t bx = 0; bx < W; bx++) {
+            if (acs_out[by * W + bx] != -1) continue;
+            bool placed = false;
+            for (int32_t k = 0; k < K; k++) {
+                int32_t sid = cdesc[k * 5], cy = cdesc[k * 5 + 1],
+                    cx = cdesc[k * 5 + 2], nxc = cdesc[k * 5 + 4];
+                if (by % cy || bx % cx) continue;
+                if (by + cy > H || bx + cx > W) continue;
+                bool free_ = true;
+                for (int64_t yy = by; yy < by + cy && free_; yy++)
+                    for (int64_t xx = bx; xx < bx + cx; xx++)
+                        if (acs_out[yy * W + xx] != -1) {
+                            free_ = false; break;
+                        }
+                if (!free_) continue;
+                int64_t gi = goffs[k] + (by / cy) * nxc + bx / cx;
+                double cm = cgrid_all[gi];
+                double thresh = (int64_t)cy * cx > 4 ? 0.90 : 0.98;
+                if (cm < c8sum(by, bx, cy, cx) * thresh) {
+                    int32_t q = qgrid_all[gi];
+                    for (int64_t yy = by; yy < by + cy; yy++)
+                        for (int64_t xx = bx; xx < bx + cx; xx++) {
+                            acs_out[yy * W + xx] = -2;
+                            qf_out[yy * W + xx] = q;
+                        }
+                    acs_out[by * W + bx] = sid;
+                    placed = true;
+                    break;
+                }
+            }
+            if (!placed) acs_out[by * W + bx] = 0;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ANS distribution writer shift search (encoder): pick the (shift,
+// quantized counts, omit position) minimizing header bits + KL regret.
+// Mirrors entropy/ans.write_ans_distribution_complex's search loop
+// (full shift grid 0..13); bit emission stays in Python.
+
+extern "C" {
+
+int32_t ans_quantize_best(const int64_t* counts, int32_t alpha,
+                          int64_t num_tokens, int32_t* shift_out,
+                          int64_t* q_out, int32_t* omit_out)
+{
+    using namespace cluster_impl;
+    std::vector<int64_t> q(alpha);
+    double best_total = 0.0;
+    int best_shift = -1;
+    for (int shift = 0; shift < 14; shift++) {
+        int omit = quantize_for_shift(counts, alpha, shift, q.data());
+        if (omit < 0) continue;
+        int hdr = complex_cost_bits(q.data(), alpha, omit, shift);
+        double kl = 0.0; bool inf = false;
+        for (int i = 0; i < alpha; i++) {
+            if (counts[i] > 0) {
+                if (q[i] <= 0) { inf = true; break; }
+                kl += ((double)counts[i] / kTabSize)
+                    * log2((double)counts[i] / (double)q[i]);
+            }
+        }
+        if (kl < 0.0) kl = 0.0;
+        double total = inf ? 1e300 : hdr + kl * (double)num_tokens;
+        if (best_shift < 0 || total < best_total) {
+            best_total = total;
+            best_shift = shift;
+            memcpy(q_out, q.data(), (size_t)alpha * 8);
+            *omit_out = omit;
+        }
+    }
+    *shift_out = best_shift;
+    return best_shift < 0 ? -1 : 0;
+}
+
+}  // extern "C"

@@ -272,16 +272,29 @@ def _costs(ys_b: int, xs_b: int, cands: tuple, deadzone: float):
     return jax.jit(fn), meta
 
 
+def run_front_dispatch(pad_f32: np.ndarray, gab_iters: int = 4):
+    """Dispatch stage 1 asynchronously; pair with run_front_fetch.
+    Callers can run independent host work (e.g. the patch detector)
+    while the device computes and the d2h transfer is in flight."""
+    ph, pw, _ = pad_f32.shape
+    ys_b, xs_b = ph // 8, pw // 8
+    fn = _front(ph, pw, gab_iters)
+    planes, co, small_d = fn(pad_f32)
+    return planes, co, small_d, ys_b, xs_b
+
+
 def run_front(pad_f32: np.ndarray, gab_iters: int = 4):
     """Host entry for stage 1: (ph, pw, 3) float32 sRGB-encoded in
     [0, 1].  Returns (device planes, device co, mask np, ytox np,
     ytob np, co_dc np (3, ys_b, xs_b)).  gab_iters=0 skips the gaborish
     sharpening (fast decoding-speed tiers)."""
-    ph, pw, _ = pad_f32.shape
-    ys_b, xs_b = ph // 8, pw // 8
+    return run_front_fetch(run_front_dispatch(pad_f32, gab_iters))
+
+
+def run_front_fetch(pending):
+    """Block on a run_front_dispatch handle (one small d2h fetch)."""
+    planes, co, small_d, ys_b, xs_b = pending
     ty, tx = -(-ys_b // 8), -(-xs_b // 8)
-    fn = _front(ph, pw, gab_iters)
-    planes, co, small_d = fn(pad_f32)
     small = np.asarray(small_d)
     nb = ys_b * xs_b
     nt = ty * tx
@@ -387,24 +400,84 @@ def fetch_selected_dispatch(vals_list, meta, acs_map):
     return flat_d, anchors, idx_pad, srcs
 
 
+class SelectedFlat:
+    """Winner coefficient values as ONE flat int32 array (anchor-major,
+    then channel-major, covered-prefix zeros included), with per-anchor
+    (by, bx, sid) arrays in raster order.  The token writers consume
+    this directly; `as_map()` materializes the legacy per-block dict
+    for the Python oracle paths."""
+
+    __slots__ = ("bys", "bxs", "sids", "sizes", "offs", "vals")
+
+    def __init__(self, bys, bxs, sids, sizes, offs, vals):
+        self.bys, self.bxs, self.sids = bys, bxs, sids
+        self.sizes = sizes            # num_coeffs per anchor
+        self.offs = offs              # int64 (n+1,) into vals, 3*size
+        self.vals = vals              # int32 flat
+
+    def transform(self, fn):
+        """New SelectedFlat with fn applied to the value array."""
+        return SelectedFlat(self.bys, self.bxs, self.sids, self.sizes,
+                            self.offs, fn(self.vals))
+
+    def as_map(self):
+        vals_map = {}
+        for i in range(len(self.bys)):
+            sz = int(self.sizes[i])
+            v = self.vals[int(self.offs[i]):int(self.offs[i + 1])] \
+                .astype(np.int64).reshape(3, sz)
+            vals_map[(int(self.bys[i]), int(self.bxs[i]))] = \
+                {c: v[c] for c in range(3)}
+        return vals_map
+
+
 def fetch_selected_fetch(pending):
-    """Block on a fetch_selected_dispatch handle; returns vals_map
-    {(by, bx): {c: int64 (num_coeffs,)}} with the leading `cov` zero
-    slots re-inserted, as the host token writer expects."""
+    """Block on a fetch_selected_dispatch handle; returns a
+    SelectedFlat (vectorized scatter per source — the per-anchor dict
+    build was an encoder hotspot)."""
     flat_d, anchors, idx_pad, srcs = pending
     flat = np.asarray(flat_d)
-    vals_map = {}
+    bys_l, bxs_l, sids_l, sizes_l = [], [], [], []
+    scat = []       # (rows (m, 3, tlen), cov, tlen, first_idx)
     off = 0
     for (sid, cov, pos), ip, src in zip(anchors, idx_pad, srcs):
         tlen = int(src.shape[-1])
+        m = len(pos)
         rows = flat[off:off + len(ip) * 3 * tlen].reshape(
-            len(ip), 3, tlen)
+            len(ip), 3, tlen)[:m]
         off += len(ip) * 3 * tlen
-        for i, (by, bx) in enumerate(pos):
-            v = np.zeros((3, cov + tlen), np.int64)
-            v[:, cov:] = rows[i]
-            vals_map[(int(by), int(bx))] = {c: v[c] for c in range(3)}
-    return vals_map
+        if m:
+            pa = np.asarray(pos, np.int64).reshape(m, 2)
+            bys_l.append(pa[:, 0])
+            bxs_l.append(pa[:, 1])
+            sids_l.append(np.full(m, sid, np.int32))
+            sizes_l.append(np.full(m, cov + tlen, np.int64))
+            scat.append((rows, cov, tlen, sum(len(b) for b in bys_l[:-1])))
+    if not bys_l:
+        z = np.zeros(0, np.int64)
+        return SelectedFlat(z, z, z.astype(np.int32), z,
+                            np.zeros(1, np.int64), np.zeros(0, np.int32))
+    bys = np.concatenate(bys_l)
+    bxs = np.concatenate(bxs_l)
+    sids = np.concatenate(sids_l)
+    sizes = np.concatenate(sizes_l)
+    # raster order across sources
+    order = np.argsort(bys * (bxs.max() + 1) + bxs, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    bys, bxs, sids, sizes = bys[order], bxs[order], sids[order], \
+        sizes[order]
+    offs = np.zeros(len(bys) + 1, np.int64)
+    np.cumsum(3 * sizes, out=offs[1:])
+    vals = np.zeros(int(offs[-1]), np.int32)
+    for rows, cov, tlen, first in scat:
+        m = rows.shape[0]
+        dst = offs[inv[first:first + m]]
+        idx = (dst[:, None, None]
+               + np.arange(3)[None, :, None] * (cov + tlen)
+               + cov + np.arange(tlen)[None, None, :])
+        vals[idx] = rows
+    return SelectedFlat(bys, bxs, sids, sizes, offs, vals)
 
 
 def fetch_selected(vals_list, meta, acs_map):

@@ -50,9 +50,21 @@ def _box_blur(f: np.ndarray, r: int = 4) -> np.ndarray:
 
 
 def _label(mask: np.ndarray) -> List[Tuple[int, int, int, int]]:
-    """Connected components (8-conn via row runs) -> bounding boxes.
-    Pure numpy/python union-find over runs; run counts are small for
-    glyph masks."""
+    """Connected components (8-conn) -> bounding boxes.  scipy's C
+    labeler when available; pure numpy/python union-find over row runs
+    otherwise (identical component sets, possibly different order —
+    downstream grouping is content-keyed, so order is immaterial)."""
+    try:
+        from scipy import ndimage as _ndi
+        lab, n = _ndi.label(mask, structure=np.ones((3, 3), np.int32))
+        out = []
+        for sl in _ndi.find_objects(lab):
+            if sl is not None:
+                out.append((sl[1].start, sl[0].start,
+                            sl[1].stop, sl[0].stop))
+        return out
+    except ImportError:
+        pass
     h, w = mask.shape
     parent: List[int] = []
 

@@ -429,7 +429,48 @@ def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
 def _greedy_decide(cands, cost_data, cost8, qf_map, ys_b, xs_b):
     """Greedy largest-first winner pass over precomputed cost grids;
     values are NOT touched — only cost/qf grids.  cost_data: {sid:
-    (cgrid, qgrid)}.  Returns (acs_map, qf_sel)."""
+    (cgrid, qgrid)}.  Returns (acs_map, qf_sel).  Native C++ when
+    available (hostcodec.cpp greedy_decide_native, bit-identical sat
+    construction); the Python loop below is the oracle."""
+    try:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+    except ImportError:
+        lib = None
+    if lib is not None and hasattr(lib, "greedy_decide_native"):
+        import ctypes
+        kept = [(sid, cy, cx) for (sid, cy, cx) in cands
+                if sid in cost_data]
+        cdesc = np.empty((max(len(kept), 1), 5), np.int32)
+        goffs = np.zeros(len(kept) + 1, np.int64)
+        cgrids, qgrids = [], []
+        for k, (sid, cy, cx) in enumerate(kept):
+            cgrid, qgrid = cost_data[sid]
+            nyc, nxc = cgrid.shape
+            cdesc[k] = (sid, cy, cx, nyc, nxc)
+            goffs[k + 1] = goffs[k] + nyc * nxc
+            cgrids.append(np.ascontiguousarray(cgrid, np.float64)
+                          .reshape(-1))
+            qgrids.append(np.ascontiguousarray(qgrid, np.int32)
+                          .reshape(-1))
+        cgrid_all = (np.concatenate(cgrids) if cgrids
+                     else np.zeros(1, np.float64))
+        qgrid_all = (np.concatenate(qgrids) if qgrids
+                     else np.zeros(1, np.int32))
+        cost8_c = np.ascontiguousarray(cost8, np.float64)
+        qf_c = np.ascontiguousarray(qf_map, np.int32)
+        acs_map = np.empty((ys_b, xs_b), np.int32)
+        qf_sel = np.empty((ys_b, xs_b), np.int32)
+        dp = ctypes.POINTER(ctypes.c_double)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        lib.greedy_decide_native(
+            cost8_c.ctypes.data_as(dp), qf_c.ctypes.data_as(ip),
+            ys_b, xs_b,
+            np.ascontiguousarray(cdesc).ctypes.data_as(ip), len(kept),
+            cgrid_all.ctypes.data_as(dp), qgrid_all.ctypes.data_as(ip),
+            goffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            acs_map.ctypes.data_as(ip), qf_sel.ctypes.data_as(ip))
+        return acs_map, qf_sel
     acs_map = np.full((ys_b, xs_b), -1, np.int32)
     qf_sel = np.array(qf_map, np.int32)
     # summed-area table for O(1) DCT8 cost sums over any rectangle
@@ -489,19 +530,88 @@ def _greedy_select(cands, cand_data, cost8, vals8, qf_map, ys_b, xs_b):
     return acs_map, vals_map, qf_sel
 
 
+_SLUT = None
+
+
+def _strategy_luts():
+    """Per-strategy-id attribute LUT arrays for the vectorized anchor
+    build (covered, log2_covered, num_coeffs, cx, cy and the three
+    per-channel block-context ids)."""
+    global _SLUT
+    if _SLUT is None:
+        ns = max(STRATEGIES) + 1
+        luts = {k: np.zeros(ns, np.int32)
+                for k in ("cov", "l2c", "nc", "cx", "cy",
+                          "ctx1", "ctx0", "ctx2")}
+        for sid, s in STRATEGIES.items():
+            luts["cov"][sid] = s.covered
+            luts["l2c"][sid] = s.log2_covered
+            luts["nc"][sid] = s.num_coeffs
+            luts["cx"][sid] = s.cx
+            luts["cy"][sid] = s.cy
+            luts["ctx1"][sid] = DEFAULT_CTX_MAP[1 * 13 + s.order_bucket]
+            luts["ctx0"][sid] = DEFAULT_CTX_MAP[0 * 13 + s.order_bucket]
+            luts["ctx2"][sid] = DEFAULT_CTX_MAP[2 * 13 + s.order_bucket]
+        _SLUT = luts
+    return _SLUT
+
+
+def _write_ac_tokens_native_flat(lib, ts, flat, xs_b, ys_b):
+    """Native AC tokenizer fed directly from a SelectedFlat — no
+    per-anchor Python work at all (the anchors table is a vectorized
+    LUT gather and the value buffer is used as-is)."""
+    import ctypes
+    n = len(flat.bys)
+    if n == 0:
+        return
+    luts = _strategy_luts()
+    sids = flat.sids
+    anchors = np.empty((n, 10), np.int32)
+    anchors[:, 0] = flat.bxs
+    anchors[:, 1] = flat.bys
+    anchors[:, 2] = luts["cov"][sids]
+    anchors[:, 3] = luts["l2c"][sids]
+    anchors[:, 4] = luts["nc"][sids]
+    anchors[:, 5] = luts["cx"][sids]
+    anchors[:, 6] = luts["cy"][sids]
+    anchors[:, 7] = luts["ctx1"][sids]
+    anchors[:, 8] = luts["ctx0"][sids]
+    anchors[:, 9] = luts["ctx2"][sids]
+    anchors = np.ascontiguousarray(anchors)
+    offs = np.ascontiguousarray(flat.offs, np.int64)
+    vals_flat = np.ascontiguousarray(flat.vals, np.int32)
+    cap = int(3 * n + offs[-1])
+    out_ctx = np.empty(max(cap, 1), np.int32)
+    out_val = np.empty(max(cap, 1), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    m = lib.encode_ac_tokens(
+        anchors.ctypes.data_as(i32p), n,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals_flat.ctypes.data_as(i32p), xs_b, ys_b, NUM_CTXS,
+        out_ctx.ctypes.data_as(i32p), out_val.ctypes.data_as(i32p))
+    ts.add_arrays(out_ctx[:m], out_val[:m])
+
+
 def _write_ac_tokens(ts, acs_map, vals_map, xs_b, ys_b):
     """Mirror of read_pass_group's varblock walk: nonzero counts with
     spread prediction, zero-density contexts with covered/log2cov.
     Uses the native single-pass tokenizer when available (the Python
     per-token loop below remains the oracle; tests cross-check)."""
+    lib = None
     try:
         from .. import native as native_mod
-        if native_mod.get_lib() is not None:
-            _write_ac_tokens_native(native_mod.get_lib(), ts, acs_map,
-                                    vals_map, xs_b, ys_b)
-            return
+        lib = native_mod.get_lib()
     except ImportError:
         pass
+    from . import enc_device as ENCDEV_
+    if isinstance(vals_map, ENCDEV_.SelectedFlat):
+        if lib is not None:
+            _write_ac_tokens_native_flat(lib, ts, vals_map, xs_b, ys_b)
+            return
+        vals_map = vals_map.as_map()
+    if lib is not None:
+        _write_ac_tokens_native(lib, ts, acs_map, vals_map, xs_b, ys_b)
+        return
     nz_map = np.zeros((3, ys_b, xs_b), np.int32)
     for by in range(ys_b):
         for bx in range(xs_b):
@@ -607,21 +717,6 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     if bit_depth is None:
         bit_depth = 16 if pixels.dtype == np.uint16 else 8
 
-    # encoder-side patches (libjxl e7+ behaviour): repeated glyph
-    # content moves to a hidden reference frame; the main frame codes a
-    # smooth background and the dictionary pastes the glyphs back.
-    # Photographic inputs yield no repeated patches and take the normal
-    # path unchanged.
-    if (try_patches and fh is None and hdr is None and into_bw is None
-            and alpha is None and colour is None and effort >= 7
-            and distance >= 0.5 and pixels.dtype == np.uint8):
-        from . import enc_patches as EPAT
-        plan = EPAT.detect(pixels)
-        if plan is not None:
-            return _encode_with_patches(
-                pixels, plan, distance=distance, effort=effort,
-                decoding_speed=decoding_speed,
-                intensity_target=intensity_target)
     pad = np.pad(pixels, ((0, ph - H), (0, pw - W), (0, 0)), mode="edge")
     # decoding-speed tiers drop decode-side filters (the reference's
     # JxlDecodingSpeed semantics); gaborish costs a 3x3 conv at decode
@@ -632,8 +727,10 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     # on the TPU for sRGB inputs; the host keeps the greedy selection
     # and all bitstream work.  Float32 there vs float64 here — streams
     # differ in quantization ties but stay on the same RD curve.
+    # Dispatched FIRST so the patch detector below overlaps the device
+    # compute + d2h round trip.
     from . import enc_device as ENCDEV
-    dev_front = None
+    dev_pending = None
     if ENCDEV.enabled() and colour is None:
         if pad.dtype == np.uint8:
             padf = pad.astype(np.float32) / np.float32(255.0)
@@ -642,8 +739,42 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         else:
             padf = pad.astype(np.float32)
         try:
-            dev_front = ENCDEV.run_front(
+            dev_pending = ENCDEV.run_front_dispatch(
                 padf, gab_iters=4 if use_gab else 0)
+        except Exception:
+            if os.environ.get("JXL_TPU_DEVICE_STRICT", "0") != "0":
+                raise
+            dev_pending = None
+
+    # encoder-side patches (libjxl e7+ behaviour): repeated glyph
+    # content moves to a hidden reference frame; the main frame codes a
+    # smooth background and the dictionary pastes the glyphs back.
+    # The detector runs SPECULATIVELY in a worker thread (numpy work
+    # releases the GIL) overlapping the whole device pipeline; the
+    # decision is checked just before final assembly.  Photographic
+    # inputs (the common case) pay ~nothing; on a patch hit the normal
+    # encode so far is discarded.
+    _patch_box = None
+    if (try_patches and fh is None and hdr is None and into_bw is None
+            and alpha is None and colour is None and effort >= 7
+            and distance >= 0.5 and pixels.dtype == np.uint8):
+        from . import enc_patches as EPAT
+        import threading as _threading
+        _patch_box = {"plan": None}
+
+        def _detect_bg():
+            try:
+                _patch_box["plan"] = EPAT.detect(pixels)
+            except Exception:
+                _patch_box["plan"] = None
+        _pt = _threading.Thread(target=_detect_bg, daemon=True)
+        _pt.start()
+        _patch_box["thread"] = _pt
+
+    dev_front = None
+    if dev_pending is not None:
+        try:
+            dev_front = ENCDEV.run_front_fetch(dev_pending)
         except Exception:
             if os.environ.get("JXL_TPU_DEVICE_STRICT", "0") != "0":
                 raise
@@ -947,9 +1078,33 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         gw = min(gd_b, xs_b - ax)
         gh = min(gd_b, ys_b - ay)
         sub_acs = acs_map[ay:ay + gh, ax:ax + gw]
-        sub_vals = {(by, bx): vmap[(ay + by, ax + bx)]
-                    for by in range(gh) for bx in range(gw)
-                    if sub_acs[by, bx] >= 0}
+        if isinstance(vmap, ENCDEV.SelectedFlat):
+            if gw == xs_b and gh == ys_b:
+                sub_vals = vmap
+            else:
+                m_ = ((vmap.bys >= ay) & (vmap.bys < ay + gh)
+                      & (vmap.bxs >= ax) & (vmap.bxs < ax + gw))
+                sel = np.nonzero(m_)[0]
+                sizes = vmap.sizes[sel]
+                offs = np.zeros(len(sel) + 1, np.int64)
+                np.cumsum(3 * sizes, out=offs[1:])
+                lens = 3 * sizes
+                total = int(lens.sum())
+                if total:
+                    starts = vmap.offs[sel]
+                    idx = (np.arange(total, dtype=np.int64)
+                           - np.repeat(lens.cumsum() - lens, lens)
+                           + np.repeat(starts, lens))
+                    vals = vmap.vals[idx]
+                else:
+                    vals = np.zeros(0, np.int32)
+                sub_vals = ENCDEV.SelectedFlat(
+                    vmap.bys[sel] - ay, vmap.bxs[sel] - ax,
+                    vmap.sids[sel], sizes, offs, vals)
+        else:
+            sub_vals = {(by, bx): vmap[(ay + by, ax + bx)]
+                        for by in range(gh) for bx in range(gw)
+                        if sub_acs[by, bx] >= 0}
         _write_ac_tokens(ts, sub_acs, sub_vals, gw, gh)
 
     def _vals_maps():
@@ -963,6 +1118,16 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
             vm = ENCDEV.fetch_selected_fetch(_vals_box["pending"])
         if npasses == 1:
             maps = [vm]
+        elif isinstance(vm, ENCDEV.SelectedFlat):
+            # split v = (v0 << 1) + v1 with v0 = round(v/2): pass 0
+            # the coarse field, pass 1 a {-1,0,1} refinement
+            # (vectorized on the flat value buffer)
+            v0 = (vm.vals + 1) >> 1
+            maps = [ENCDEV.SelectedFlat(vm.bys, vm.bxs, vm.sids,
+                                        vm.sizes, vm.offs, v0),
+                    ENCDEV.SelectedFlat(vm.bys, vm.bxs, vm.sids,
+                                        vm.sizes, vm.offs,
+                                        vm.vals - (v0 << 1))]
         else:
             # split v = (v0 << 1) + v1 with v0 = round(v/2): pass 0
             # the coarse field, pass 1 a {-1,0,1} refinement (the
@@ -1046,6 +1211,14 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         for p in payloads:
             into_bw.append_bits(p, len(p) * 8)
         return b""
+    if _patch_box is not None:
+        _patch_box["thread"].join()
+        plan = _patch_box["plan"]
+        if plan is not None:
+            return _encode_with_patches(
+                pixels, plan, distance=distance, effort=effort,
+                decoding_speed=decoding_speed,
+                intensity_target=intensity_target)
     bw = BitWriter()
     write_image_header(bw, hdr)
     write_frame_header(bw, fh, hdr)

@@ -109,3 +109,34 @@ def test_native_full_api_roundtrip():
     data = api.encode(x, lossless=True)
     out, _ = api.decode(data)
     assert np.array_equal(out, x)
+
+
+@needs_native
+def test_native_greedy_decide_matches_oracle():
+    """greedy_decide_native must reproduce the Python oracle exactly
+    (same sat float order, same tie behaviour)."""
+    from jxl_coder_tpu.vardct import enc_real as ER
+    from jxl_coder_tpu import native as NM
+    r = rng()
+    for _trial in range(4):
+        ys_b, xs_b = int(r.integers(8, 48)), int(r.integers(8, 48))
+        cost8 = r.random((ys_b, xs_b)) * 10
+        qf = r.integers(1, 200, (ys_b, xs_b)).astype(np.int32)
+        cands = [(5, 2, 2), (6, 2, 1), (7, 1, 2), (10, 4, 4)]
+        cost_data = {}
+        for sid, cy, cx in cands:
+            nyc, nxc = ys_b // cy, xs_b // cx
+            if nyc and nxc:
+                cost_data[sid] = (
+                    r.random((nyc, nxc)) * cy * cx * 4,
+                    r.integers(1, 200, (nyc, nxc)).astype(np.int32))
+        a1, q1 = ER._greedy_decide(cands, cost_data, cost8, qf,
+                                   ys_b, xs_b)
+        lib = NM._lib
+        NM._lib = None
+        try:
+            a2, q2 = ER._greedy_decide(cands, cost_data, cost8, qf,
+                                       ys_b, xs_b)
+        finally:
+            NM._lib = lib
+        assert np.array_equal(a1, a2) and np.array_equal(q1, q2)
