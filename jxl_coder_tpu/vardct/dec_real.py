@@ -974,6 +974,72 @@ def ycbcr_planes_to_rgb(Cb, Y, Cr, bits):
     return out.astype(np.uint8 if bits <= 8 else np.uint16)
 
 
+def _device_post_config(lf, fh, hdr, h, w, ref_frames):
+    """(post, extras) for tpu_full's device post-filter stages, built
+    from the frame's features: patches+splines as one affine overlay,
+    noise random planes + lut, upsampling kernels, and the output
+    encoding spec.  Mirrors the host tail of decode_vardct_frame."""
+    m = hdr.metadata
+    post = []
+    extras = {}
+    patches = getattr(lf, "patches", None)
+    splines = getattr(lf, "splines", None)
+    if patches is not None or splines is not None:
+        if patches is not None:
+            from .patches import patches_to_affine
+            mul, add = patches_to_affine(patches, h, w, ref_frames)
+        else:
+            mul = np.ones((3, h, w), np.float32)
+            add = np.zeros((3, h, w), np.float32)
+        if splines is not None:
+            cf = 1.0 / lf.cfl_color_factor
+            overlay = [np.zeros((h, w), np.float64) for _ in range(3)]
+            splines.render(
+                overlay,
+                base_cx=lf.cfl_base_x + lf.cfl_ytox_dc * cf,
+                base_cb=lf.cfl_base_b + lf.cfl_ytob_dc * cf)
+            for c in range(3):
+                add[c] += overlay[c].astype(np.float32)
+        post.append(("overlay", True))
+        extras["mul"] = mul
+        extras["add"] = add
+    if getattr(lf, "noise_lut", None) is not None:
+        from .noise import noise_planes
+        extras["rnd"] = noise_planes(w, h)
+        extras["lut"] = np.asarray(lf.noise_lut, np.float32)
+        post.append(("noise", True))
+    if fh.upsampling > 1:
+        from ..ops.upsample import _kernels
+        uw = m.transform_data
+        weights = {2: uw.up2_weights, 4: uw.up4_weights,
+                   8: uw.up8_weights}.get(fh.upsampling)
+        extras["upk"] = np.asarray(
+            _kernels(fh.upsampling, weights), np.float32)
+        post.append(("ups", int(fh.upsampling)))
+    ce = m.colour_encoding
+    if fh.do_ycbcr:
+        post.append(("out", ("ycbcr",)))
+    elif ce is not None and ce.have_gamma:
+        post.append(("out", ("gamma", float(ce.gamma / 1e7))))
+    elif not _is_srgb_output(ce):
+        from ..ops import color as C
+        prim = C.primaries_xy(ce)
+        wp = C.white_xy(ce)
+        gm = None
+        if prim != C.PRIMARIES["srgb"] or wp != C.ILLUMINANT_D65:
+            gm = tuple(
+                (C.gamut_xyz_to_rgb(prim, wp)
+                 @ C.gamut_rgb_to_xyz(C.PRIMARIES["srgb"],
+                                      C.ILLUMINANT_D65))
+                .astype(np.float32).reshape(-1).tolist())
+        luma = tuple(C.gamut_rgb_to_xyz(prim, wp)[1]
+                     .astype(np.float32).tolist())
+        it = float(m.tone_mapping.intensity_target or 255.0)
+        post.append(("out", ("enc", int(ce.transfer_function), gm, it,
+                             luma)))
+    return post, extras
+
+
 def _is_srgb_output(ce) -> bool:
     """True when the signalled encoding is the default sRGB output the
     fast paths emit (sRGB TRC or unknown, sRGB primaries, D65)."""
@@ -1597,15 +1663,18 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
 
     from . import tpu_full as TF
     _ce = hdr.metadata.colour_encoding
+    # device-path coverage (round 5): patches, splines, noise,
+    # upsampling, do_ycbcr(444) and non-sRGB output encodings all run
+    # ON DEVICE as post-filter stages (tpu_full._build_fn post=...),
+    # matching the reference where one libjxl render pipeline serves
+    # every stream (interop/JxlDecoding.cpp:74-175).  Only chroma-
+    # subsampled ycbcr stays host-side (unequal plane sizes).
     use_device = (TF.device_enabled() and not return_xyb
-                  and not fh.do_ycbcr
-                  and fh.upsampling == 1
-                  and getattr(lf, "patches", None) is None
-                  and getattr(lf, "splines", None) is None
-                  and getattr(lf, "noise_lut", None) is None
-                  # non-sRGB output encodings happen on host from the
-                  # XYB planes; the device pipeline emits sRGB
-                  and _is_srgb_output(_ce))
+                  and not (fh.do_ycbcr
+                           and any(u != 0 for u in fh.jpeg_upsampling))
+                  and fh.upsampling in (1, 2, 4, 8)
+                  and not (getattr(lf, "patches", None) is not None
+                           and ref_frames is None))
     device_groups = []
 
     def _group_view(gi):
@@ -1710,16 +1779,29 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
             blocks_glob=blocks_glob)
         if state_out is not None:
             state_out.update(state)
-        if (parse_only and use_device and blocks_glob is not None
+    _post_free = (getattr(lf, "patches", None) is None
+                  and getattr(lf, "splines", None) is None
+                  and getattr(lf, "noise_lut", None) is None
+                  and fh.upsampling == 1 and not fh.do_ycbcr
+                  and _is_srgb_output(_ce)
+                  and not (_ce is not None and _ce.have_gamma))
+    if state_out is not None or parse_only:
+        if (parse_only and use_device and _post_free
+                and blocks_glob is not None
                 and not hdr.metadata.extra_channels):
             return state
     if use_device:
         bits_ = hdr.metadata.bit_depth.bits_per_sample
         try:
+            post, extras = ([], {})
+            if not _post_free:
+                post, extras = _device_post_config(
+                    lf, fh, hdr, h, w, ref_frames)
             device_rgb = TF.reconstruct_frame_device(
                 lf, fh, blocks_glob, qf_map, sharp_map,
                 ytox_glob, ytob_glob, dc_glob, bits_,
-                crop_h=h, crop_w=w)
+                crop_h=h, crop_w=w,
+                post=tuple(post), extras=extras)
         except Exception:
             if os.environ.get("JXL_TPU_DEVICE_STRICT", "0") != "0":
                 raise
@@ -1758,7 +1840,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
             X[:h, :w], Y[:h, :w], B[:h, :w] = Xc, Yc, Bc
         else:
             X, Y, B = _apply_filters_parallel(X, Y, B, rf, lf_sigma)
-    if getattr(lf, "patches", None) is not None:
+    if device_rgb is None and getattr(lf, "patches", None) is not None:
         if ref_frames is None:
             raise BitstreamError(
                 "frame uses patches but no reference frames were decoded")
@@ -1767,7 +1849,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         lf.patches.apply(planes, ref_frames)
         for dstp, srcp in zip((X, Y, B), planes):
             dstp[:h, :w] = srcp
-    if getattr(lf, "splines", None) is not None:
+    if device_rgb is None and getattr(lf, "splines", None) is not None:
         cf = 1.0 / lf.cfl_color_factor
         planes = [np.ascontiguousarray(p[:h, :w], np.float64)
                   for p in (X, Y, B)]
@@ -1776,7 +1858,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                           base_cb=lf.cfl_base_b + lf.cfl_ytob_dc * cf)
         for dstp, srcp in zip((X, Y, B), planes):
             dstp[:h, :w] = srcp
-    if getattr(lf, "noise_lut", None) is not None:
+    if device_rgb is None and getattr(lf, "noise_lut", None) is not None:
         from .noise import add_noise
         Xc, Yc, Bc = (np.ascontiguousarray(p[:h, :w], np.float32)
                       for p in (X, Y, B))
@@ -1790,7 +1872,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     # of the signalled size; the Upsampler stage scales XYB back up)
     full_w = fh.frame_width or hdr.xsize
     full_h = fh.frame_height or hdr.ysize
-    if fh.upsampling > 1:
+    if device_rgb is None and fh.upsampling > 1:
         from ..ops.upsample import upsample_plane
         uw = m.transform_data
         weights = {2: uw.up2_weights, 4: uw.up4_weights,
@@ -1805,7 +1887,11 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         # stream declares a pure power TRC (e.g. alpha_png_freepik's
         # 1/2.2): encode the linear output with it instead of sRGB
         gamma = ce.gamma / 1e7
-    if fh.do_ycbcr:
+    if device_rgb is not None:
+        # the device pipeline already applied patches/splines/noise/
+        # upsampling and the output encoding (tpu_full post stages)
+        rgb = device_rgb[:full_h, :full_w]
+    elif fh.do_ycbcr:
         rgb = ycbcr_planes_to_rgb(X, Y, B, bits)[:full_h, :full_w]
     elif gamma is not None:
         rgb = xyb_planes_to_gamma(X, Y, B, gamma,
@@ -1814,8 +1900,6 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         rgb = xyb_planes_to_encoding(
             X, Y, B, ce, bits,
             m.tone_mapping.intensity_target)[:full_h, :full_w]
-    elif device_rgb is not None:
-        rgb = device_rgb[:full_h, :full_w]
     elif bits > 8:
         rgb = xyb_planes_to_srgb16(X, Y, B)[:full_h, :full_w]
     else:

@@ -206,3 +206,48 @@ class PatchDictionary:
                     if clamp:
                         fa = np.clip(fa, 0.0, 1.0)
                     dst[ys, xs] += fa * src
+
+
+def patches_to_affine(pd: "PatchDictionary", h: int, w: int,
+                      ref_frames: Dict[int, List[np.ndarray]]):
+    """Per-pixel affine equivalent of PatchDictionary.apply for the
+    colour channels with no extra-channel planes (the decode path's
+    call shape): X_out = X_in * mul + add.  Every blend mode is affine
+    in the destination, and sequential patches compose by in-place
+    updates of (mul, add).  Consumed by the device reconstruction
+    (tpu_full post stages); apply() stays the host oracle."""
+    mul = np.ones((3, h, w), np.float32)
+    add = np.zeros((3, h, w), np.float32)
+    for p in pd.patches:
+        r = pd.rects[p.rect_idx]
+        ref = ref_frames.get(r.ref)
+        if ref is None:
+            raise BitstreamError(
+                f"patch references missing frame slot {r.ref}")
+        ys = slice(p.y, p.y + r.ysize)
+        xs = slice(p.x, p.x + r.xsize)
+        rys = slice(r.y0, r.y0 + r.ysize)
+        rxs = slice(r.x0, r.x0 + r.xsize)
+        mode, _alpha_channel, clamp = p.blendings[0]
+        if mode == BLEND_NONE:
+            continue
+        for c in (0, 1, 2):
+            src = ref[c][rys, rxs] if c < len(ref) else None
+            if src is None:
+                continue
+            src = src.astype(np.float32)
+            if mode == BLEND_ADD or mode in (BLEND_ALPHA_ADD_ABOVE,
+                                             BLEND_ALPHA_ADD_BELOW):
+                # ALPHA_ADD without EC planes degrades to plain ADD
+                # (apply(): alpha_plane returns None)
+                add[c][ys, xs] += src
+            elif mode == BLEND_MUL:
+                s = np.clip(src, 0.0, 1.0) if clamp else src
+                mul[c][ys, xs] *= s
+                add[c][ys, xs] *= s
+            else:
+                # REPLACE; BLEND_* without EC planes degrades to
+                # REPLACE (apply(): alpha_plane returns None)
+                mul[c][ys, xs] = 0.0
+                add[c][ys, xs] = src
+    return mul, add

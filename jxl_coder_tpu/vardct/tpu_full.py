@@ -550,15 +550,146 @@ def _xyb_to_srgb16_device(X, Y, B):
                     65535).astype(jnp.uint16)
 
 
+def _conv_subbox_device(p):
+    """center - 5x5 box sum / 25, mirrored borders (noise.py
+    _conv_subbox device mirror)."""
+    import jax.numpy as jnp
+    pad = jnp.pad(p, 2, mode="symmetric")
+    h, w = p.shape
+    s = jnp.zeros_like(p)
+    for dy in range(5):
+        for dx in range(5):
+            s = s + pad[dy:dy + h, dx:dx + w]
+    return p - s / jnp.float32(25.0)
+
+
+def _noise_strength_device(lut, v):
+    """8-knot piecewise-linear lut (noise.py _strength device mirror)."""
+    import jax.numpy as jnp
+    sc = jnp.maximum(0.0, v * 6.0)
+    idx = jnp.floor(sc).astype(jnp.int32)
+    frac = sc - idx.astype(jnp.float32)
+    over = sc >= 7.0
+    idx = jnp.where(over, 6, jnp.minimum(idx, 6))
+    frac = jnp.where(over, jnp.float32(1.0), frac)
+    return (lut[idx] * (1.0 - frac)
+            + lut[jnp.minimum(idx + 1, 7)] * frac)
+
+
+def _upsample_plane_device(p, ker):
+    """5x5 phase-kernel upsampling with window min/max clamping
+    (ops/upsample.upsample_plane device mirror).  ker: (n, n, 5, 5)."""
+    import jax.numpy as jnp
+    n = ker.shape[0]
+    h, w = p.shape
+    pad = jnp.pad(p.astype(jnp.float32), 2, mode="symmetric")
+    win = jnp.stack([pad[dy:dy + h, dx:dx + w]
+                     for dy in range(5) for dx in range(5)])  # (25,H,W)
+    kf = jnp.asarray(ker.reshape(n, n, 25), jnp.float32)
+    out = jnp.einsum("khw,pqk->hpwq", win, kf)
+    lo = win.min(axis=0)
+    hi = win.max(axis=0)
+    out = jnp.clip(out, lo[:, None, :, None], hi[:, None, :, None])
+    return out.reshape(h * n, w * n)
+
+
+def _xyb_to_linear_device(X, Y, B):
+    """XYB planes -> (..., 3) unclamped linear sRGB (scalar VPU ops —
+    see _xyb_to_srgb16_device for why not a matmul)."""
+    import jax.numpy as jnp
+    from .tpu_real import _OPSIN_INV32
+    from .dec_real import _BIAS, _CBRT_BIAS
+    cb = np.float32(_CBRT_BIAS)
+    bias = np.float32(_BIAS)
+    g_r = Y + X + cb
+    g_g = Y - X + cb
+    g_b = B + cb
+    ml = g_r * g_r * g_r - bias
+    mm = g_g * g_g * g_g - bias
+    ms = g_b * g_b * g_b - bias
+    M = np.asarray(_OPSIN_INV32)
+    return jnp.stack([np.float32(M[c, 0]) * ml + np.float32(M[c, 1]) * mm
+                      + np.float32(M[c, 2]) * ms for c in range(3)],
+                     axis=-1)
+
+
+def _quantize_device(enc, bits):
+    import jax.numpy as jnp
+    maxv = (1 << bits) - 1
+    out = jnp.clip(jnp.floor(enc * np.float32(maxv) + 0.5), 0, maxv)
+    return out.astype(jnp.uint8 if bits <= 8 else jnp.uint16)
+
+
+def _encode_output_device(X, Y, B, out_spec, bits):
+    """Device mirror of the host output-encoding tail
+    (dec_real.xyb_planes_to_{gamma,encoding} / ycbcr_planes_to_rgb):
+    out_spec is a static tuple — ('srgb',), ('gamma', g),
+    ('enc', trc, gamut_matrix_tuple_or_None, intensity_target),
+    ('ycbcr',)."""
+    import jax.numpy as jnp
+    from .tpu_real import fast_linear_to_srgb_device
+    kind = out_spec[0]
+    if kind == "ycbcr":
+        # dec_real.ycbcr_planes_to_rgb: planes arrive as (Cb, Y, Cr)
+        yp = Y + np.float32(128.0 / 255.0)
+        r = yp + np.float32(1.402) * B
+        g = yp - np.float32(0.344136) * X - np.float32(0.714136) * B
+        b = yp + np.float32(1.772) * X
+        return _quantize_device(jnp.stack([r, g, b], axis=-1), bits)
+    lin = _xyb_to_linear_device(X, Y, B)
+    if kind == "srgb":
+        srgb = fast_linear_to_srgb_device(lin)
+        return _quantize_device(srgb, bits)
+    if kind == "gamma":
+        enc = jnp.power(jnp.maximum(lin, 0.0), np.float32(out_spec[1]))
+        return _quantize_device(enc, bits)
+    # generic signalled encoding (dec_real.xyb_planes_to_encoding);
+    # out_spec = ('enc', trc, gamut_matrix_or_None, intensity_target,
+    # luma_weights) with luma = gamut_rgb_to_xyz(prim, wp)[1]
+    from ..ops import color as C
+    _, trc, gm, it, luma_w = out_spec
+    if gm is not None:
+        m = np.asarray(gm, np.float32).reshape(3, 3)
+        lin = lin @ m.T
+    sign = jnp.sign(lin)
+    if trc == 16:    # PQ
+        enc = sign * C.linear_to_pq(jnp.abs(lin) * (255.0 / 10000.0))
+    elif trc == 18:  # HLG with inverse OOTF
+        disp = lin * np.float32(255.0 / it)
+        gam = 1.2 * 1.111 ** np.log2(it / 1000.0)
+        luma = jnp.asarray(np.asarray(luma_w, np.float32))
+        yd = jnp.einsum("...c,c->...", disp, luma)
+        f = jnp.where(yd > 1e-9,
+                      jnp.abs(yd) ** np.float32((1.0 - gam) / gam), 0.0)
+        scene = disp * f[..., None]
+        enc = jnp.sign(scene) * C.linear_to_hlg(
+            jnp.minimum(jnp.abs(scene), 1.0))
+    else:
+        enc = sign * C.LINEAR_TO_TRC.get(
+            trc, C.linear_to_srgb)(jnp.abs(lin))
+    return _quantize_device(enc, bits)
+
+
 def _build_fn(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
-              pass2_scale, crop_h=None, crop_w=None):
+              pass2_scale, crop_h=None, crop_w=None, post=()):
     """The (unjitted) whole-frame reconstruction function for one frame
     geometry — jitted by _compiled for the product path, vmapped /
-    shard_mapped by the multi-chip GOP paths (parallel/multihost)."""
+    shard_mapped by the multi-chip GOP paths (parallel/multihost).
+
+    post: static tuple of (key, value) pairs enabling post-filter
+    stages on device (the features the reference runs inside libjxl's
+    single render pipeline, JxlDecoding.cpp:74-175):
+      ("overlay", True)      patches+splines as X*mul+add (extras:
+                             mul, add — see patches.patches_to_affine)
+      ("noise", True)        noise synthesis (extras: rnd (3,h,w), lut)
+      ("ups", n)             2x/4x/8x upsampling (extras: upk kernels)
+      ("out", spec)          output encoding; default ('srgb',)
+    With post nonempty, the jitted fn takes an extra `extras` dict."""
     import jax
     import jax.numpy as jnp
     from .tpu_real import xyb_to_srgb8_device
     gabw = np.asarray(gabw_t, np.float32)
+    post_d = dict(post)
 
     def fn(fams, dc_glob, qf_map, sharp_map, igs, qm, perm_inv):
         fam_tiles = [
@@ -610,28 +741,100 @@ def _build_fn(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
             return _xyb_to_srgb16_device(X, Y, B)
         return xyb_to_srgb8_device(X, Y, B)
 
-    return fn
+    if not post_d:
+        return fn
+
+    def fn_post(fams, dc_glob, qf_map, sharp_map, igs, qm, perm_inv,
+                extras):
+        fam_tiles = [
+            _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
+                          special, qm)
+            for fam, (sid, n_pad, bh, bw, cov, special)
+            in zip(fams, desc)]
+        all_tiles = (fam_tiles[0] if len(fam_tiles) == 1
+                     else jnp.concatenate(fam_tiles, axis=0))
+        ny, nx = H8 // 8, W8 // 8
+        g = all_tiles.at[perm_inv].get(unique_indices=True,
+                                       mode="promise_in_bounds")
+        g = g.reshape(ny, nx, 3, 8, 8)
+        rows = [g[:, :, c, py, :] for c in range(3) for py in range(8)]
+        st = jnp.stack(rows, axis=0).reshape(3, 8, ny, W8)
+        frame = st.transpose(0, 2, 1, 3).reshape(3, H8, W8)
+        planes = [frame[0], frame[1], frame[2]]
+        if (gab or epf_iters >= 1) and (crop_h < H8 or crop_w < W8):
+            planes = [p[:crop_h, :crop_w] for p in planes]
+        X, Y, B = planes
+        if epf_iters >= 1:
+            sigma = (EPF_SIGMA_PER * sharp_map.astype(jnp.float32)
+                     * igs / jnp.maximum(qf_map.astype(jnp.float32),
+                                         1.0))
+        else:
+            sigma = jnp.zeros_like(qf_map, jnp.float32)
+        X, Y, B = _filters_chain_device(X, Y, B, sigma, gab, epf_iters,
+                                        gabw, pass0_scale, pass2_scale,
+                                        to_srgb_bits=None)
+        # post stages run at the TRUE image size, mirroring the host
+        # tail (dec_real.decode_vardct_frame: filters -> patches ->
+        # splines -> noise -> upsampling -> output encoding)
+        X = X[:crop_h, :crop_w]
+        Y = Y[:crop_h, :crop_w]
+        B = B[:crop_h, :crop_w]
+        if post_d.get("overlay"):
+            mul = extras["mul"]
+            add = extras["add"]
+            X = X * mul[0] + add[0]
+            Y = Y * mul[1] + add[1]
+            B = B * mul[2] + add[2]
+        if post_d.get("noise"):
+            from .noise import NOISE_K0
+            rnd = extras["rnd"]
+            lut = extras["lut"]
+            conv_r = _conv_subbox_device(rnd[0])
+            conv_g = _conv_subbox_device(rnd[1])
+            conv_cor = _conv_subbox_device(rnd[2])
+            sr = _noise_strength_device(lut, (Y + X) * 0.5)
+            sg = _noise_strength_device(lut, (Y - X) * 0.5)
+            red = sr * (conv_cor + conv_r / jnp.float32(128.0))
+            green = sg * (conv_cor + conv_g / jnp.float32(128.0))
+            k0 = jnp.float32(NOISE_K0)
+            X = X + k0 * (red - green)
+            Y = Y + k0 * (red + green)
+            B = B + k0 * (red + green)
+        ups = post_d.get("ups", 1)
+        if ups > 1:
+            ker = extras["upk"]
+            X = _upsample_plane_device(X, ker)
+            Y = _upsample_plane_device(Y, ker)
+            B = _upsample_plane_device(B, ker)
+        out_spec = post_d.get("out", ("srgb",))
+        return _encode_output_device(X, Y, B, out_spec, int(bits))
+
+    return fn_post
 
 
 @functools.lru_cache(maxsize=32)
 def _compiled(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
-              pass2_scale, crop_h=None, crop_w=None):
+              pass2_scale, crop_h=None, crop_w=None, post=()):
     import jax
     return jax.jit(_build_fn(desc, H8, W8, bits, gab, epf_iters, gabw_t,
-                             pass0_scale, pass2_scale, crop_h, crop_w))
+                             pass0_scale, pass2_scale, crop_h, crop_w,
+                             post))
 
 
 def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
                              ytox_glob, ytob_glob, dc_glob,
                              bits: int, crop_h: int = None,
                              crop_w: int = None,
-                             as_device: bool = False) -> np.ndarray:
+                             as_device: bool = False,
+                             post=(), extras=None) -> np.ndarray:
     """Whole-frame device reconstruction: scan-indexed varblocks (frame
     coords) -> (H8, W8, 3) uint8/uint16 sRGB on the padded block grid.
     dc_glob: dict {0,1,2} of already-smoothed XYB DC planes.
     as_device: return the (asynchronously dispatched) device array
     without blocking on d2h — callers overlap the fetch with the next
-    frame's host work (api.decode_batch)."""
+    frame's host work (api.decode_batch).
+    post/extras: optional post-filter stage config (see _build_fn) —
+    patches/splines overlay, noise, upsampling, output encodings."""
     desc, fams, qm, perm_inv = prepare_families(
         lf, fh, blocks_global, qf_map, ytox_glob, ytob_glob)
     ys_b, xs_b = qf_map.shape
@@ -647,10 +850,15 @@ def reconstruct_frame_device(lf, fh, blocks_global, qf_map, sharp_map,
                    float(rf.epf_pass0_sigma_scale),
                    float(rf.epf_pass2_sigma_scale),
                    int(crop_h) if crop_h else H8,
-                   int(crop_w) if crop_w else W8)
-    out = fn(fams, dc, qf_map.astype(np.int32),
-             sharp_map.astype(np.int32),
-             np.float32(lf.inv_global_scale), qm, perm_inv)
+                   int(crop_w) if crop_w else W8,
+                   tuple(post))
+    args = (fams, dc, qf_map.astype(np.int32),
+            sharp_map.astype(np.int32),
+            np.float32(lf.inv_global_scale), qm, perm_inv)
+    if post:
+        out = fn(*args, extras or {})
+    else:
+        out = fn(*args)
     return out if as_device else np.asarray(out)
 
 

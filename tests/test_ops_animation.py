@@ -414,3 +414,32 @@ def test_decode_animated_returns_last_frame():
     one, info = api.decode(data)
     assert info.have_animation
     assert np.array_equal(one[:, :, :3], frames[-1])
+
+
+def test_pil_plugin_animated_roundtrip():
+    """save_all=True writes a real animated JXL via AnimatedEncoder;
+    reopening exposes n_frames / seek / per-frame durations (the Glide
+    integration reaching JxlAnimatedEncoder.kt:38-118)."""
+    import io as _io
+    from PIL import Image
+    from jxl_coder_tpu.integrations import pil_plugin
+    pil_plugin.register()
+    frames = [Image.fromarray(np.full((16, 20, 3), v, np.uint8))
+              for v in (10, 120, 230)]
+    buf = _io.BytesIO()
+    frames[0].save(buf, format="JXL", save_all=True,
+                   append_images=frames[1:], duration=[40, 50, 60],
+                   loop=2)
+    im = Image.open(_io.BytesIO(buf.getvalue()))
+    assert im.format == "JXL"
+    assert im.n_frames == 3 and im.is_animated
+    assert im.info.get("loop") == 2
+    vals = []
+    durs = []
+    for i in range(im.n_frames):
+        im.seek(i)
+        durs.append(im.info["duration"])
+        vals.append(np.asarray(im)[0, 0, 0])
+    assert durs == [40, 50, 60]
+    assert vals == [10, 120, 230]
+    assert im.tell() == 2
