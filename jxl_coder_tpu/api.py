@@ -536,6 +536,9 @@ def decode(data: bytes):
             return out, basic_info(data)
         planes = codec.decode_modular_frame(cs, hdr, fh, toc)
     except BitstreamError as e:
+        part = _decode_partial(data)
+        if part is not None:
+            return part
         raise InvalidJXLError(str(e)) from e
 
     bits = m.bit_depth.bits_per_sample
@@ -551,6 +554,77 @@ def decode(data: bytes):
     out = apply_orientation(out, m.orientation)
     info = basic_info(data)
     return out, info
+
+
+def _decode_partial(data: bytes):
+    """Best-effort render of a BYTE-TRUNCATED stream: decode the
+    complete received AC passes, or the DC image upsampled to full
+    resolution when no AC pass arrived whole.  The reference's event
+    loop yields at JXL_DEC_NEED_MORE_INPUT and renders what it has
+    (jxl/decode.h:377-462 re-entry contract); this is the one-shot
+    equivalent.  Returns (pixels, BasicInfo) or None when the input is
+    not a clean prefix truncation (corrupt data keeps raising typed
+    errors)."""
+    import numpy as np
+    from .bitstream.reader import BitReader
+    from .bitstream.headers import read_image_header
+    from .bitstream.frame_header import (read_frame_header, read_toc,
+                                         Encoding)
+    from .vardct.dec_real import decode_vardct_frame
+    try:
+        c = _container.extract_codestream(data)
+        cs = c.codestream
+        br = BitReader(cs)
+        hdr = read_image_header(br)
+        _check_decode_size(hdr)
+        m = hdr.metadata
+        if m.animation is not None:
+            return None
+        fh = read_frame_header(br, hdr)
+        ng, ndc = fh.counts(hdr)
+        npasses = fh.passes.num_passes
+        n = 1 if (ng == 1 and npasses == 1) else (
+            2 + ndc + ng * npasses)
+        toc = read_toc(br, n)
+        if (fh.encoding != Encoding.VARDCT or fh.frame_type != 0
+                or len(toc.entries) == 1):
+            return None
+        if toc.end_offset <= len(cs):
+            return None          # not a truncation: full bytes present
+
+        def ok(idx):
+            s = toc.section(idx)
+            return s.offset + s.size <= len(cs)
+
+        if not all(ok(i) for i in range(2 + ndc)):
+            # LfGlobal / LF groups / HfGlobal incomplete: nothing
+            # renderable arrived
+            return None
+        complete = 0
+        for p in range(npasses):
+            if all(ok(2 + ndc + p * ng + gi) for gi in range(ng)):
+                complete = p + 1
+            else:
+                break
+        if complete >= 1:
+            out = decode_vardct_frame(cs, hdr, fh, toc,
+                                      max_passes=complete)
+        else:
+            # DC arrived but no whole AC pass: render the 1/8 DC image
+            # and upsample to full resolution (libjxl's progressive-DC
+            # preview semantics)
+            dc = decode_vardct_frame(cs, hdr, fh, toc, dc_only=True)
+            from .ops.resize import rescale_image
+            w = fh.frame_width or hdr.xsize
+            h = fh.frame_height or hdr.ysize
+            out = rescale_image(dc, w, h, scale_mode=3,
+                                filter_id=int(ResizeFilter.CATMULL_ROM))
+        out = apply_orientation(out, m.orientation)
+        return out, basic_info(data)
+    except BitstreamError:
+        return None
+    except Exception:
+        return None
 
 
 def decode_preview(data: bytes, passes: int = 1):
@@ -584,6 +658,9 @@ def decode_preview(data: bytes, passes: int = 1):
         out = apply_orientation(out, m.orientation)
         return out, basic_info(data)
     except BitstreamError as e:
+        part = _decode_partial(data)
+        if part is not None:
+            return part
         raise InvalidJXLError(str(e)) from e
 
 

@@ -145,3 +145,70 @@ def test_device_splines_stream(monkeypatch):
     spl = Splines(quantization_adjustment=2, splines=[s1])
     data = vardct_write.craft_blocks(dc, vbs, W=W, H=H, splines=spl)
     _dev_vs_host(data, monkeypatch, tol=2)
+
+
+# ---------------------------------------------------------------------------
+# Truncated-input decode (jxl/decode.h:377-462 re-entry contract):
+# a byte-truncated stream renders its complete received passes.
+
+def _toc_layout(data):
+    from jxl_coder_tpu.bitstream import container as C
+    from jxl_coder_tpu.bitstream.reader import BitReader
+    from jxl_coder_tpu.bitstream.headers import read_image_header
+    from jxl_coder_tpu.bitstream.frame_header import (read_frame_header,
+                                                      read_toc)
+    cs = C.extract_codestream(data).codestream
+    br = BitReader(cs)
+    hdr = read_image_header(br)
+    fh = read_frame_header(br, hdr)
+    ng, ndc = fh.counts(hdr)
+    npasses = fh.passes.num_passes
+    n = 1 if (ng == 1 and npasses == 1) else (2 + ndc + ng * npasses)
+    toc = read_toc(br, n)
+    prefix = len(data) - len(cs)      # container header bytes
+    return toc, ng, ndc, npasses, prefix
+
+
+def test_truncated_progressive_renders_received_passes():
+    img = _smooth(160)
+    data = api.encode(img, lossless=False, quality=85, progressive=True)
+    full, _ = api.decode(data)
+    toc, ng, ndc, npasses, prefix = _toc_layout(data)
+    assert npasses >= 2
+    # cut right after the LAST pass-0 section: pass 0 complete
+    end0 = max(toc.section(2 + ndc + gi).offset
+               + toc.section(2 + ndc + gi).size for gi in range(ng))
+    cut = data[:prefix + end0]
+    out, info = api.decode(cut)
+    assert out.shape == full.shape
+    # coarse pass only: close to the full image but not byte-equal
+    d = np.abs(out.astype(int) - full.astype(int))
+    assert d.mean() < 12.0
+    # preview API takes the same salvage path
+    out2, _ = api.decode_preview(cut, passes=npasses)
+    assert out2.shape == full.shape
+
+
+def test_truncated_after_dc_renders_upsampled_dc():
+    img = _smooth(320)                # multi-group => multi-section
+    data = api.encode(img, lossless=False, quality=85)
+    full, _ = api.decode(data)
+    toc, ng, ndc, npasses, prefix = _toc_layout(data)
+    assert ng > 1
+    end_hf = toc.section(1 + ndc).offset + toc.section(1 + ndc).size
+    end_base = max(end_hf,
+                   max(toc.section(i).offset + toc.section(i).size
+                       for i in range(1 + ndc)))
+    cut = data[:prefix + end_base]
+    out, info = api.decode(cut)
+    assert out.shape == full.shape
+    # the DC render is a blurry but recognizable image
+    d = np.abs(out.astype(float) - full.astype(float))
+    assert d.mean() < 20.0
+
+
+def test_truncated_header_still_raises():
+    img = _smooth(64)
+    data = api.encode(img, lossless=False, quality=85)
+    with pytest.raises(api.InvalidJXLError):
+        api.decode(data[:20])
