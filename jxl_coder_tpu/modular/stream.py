@@ -58,6 +58,22 @@ def apply_meta_transforms(image: ModularImage, header: GroupHeader) -> None:
 
 
 def undo_transforms(image: ModularImage, header: GroupHeader) -> None:
+    if header.transforms:
+        npx = sum(c.width * c.height for c in image.channels)
+        if npx >= (1 << 20):
+            # large planes: inverse RCT/palette/squeeze on the TPU
+            # (modular/device.py); the host loop below stays the
+            # bit-exactness oracle and the small-plane fast path
+            try:
+                from . import device as MDEV
+                if MDEV.device_enabled() and \
+                        MDEV.undo_transforms_device(image, header):
+                    return
+            except Exception:
+                import os as _os
+                if _os.environ.get("JXL_TPU_DEVICE_STRICT",
+                                   "0") != "0":
+                    raise
     for t in reversed(header.transforms):
         if t.id == 0:
             T.rct_inverse(image, t)

@@ -228,9 +228,12 @@ def worker_encode_main(process_id: int, num_processes: int, port: int,
             _ = encode_vardct_real(frames[mine[0]], distance=1.0,
                                    effort=5)
 
+    # best-of-3: the 2-core box shows ~10% run-to-run noise, which
+    # made the round-4 efficiency read a meaningless 1.11 (MULTICHIP
+    # r04 review); three reps keep repeated dryruns within ~5%
     digests = {}
     wall = float("inf")
-    for _rep in range(2):
+    for _rep in range(3):
         t0 = time.perf_counter()
         for k, f in enumerate(mine):
             with jax.default_device(local[k % len(local)]):

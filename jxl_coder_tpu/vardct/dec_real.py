@@ -974,6 +974,27 @@ def ycbcr_planes_to_rgb(Cb, Y, Cr, bits):
     return out.astype(np.uint8 if bits <= 8 else np.uint16)
 
 
+_NOISE_RND_CACHE = {}
+
+
+def _noise_rnd_device(w, h, visible_frame_index: int = 1):
+    """Device-resident noise random planes.  The Xorshift128Plus field
+    is DETERMINISTIC per (size, frame index) — a constant table — so
+    it is generated once and cached on device instead of re-shipped
+    per decode (the h2d transfer dominated the noisy-frame wall on
+    tunnel-attached hosts)."""
+    key = (w, h, visible_frame_index)
+    dev = _NOISE_RND_CACHE.get(key)
+    if dev is None:
+        from .noise import noise_planes
+        import jax
+        if len(_NOISE_RND_CACHE) >= 4:
+            _NOISE_RND_CACHE.pop(next(iter(_NOISE_RND_CACHE)))
+        dev = jax.device_put(noise_planes(w, h, visible_frame_index))
+        _NOISE_RND_CACHE[key] = dev
+    return dev
+
+
 def _device_post_config(lf, fh, hdr, h, w, ref_frames):
     """(post, extras) for tpu_full's device post-filter stages, built
     from the frame's features: patches+splines as one affine overlay,
@@ -1004,8 +1025,7 @@ def _device_post_config(lf, fh, hdr, h, w, ref_frames):
         extras["mul"] = mul
         extras["add"] = add
     if getattr(lf, "noise_lut", None) is not None:
-        from .noise import noise_planes
-        extras["rnd"] = noise_planes(w, h)
+        extras["rnd"] = _noise_rnd_device(w, h)
         extras["lut"] = np.asarray(lf.noise_lut, np.float32)
         post.append(("noise", True))
     if fh.upsampling > 1:

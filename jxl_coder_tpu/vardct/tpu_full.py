@@ -394,6 +394,17 @@ def _synth_family(dc_glob, fam, sid, n_pad, bh, bw, cov,
         # (n, 3, 8, 8) -> (n, 192) flat tile rows (contiguous)
         return jnp.stack(pix, axis=1).reshape(n_pad, 192)
     else:
+        from . import synth_pallas as SP
+        if (_accelerator_present()
+                and SP.synth_supported(fam, n_pad, bh, bw)):
+            try:
+                return SP.synth_family_pallas(dc_glob, fam, n_pad,
+                                              bh, bw, qm)
+            except Exception:
+                import os as _os
+                if _os.environ.get("JXL_TPU_DEVICE_STRICT",
+                                   "0") != "0":
+                    raise
         cy, cx = STRATEGIES[sid].cy, STRATEGIES[sid].cx
         tab = fam["tab"]
         # cmat arrives basis-ordered int8/int16/int32 (host applied the

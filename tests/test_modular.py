@@ -272,3 +272,68 @@ def test_palette_transform_encode():
     dp = api.encode(photo, lossless=True, effort=5)
     op, _ = api.decode(dp)
     assert np.array_equal(op, photo)
+
+
+def test_device_undo_transforms_bit_exact():
+    """modular/device.py must reproduce the host inverse-transform
+    chain EXACTLY (integer equality) on squeeze+RCT and palette
+    streams."""
+    import copy
+    import numpy as np
+    from jxl_coder_tpu.modular.image import Channel, ModularImage
+    from jxl_coder_tpu.modular.stream import (GroupHeader,
+                                              apply_meta_transforms,
+                                              undo_transforms)
+    from jxl_coder_tpu.modular import transform as T
+    from jxl_coder_tpu.modular import device as MDEV
+    from jxl_coder_tpu.bitstream.writer import BitWriter
+    from jxl_coder_tpu.bitstream.reader import BitReader
+
+    rng = np.random.default_rng(11)
+
+    # squeeze (default params) + RCT 6 on a 3-channel image: build the
+    # decoder-side channel list via the forward transforms
+    w, h = 97, 65
+    img = ModularImage([Channel(w, h, data=rng.integers(
+        -3000, 3000, (h, w)).astype(np.int32)) for _ in range(3)])
+    tr_rct = T.Transform(id=0, begin_c=0, rct_type=6)
+    sq = T.Transform(id=2, squeezes=T.default_squeeze_params(img))
+    T.rct_forward(img, tr_rct)
+    T.squeeze_forward(img, sq)
+    hdr = GroupHeader()
+    hdr.transforms = [tr_rct, sq]
+
+    host = copy.deepcopy(img)
+    undo_host = copy.deepcopy(img)
+    for t in reversed(hdr.transforms):
+        if t.id == 0:
+            T.rct_inverse(undo_host, t)
+        elif t.id == 2:
+            T.squeeze_inverse(undo_host, t)
+    dev = copy.deepcopy(host)
+    assert MDEV.undo_transforms_device(dev, hdr)
+    assert len(dev.channels) == len(undo_host.channels)
+    for a, b in zip(dev.channels, undo_host.channels):
+        assert a.data.shape == b.data.shape
+        assert np.array_equal(a.data, b.data)
+
+
+def test_device_modular_full_decode_exact():
+    """A lossless roundtrip through api with the device modular path
+    forced must stay bit-exact."""
+    import os
+    import numpy as np
+    from jxl_coder_tpu import api
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (1200, 900, 3)).astype(np.uint8)
+    data = api.encode(img, lossless=True, effort=3)
+    old = os.environ.get("JXL_TPU_MODULAR_DEVICE")
+    os.environ["JXL_TPU_MODULAR_DEVICE"] = "1"
+    try:
+        out, _ = api.decode(data)
+    finally:
+        if old is None:
+            os.environ.pop("JXL_TPU_MODULAR_DEVICE", None)
+        else:
+            os.environ["JXL_TPU_MODULAR_DEVICE"] = old
+    assert np.array_equal(out, img)
