@@ -120,8 +120,12 @@ def _front(ph: int, pw: int, gab_iters: int = 4):
         # contrast-masking field from the sharpened luma
         gy, gx = jnp.gradient(Y)
         act = jnp.sqrt(gy * gy + gx * gx)
-        blk = jnp.maximum(act.reshape(ys_b, 8, xs_b, 8).mean(axis=(1, 3)),
-                          0.0)
+        act_b = act.reshape(ys_b, 8, xs_b, 8)
+        mean_b = jnp.maximum(act_b.mean(axis=(1, 3)), 0.0)
+        # screen-content guard (mirror of enc_real._masking_field):
+        # sparse edges on flat blocks keep fine quantization
+        med_b = jnp.median(act_b, axis=(1, 3))
+        blk = jnp.sqrt(mean_b * jnp.minimum(mean_b, 4.0 * med_b))
         mask = jnp.clip(1.0 + MASK_COEF * blk ** np.float32(MASK_EXP)
                         + MASK_COEF2 * blk ** np.float32(MASK_EXP2),
                         1.0, MASK_MAX)
@@ -151,9 +155,12 @@ def _front(ph: int, pw: int, gab_iters: int = 4):
 
 
 @functools.lru_cache(maxsize=8)
-def _costs(ys_b: int, xs_b: int, cands: tuple, deadzone: float):
+def _costs(ys_b: int, xs_b: int, cands: tuple, deadzone: float,
+           specials: tuple = ()):
     """jit: quantize + cost for DCT8 and every aligned candidate
-    position.  cands: ((sid, cy, cx), ...)."""
+    position.  cands: ((sid, cy, cx), ...); specials: cov==1 special
+    transform sids evaluated per 8x8 block via their response
+    matrices (enc_real._special_quantize_batch's device twin)."""
     import jax
     import jax.numpy as jnp
     hi = jax.lax.Precision.HIGHEST
@@ -218,7 +225,19 @@ def _costs(ys_b: int, xs_b: int, cands: tuple, deadzone: float):
                                  S.resample_vec(cx)).astype(np.float32)),
         ))
 
-    def fn(planes, co, qf_map, fx_blk, fb_blk, dq_dc, igs, lam):
+    special_static = []
+    if specials:
+        from .enc_real import _special_mats
+        for sid_ in specials:
+            r0_, R1_, A_ = _special_mats(sid_)
+            special_static.append((
+                sid_,
+                jnp.asarray(r0_.astype(np.float32)),
+                jnp.asarray(R1_.astype(np.float32)),
+                jnp.asarray(A_.astype(np.float32))))
+
+    def fn(planes, co, qf_map, fx_blk, fb_blk, dq_dc, igs, lam,
+           elig=None):
         qff = qf_map.astype(jnp.float32) / igs     # steps divide by igs
         flat8 = co.reshape(3, ys_b * xs_b, 64).transpose(1, 0, 2)
         dqb8 = dq_dc.transpose(1, 2, 0).reshape(ys_b * xs_b, 3, 1)
@@ -258,6 +277,48 @@ def _costs(ys_b: int, xs_b: int, cands: tuple, deadzone: float):
             outs.append(vals.astype(jnp.int16).reshape(
                 nyc, nxc, 3, -1))
             outs.append((rate + lam * dist).reshape(nyc, nxc))
+        if special_static:
+            blocks_pix = planes.reshape(3, ys_b, 8, xs_b, 8) \
+                .transpose(1, 3, 0, 2, 4).reshape(ys_b * xs_b, 3, 64)
+            dcb = dq_dc.transpose(1, 2, 0).reshape(ys_b * xs_b, 3)
+            inv_qac = (1.0 / qff.ravel())[:, None]
+            fxr = fx_blk.ravel()
+            fbr = fb_blk.ravel()
+            # screen-content eligibility: host-computed bool per block
+            # (single source of truth with the host RD path)
+            eligible = elig.ravel()
+            for (sid, r0_d, R1_d, A_d) in special_static:
+                t1 = blocks_pix[:, 1] - dcb[:, 1, None] * r0_d[1][None]
+                gY = jnp.einsum("nk,kj->nj", t1, A_d[1], precision=hi)
+                qy = _quantize_biased_dev(gY / inv_qac, 1, dz)
+                dqY = _adjust_bias_dev(qy, 1) * inv_qac
+                recY = jnp.einsum("nj,jk->nk", dqY, R1_d[1],
+                                  precision=hi)
+                # pixel-domain error matches the DCT8 dist scale
+                # (ana rows norm^2 1/64, area 64 cancels)
+                dist = np.float32(_D_WEIGHTS[1]) * jnp.sum(
+                    (recY - t1) ** 2, axis=-1)
+                valsS = [None, qy, None]
+                for c, f in ((0, fxr), (2, fbr)):
+                    tc = blocks_pix[:, c] \
+                        - dcb[:, c, None] * r0_d[c][None]
+                    sub = tc - f[:, None] * recY
+                    g = jnp.einsum("nk,kj->nj", sub, A_d[c],
+                                   precision=hi)
+                    q = _quantize_biased_dev(g / inv_qac, c, dz)
+                    rec = jnp.einsum(
+                        "nj,jk->nk", _adjust_bias_dev(q, c) * inv_qac,
+                        R1_d[c], precision=hi) + f[:, None] * recY
+                    dist = dist + np.float32(_D_WEIGHTS[c]) \
+                        * jnp.sum((rec - tc) ** 2, axis=-1)
+                    valsS[c] = q
+                vs = jnp.stack(valsS, axis=1)         # (N, 3, 63)
+                rate = _token_cost_dev(vs, 0).sum(-1)
+                costS = jnp.where(eligible, rate + lam * dist,
+                                  np.float32(1e30))
+                outs.append(vs.astype(jnp.int16).reshape(
+                    ys_b, xs_b, 3, -1))
+                outs.append(costS.reshape(ys_b, xs_b))
         # costs ship as ONE small flat f32 buffer (the greedy decision
         # needs only costs); the value grids STAY ON DEVICE — the host
         # gathers just the winners afterwards (fetch_selected).  The
@@ -269,6 +330,7 @@ def _costs(ys_b: int, xs_b: int, cands: tuple, deadzone: float):
 
     meta = [(sid, cy, cx, nyc, nxc, cov)
             for (sid, cy, cx, nyc, nxc, cov, *_r) in cand_static]
+    meta += [(sid, 1, 1, ys_b, xs_b, 1) for sid in specials]
     return jax.jit(fn), meta
 
 
@@ -312,18 +374,25 @@ def run_front_fetch(pending):
 
 
 def run_costs_dispatch(planes, co, qf_map, fx_blk, fb_blk, dq_dc, igs,
-                       lam, cands, deadzone):
+                       lam, cands, deadzone, specials=(),
+                       special_eligible=None):
     """Dispatch stage 2 asynchronously; pair with run_costs_fetch.
     The caller can run independent host work (DC tree learning) while
     the device computes."""
     import jax.numpy as jnp
     ys_b, xs_b = qf_map.shape
-    fn, meta = _costs(ys_b, xs_b, tuple(cands), float(deadzone))
-    res = fn(planes, co, jnp.asarray(qf_map.astype(np.int32)),
-             jnp.asarray(fx_blk.astype(np.float32)),
-             jnp.asarray(fb_blk.astype(np.float32)),
-             jnp.asarray(dq_dc.astype(np.float32)),
-             np.float32(igs), np.float32(lam))
+    fn, meta = _costs(ys_b, xs_b, tuple(cands), float(deadzone),
+                      tuple(specials))
+    args = [planes, co, jnp.asarray(qf_map.astype(np.int32)),
+            jnp.asarray(fx_blk.astype(np.float32)),
+            jnp.asarray(fb_blk.astype(np.float32)),
+            jnp.asarray(dq_dc.astype(np.float32)),
+            np.float32(igs), np.float32(lam)]
+    if specials:
+        if special_eligible is None:
+            special_eligible = np.ones((ys_b, xs_b), bool)
+        args.append(jnp.asarray(special_eligible.astype(np.bool_)))
+    res = fn(*args)
     return res[:-1], res[-1], meta, qf_map
 
 

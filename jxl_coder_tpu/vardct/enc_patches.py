@@ -30,7 +30,7 @@ from .patches import (NUM_PATCH_CONTEXTS, CTX_NUM_REF_PATCH,
                       CTX_REFERENCE_FRAME, CTX_PATCH_SIZE,
                       CTX_PATCH_REFERENCE_POSITION, CTX_PATCH_POSITION,
                       CTX_PATCH_BLEND_MODE, CTX_PATCH_OFFSET,
-                      CTX_PATCH_COUNT, BLEND_REPLACE)
+                      CTX_PATCH_COUNT, BLEND_REPLACE, BLEND_ADD)
 
 MAX_PATCH = 40          # max glyph bbox side
 MIN_AREA = 12           # min glyph bbox area
@@ -122,7 +122,7 @@ def _label(mask: np.ndarray) -> List[Tuple[int, int, int, int]]:
 
 @dataclasses.dataclass
 class PatchPlan:
-    atlas: np.ndarray                 # (AH, AW, 3) uint8
+    atlas: np.ndarray                 # (3, AH, AW) float32 XYB deltas
     rects: List[Tuple[int, int, int, int]]   # (x0, y0, w, h) in atlas
     placements: List[List[Tuple[int, int]]]  # per rect, frame (x, y)
     filled: np.ndarray                # frame with patch areas blurred out
@@ -155,6 +155,7 @@ def detect(pixels: np.ndarray) -> Optional[PatchPlan]:
     act0 = (np.abs(f - bg).max(axis=2) > 18.0)
     if not act0.any():
         return None
+    bg8_full = np.clip(np.rint(bg), 0, 255).astype(np.uint8)
     # dilate once (3x3) so glyph fragments merge into one component
     act = act0
     for _ in range(1):
@@ -193,8 +194,16 @@ def detect(pixels: np.ndarray) -> Optional[PatchPlan]:
         # differ by <= 3 (antialiasing wobble, near-flat backgrounds);
         # the pasted representative is the GROUP MEAN, so the residual
         # stays within a d>=0.8 quantization step
-        key = (content >> 2).tobytes() + bytes([pw & 0xFF, pw >> 8,
-                                                ph & 0xFF])
+        # DELTA-keyed grouping: quantized (content - background), so
+        # the same glyph matches across slowly-varying backgrounds —
+        # the blend is ADD of the shared delta (cjxl's patch streams
+        # use the same structure; REPLACE of absolute content broke on
+        # textured backgrounds: pasting the mean background over a
+        # varying one cost ~10 dB on the text-on-photo probe)
+        delta = (content.astype(np.int16)
+                 - bg8_full[y0:y1, x0:x1].astype(np.int16))
+        key = ((delta + 1024) >> 2).astype(np.int16).tobytes() \
+            + bytes([pw & 0xFF, pw >> 8, ph & 0xFF])
         groups.setdefault(key, []).append((x0, y0))
         dims[key] = (pw, ph)
     keep = {k: v for k, v in groups.items() if len(v) >= MIN_REPEATS}
@@ -223,35 +232,47 @@ def detect(pixels: np.ndarray) -> Optional[PatchPlan]:
         x += pw + GUTTER
         shelf_h = max(shelf_h, ph)
     ah = y + shelf_h
-    ah8 = -(-ah // 8) * 8
-    aw8 = aw
-    atlas = np.zeros((ah8, aw8, 3), np.uint8)
-    atlas[...] = 128
+    # modular atlas frame: no 8-block padding needed; the atlas holds
+    # group-mean XYB DELTAS vs the background estimate (the ADD
+    # blend's content) — the gutter stays zero, since adding zero is
+    # a no-op.  Values are stored pre-quantized to the atlas frame's
+    # DC quant so the main-frame residual below cancels EXACTLY what
+    # the decoder will add.
+    from ..codec import DEFAULT_DC_QUANT
+    atlas_xyb = np.zeros((3, ah, aw), np.float32)
+    from .enc_real import srgb8_to_xyb
+    Xo, Yo, Bo = srgb8_to_xyb(pixels)
+    Xb, Yb, Bb = srgb8_to_xyb(bg8_full)
+    dX, dY, dB = Xo - Xb, Yo - Yb, Bo - Bb
     for (ax, ay, pw, ph), places in zip(rects, placements):
-        # representative = group mean (tolerance-matched occurrences
-        # differ by <= 3/pixel; the mean splits the residual)
-        acc = np.zeros((ph, pw, 3), np.float64)
+        acc = np.zeros((3, ph, pw), np.float64)
         for (sx, sy) in places:
-            acc += pixels[sy:sy + ph, sx:sx + pw]
-        patch = np.clip(np.rint(acc / len(places)), 0,
-                        255).astype(np.uint8)
-        g = GUTTER
-        yl0, yl1 = max(ay - g, 0), min(ay + ph + g, ah8)
-        xl0, xl1 = max(ax - g, 0), min(ax + pw + g, aw8)
-        # edge-replicated gutter then the patch itself
-        pad = np.pad(patch, ((ay - yl0, yl1 - ay - ph),
-                             (ax - xl0, xl1 - ax - pw), (0, 0)),
-                     mode="edge")
-        atlas[yl0:yl1, xl0:xl1] = pad
+            acc[0] += dX[sy:sy + ph, sx:sx + pw]
+            acc[1] += dY[sy:sy + ph, sx:sx + pw]
+            acc[2] += dB[sy:sy + ph, sx:sx + pw]
+        rep = acc / len(places)
+        for c in range(3):
+            qq = DEFAULT_DC_QUANT[c]
+            rep[c] = np.rint(rep[c] / qq) * qq
+        atlas_xyb[:, ay:ay + ph, ax:ax + pw] = rep
 
-    filled = pixels.copy()
-    bg8 = np.clip(np.rint(bg), 0, 255).astype(np.uint8)
+    # main-frame input = original MINUS the pasted deltas (in XYB, the
+    # space the blend runs in): the VarDCT main frame then CORRECTS
+    # the per-occurrence residual instead of discarding it (coding the
+    # smooth background estimate alone cost ~9 dB on text-on-photo —
+    # cjxl's subtract-patches structure)
+    fX, fY, fB = Xo.copy(), Yo.copy(), Bo.copy()
     for (ax, ay, pw, ph), places in zip(rects, placements):
+        rep = atlas_xyb[:, ay:ay + ph, ax:ax + pw]
         for (px, py) in places:
-            filled[py:py + ph, px:px + pw] = bg8[py:py + ph,
-                                                 px:px + pw]
-    return PatchPlan(atlas=atlas, rects=rects, placements=placements,
-                     filled=filled)
+            fX[py:py + ph, px:px + pw] -= rep[0]
+            fY[py:py + ph, px:px + pw] -= rep[1]
+            fB[py:py + ph, px:px + pw] -= rep[2]
+    from .dec_real import xyb_planes_to_srgb
+    filled = np.clip(np.asarray(xyb_planes_to_srgb(fX, fY, fB)),
+                     0.0, 1.0).astype(np.float32)
+    return PatchPlan(atlas=atlas_xyb, rects=rects,
+                     placements=placements, filled=filled)
 
 
 def serialize_dictionary(plan: PatchPlan, num_extra: int = 0,
@@ -280,7 +301,7 @@ def serialize_dictionary(plan: PatchPlan, num_extra: int = 0,
                 ts.add(CTX_PATCH_OFFSET, pack_signed(y - py))
             px, py = x, y
             for _j in range(num_extra + 1):
-                ts.add(CTX_PATCH_BLEND_MODE, BLEND_REPLACE)
+                ts.add(CTX_PATCH_BLEND_MODE, BLEND_ADD)
     bw = BitWriter()
     ts.write(bw)
     return bw

@@ -168,8 +168,15 @@ def _masking_field(Y: np.ndarray, ys_b: int, xs_b: int) -> np.ndarray:
     way — measured igs 8.9 -> 14.3 on noise at fixed qf)."""
     gy, gx = np.gradient(Y)
     act = np.sqrt(gy * gy + gx * gx)
-    blk = np.maximum(act.reshape(ys_b, 8, xs_b, 8).mean(axis=(1, 3)),
-                     0.0)
+    act_b = act.reshape(ys_b, 8, xs_b, 8)
+    mean_b = np.maximum(act_b.mean(axis=(1, 3)), 0.0)
+    # screen-content guard: a sparse edge on a flat block (glyph
+    # stroke) has median activity ~0 while the mean is high — masking
+    # there coarsens exactly the pixels the eye locks onto.  Gate the
+    # masking activity by the geometric mean with the MEDIAN, which
+    # leaves dense texture/noise (median ~ mean) untouched
+    med_b = np.median(act_b, axis=(1, 3))
+    blk = np.sqrt(mean_b * np.minimum(mean_b, 4.0 * med_b))
     return np.clip(1.0 + MASK_COEF * np.power(blk, MASK_EXP)
                    + MASK_COEF2 * np.power(blk, MASK_EXP2),
                    1.0, MASK_MAX)
@@ -232,6 +239,14 @@ _EFFORT_CANDS = {
     'mid': [(4, 2, 2), (6, 2, 1), (7, 1, 2)],
     'fast': [],
 }
+
+# same-size (1x1 block) alternative transforms for sharp/screen
+# content: IDENTITY, DCT2X2, DCT4X4, DCT4X8, DCT8X4.  An 8x8 DCT rings
+# on glyph edges; libjxl's encoder picks these at e7+ (the 4.5x rate /
+# +16 dB gap on the text-on-flat probe, round-5).  Restricted to
+# distance < 2 where x_qm_scale == 2 (qm == 1), matching the encoder's
+# header; evaluated per 8x8 block against DCT8 in the same greedy.
+_SPECIAL_CANDS = (1, 2, 3, 12, 13)
 
 
 _D_WEIGHTS = (8.0, 1.0, 0.35)   # X, Y, B distortion weights (XYB space)
@@ -319,6 +334,55 @@ def _quantize_block(coeff: np.ndarray, strategy: int, qf: int, igs: float,
     return out, dist
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _special_mats(sid: int):
+    """(r0 (3, 64), R1 (3, 63, 64), A (3, 64, 63)) for a cov==1 special
+    transform: synthesis pixel rows (scan order, dequant folded in at
+    inv_qac=1/qm=1) and the least-squares analysis pinv."""
+    from . import synthesis as S
+    R = np.stack([S.response_matrix(sid, c) for c in range(3)])
+    Rf = R.reshape(3, 64, 64).astype(np.float64)
+    r0 = Rf[:, 0]
+    R1 = Rf[:, 1:]
+    A = np.stack([np.linalg.pinv(R1[c]) for c in range(3)])
+    return r0, R1, A
+
+
+def _special_quantize_batch(sid, blocks_pix, dcb, qfv, igs, fxv, fbv):
+    """Quantize ALL 8x8 blocks with one special transform via its
+    response matrices: blocks_pix (N, 3, 64) pixel rows, dcb (N, 3)
+    per-block DC means.  Returns (vals (N, 3, 64) int64 scan order,
+    dist (N,)) — distortion measured in PIXEL space (the responses are
+    not orthonormal, so coefficient-domain error would misrank)."""
+    from . import synthesis as S
+    r0, R1, A = _special_mats(sid)
+    n = blocks_pix.shape[0]
+    inv_qac = (igs / qfv.astype(np.float64))[:, None]
+    vals = np.zeros((n, 3, 64), np.int64)
+    t1 = blocks_pix[:, 1] - dcb[:, 1, None] * r0[1][None]
+    gY = t1 @ A[1]
+    qy = _quantize_biased(gY / inv_qac, 1)
+    vals[:, 1, 1:] = qy
+    dqY = S.adjust_quant_bias(qy, 1) * inv_qac
+    recY = dqY @ R1[1]
+    # pixel-domain error is directly comparable to the DCT8 dist
+    # (ana_basis rows have norm^2 1/64, area 64 cancels it)
+    dist = _D_WEIGHTS[1] * np.sum((recY - t1) ** 2, axis=-1)
+    for c, f in ((0, fxv), (2, fbv)):
+        tc = blocks_pix[:, c] - dcb[:, c, None] * r0[c][None]
+        sub = tc - f[:, None] * recY
+        g = sub @ A[c]
+        q = _quantize_biased(g / inv_qac, c)
+        vals[:, c, 1:] = q
+        rec = (S.adjust_quant_bias(q, c) * inv_qac) @ R1[c] \
+            + f[:, None] * recY
+        dist += _D_WEIGHTS[c] * np.sum((rec - tc) ** 2, axis=-1)
+    return vals, dist
+
+
 def _quantize_batch(coeff, strategy, qfv, igs, fxv, fbv, tabs_cache,
                     dq_dc_blk):
     """Batched _quantize_block: coeff (N, 3, bh, bw), qfv/fxv/fbv (N,),
@@ -370,9 +434,33 @@ def _quantize_batch(coeff, strategy, qfv, igs, fxv, fbv, tabs_cache,
     return vals, dist
 
 
+def _special_eligibility(pad_u8_or_f: np.ndarray, ys_b: int,
+                         xs_b: int) -> np.ndarray:
+    """Screen-content gate for the special 1x1 transforms: blocks whose
+    luma activity is a SPARSE edge on a flat base (median |grad| <<
+    mean).  On dense noise the token-cost proxy badly underestimates
+    the real cost of 60+ dense IDENTITY tokens (and they dilute the
+    shared AC histograms): unrestricted, specials doubled the
+    noisy-photo rate at LOWER psnr (round-5 probe)."""
+    p = pad_u8_or_f
+    if p.dtype == np.uint8:
+        luma = p.mean(axis=-1).astype(np.float32) / 255.0
+    elif p.dtype == np.uint16:
+        luma = p.mean(axis=-1).astype(np.float32) / 65535.0
+    else:
+        luma = p.mean(axis=-1).astype(np.float32)
+    gy, gx = np.gradient(luma)
+    act = np.sqrt(gy * gy + gx * gx)
+    ab = act.reshape(ys_b, 8, xs_b, 8)
+    mean_b = ab.mean(axis=(1, 3))
+    med_b = np.median(ab, axis=(1, 3))
+    return (mean_b > 0.008) & (med_b * 6.0 < mean_b)
+
+
 def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
                        ys_b, xs_b, dq_dc, lam,
-                       cands=_EFFORT_CANDS['full']):
+                       cands=_EFFORT_CANDS['full'], specials=(),
+                       special_eligible=None):
     """Greedy varblock rate+distortion selection, vectorized: every
     candidate shape is quantized for ALL its aligned positions in one
     batch, then a greedy largest-first pass picks winners from the
@@ -421,6 +509,27 @@ def _select_strategies(co8, X, Y, B, qf_map, igs, fx_blk, fb_blk,
         cand_data[sid] = (vals.reshape(nyc, nxc, 3, -1),
                           (rate + lam * dist).reshape(nyc, nxc),
                           qfm.reshape(nyc, nxc).astype(np.int32))
+
+    if specials:
+        blocks_pix = planes.reshape(3, ys_b, 8, xs_b, 8).transpose(
+            1, 3, 0, 2, 4).reshape(ys_b * xs_b, 3, 64)
+        dcb = np.transpose(dq_dc, (1, 2, 0)).reshape(ys_b * xs_b, 3)
+        qfr = qf_map.ravel().astype(np.float64)
+        fxr = fx_blk.ravel()
+        fbr = fb_blk.ravel()
+        if special_eligible is None:
+            special_eligible = np.ones((ys_b, xs_b), bool)
+        eligible = special_eligible.ravel()
+        for sid in specials:
+            valsS, distS = _special_quantize_batch(
+                sid, blocks_pix, dcb, qfr, igs, fxr, fbr)
+            rateS = _token_cost_vec(valsS, 1).sum(-1)
+            costS = np.where(eligible, rateS + lam * distS, 1e30)
+            cand_data[sid] = (
+                valsS.reshape(ys_b, xs_b, 3, -1),
+                costS.reshape(ys_b, xs_b),
+                qf_map.astype(np.int32))
+        cands = list(cands) + [(sid, 1, 1) for sid in specials]
 
     return _greedy_select(cands, cand_data, cost8, vals8, qf_map,
                           ys_b, xs_b)
@@ -862,11 +971,19 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     lam = LAMBDA_MULT / (step_ref * step_ref)
     cands = _EFFORT_CANDS['full'] if effort >= 6 else (
         _EFFORT_CANDS['mid'] if effort >= 3 else _EFFORT_CANDS['fast'])
+    specials = _SPECIAL_CANDS if (effort >= 7
+                                  and distance < 2.0) else ()
+    special_eligible = None
+    if specials:
+        special_eligible = _special_eligibility(pad, ys_b, xs_b)
+        if not special_eligible.any():
+            specials = ()
     dc_subs = None
     if dev_front is not None:
         pending = ENCDEV.run_costs_dispatch(
             planes_dev, co_dev, qf_map, fx_blk, fb_blk, dq_dc, igs,
-            lam, cands, AC_DEADZONE)
+            lam, cands, AC_DEADZONE, specials=specials,
+            special_eligible=special_eligible)
         # overlap: learn + encode the DC modular substreams on host
         # while the device computes the RD cost grids (they depend
         # only on dc_int, not on the selection)
@@ -885,7 +1002,8 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                 for i in range(3)], learn=True, max_leaves=24)
         cost8, cost_data, vals_list, meta = ENCDEV.run_costs_fetch(
             pending)
-        acs_map, qf_map = _greedy_decide(cands, cost_data, cost8,
+        full_cands = list(cands) + [(s, 1, 1) for s in specials]
+        acs_map, qf_map = _greedy_decide(full_cands, cost_data, cost8,
                                          qf_map, ys_b, xs_b)
         # the winner gather runs asynchronously; the AC-metadata tree
         # learning below overlaps with its device work + d2h transfer
@@ -895,7 +1013,8 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     else:
         acs_map, vals_map, qf_map = _select_strategies(
             co, X, Y, B, qf_map, igs, fx_blk, fb_blk, ys_b, xs_b,
-            dq_dc, lam, cands=cands)
+            dq_dc, lam, cands=cands, specials=specials,
+            special_eligible=special_eligible)
         _vals_box = {"vals": vals_map}
 
     # ---- frame assembly
@@ -1249,18 +1368,33 @@ def _encode_with_patches(pixels, plan, distance: float, effort: int,
     bw = BitWriter()
     write_image_header(bw, hdr)
 
-    ah, aw = plan.atlas.shape[:2]
+    ah, aw = plan.atlas.shape[1:]
+    from ..bitstream.frame_header import RestorationFilter
     fh_ref = FrameHeader(frame_type=FrameType.REFERENCE_ONLY,
-                         encoding=Encoding.VARDCT, is_last=False,
+                         encoding=Encoding.MODULAR, is_last=False,
                          save_as_reference=1,
                          save_before_color_transform=True,
-                         have_crop=True, frame_width=aw, frame_height=ah)
-    # glyph fidelity matters more than the atlas's rate share: encode
-    # the atlas a step finer than the main frame
-    encode_vardct_real(plan.atlas, distance=max(0.4, distance * 0.5),
-                       effort=effort, decoding_speed=decoding_speed,
-                       fh=fh_ref, hdr=hdr, into_bw=bw,
-                       try_patches=False)
+                         have_crop=True, frame_width=aw,
+                         frame_height=ah,
+                         # no decode-side filters on the atlas: libjxl
+                         # honours the signalled gab/EPF on modular
+                         # frames and would smear the glyph deltas
+                         restoration_filter=RestorationFilter(
+                             gab=False, epf_iters=0))
+    # the atlas rides a MODULAR lossy-XYB reference frame (quantized
+    # (Y, X, B-Y) channels against the default DC dequant — the
+    # structure cjxl's own patch streams use): far cheaper than a
+    # VarDCT atlas (no 8-block padding, no AC machinery), and it holds
+    # XYB DELTAS added onto the coded background (BLEND_ADD), so
+    # glyphs survive varying backgrounds
+    from ..codec import encode_modular_frame, DEFAULT_DC_QUANT
+    Xa, Ya, Ba = plan.atlas
+    q0, q1, q2 = DEFAULT_DC_QUANT
+    cy_p = np.rint(Ya / q1).astype(np.int32)
+    cx_p = np.rint(Xa / q0).astype(np.int32)
+    cb_p = (np.rint(Ba / q2) - cy_p).astype(np.int32)
+    encode_modular_frame(bw, hdr, fh_ref, [cy_p, cx_p, cb_p],
+                         use_ycocg=False)
 
     pd_bw = EPAT.serialize_dictionary(plan, num_extra=0)
     fh_main = FrameHeader(is_last=True)
