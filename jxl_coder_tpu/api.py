@@ -827,10 +827,16 @@ def _compose_frame(canvas, pix, fh, m):
     ncolor = 1 if nch - len(m.extra_channels) == 1 else 3
     maxv = float(np.iinfo(canvas.dtype).max)
 
+    # snapshot the pre-blend canvas alpha planes: every channel's blend
+    # must see the ORIGINAL background alpha, not one updated earlier
+    # in this frame's pass
+    _ba0 = dst[..., ncolor:].astype(np.float64) / maxv \
+        if nch > ncolor else None
+
     def _alpha_planes(bi):
         ai = ncolor + bi.alpha_channel
         fa = src[..., ai].astype(np.float64) / maxv
-        ba = dst[..., ai].astype(np.float64) / maxv
+        ba = _ba0[..., bi.alpha_channel]
         premult = (bi.alpha_channel < len(m.extra_channels)
                    and m.extra_channels[bi.alpha_channel].alpha_associated)
         return fa, ba, premult
@@ -891,9 +897,50 @@ def _compose_frame(canvas, pix, fh, m):
             dst[..., ei] = np.clip(np.rint(out), 0,
                                    maxv).astype(canvas.dtype)
         elif bi.mode == 2:
-            fa, ba, _ = _alpha_planes(bi)
-            na = fa + ba * (1.0 - fa)
-            dst[..., ei] = np.clip(np.rint(na * maxv), 0,
+            if bi.alpha_channel == i:
+                # the alpha channel itself: source-over coverage
+                fa, ba, _ = _alpha_planes(bi)
+                if bi.clamp:
+                    fa = np.clip(fa, 0.0, 1.0)
+                na = fa + ba * (1.0 - fa)
+                dst[..., ei] = np.clip(np.rint(na * maxv), 0,
+                                       maxv).astype(canvas.dtype)
+            else:
+                # non-alpha EC (depth, spot colour, thermal ...)
+                # blended through another channel's alpha: same
+                # source-over math as the colour channels, without
+                # re-writing the alpha plane
+                fa, ba, premult = _alpha_planes(bi)
+                if bi.clamp:
+                    fa = np.clip(fa, 0.0, 1.0)
+                s_ = src[..., ei].astype(np.float64)
+                d_ = dst[..., ei].astype(np.float64)
+                if premult:
+                    out = s_ + d_ * (1.0 - fa)
+                else:
+                    na = fa + ba * (1.0 - fa)
+                    with np.errstate(divide="ignore",
+                                     invalid="ignore"):
+                        out = np.where(
+                            na > 0,
+                            (s_ * fa + d_ * ba * (1.0 - fa))
+                            / np.where(na > 0, na, 1.0), 0.0)
+                dst[..., ei] = np.clip(np.rint(out), 0,
+                                      maxv).astype(canvas.dtype)
+        elif bi.mode == 3:      # ALPHA_WEIGHTED_ADD
+            fa, _, _ = _alpha_planes(bi)
+            if bi.clamp:
+                fa = np.clip(fa, 0.0, 1.0)
+            out = (dst[..., ei].astype(np.float64)
+                   + src[..., ei].astype(np.float64) * fa)
+            dst[..., ei] = np.clip(np.rint(out), 0,
+                                   maxv).astype(canvas.dtype)
+        elif bi.mode == 4:      # MUL
+            s_ = src[..., ei].astype(np.float64)
+            if bi.clamp:
+                s_ = np.clip(s_, 0.0, maxv)
+            out = s_ * dst[..., ei].astype(np.float64) / maxv
+            dst[..., ei] = np.clip(np.rint(out), 0,
                                    maxv).astype(canvas.dtype)
         else:
             raise InvalidJXLError(
