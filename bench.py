@@ -89,11 +89,19 @@ def _measure_libjxl(data):
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "research"))
         import refjxl
-        # best-of-4: the 2-core box shows up to 30% run-to-run noise
-        # on the libjxl measurement, which would swing vs_baseline
-        m1 = refjxl.measure_decode_mps(data, 1, reps=4)
-        m2 = refjxl.measure_decode_mps(data, 2, reps=4)
-        eff = m2 / (2.0 * m1)
+        # warm-up + best-of-6: the 2-core box shows up to 40%
+        # run-to-run noise on the libjxl measurement (r4 recorded 28.6
+        # MP/s 1t where an idle box measures ~41), which swings
+        # vs_baseline between 1.3 and 2.9; take the MAX across reps so
+        # the baseline reflects libjxl's actual capability, not this
+        # box's load at that moment
+        _ = refjxl.measure_decode_mps(data, 1, reps=1)
+        m1 = refjxl.measure_decode_mps(data, 1, reps=6)
+        m2 = refjxl.measure_decode_mps(data, 2, reps=6)
+        # 1->2 thread efficiency is itself noisy on 2 cores (this
+        # process + the OS share them); clamp to a plausible band so a
+        # contended 2-thread rep can't halve the extrapolated target
+        eff = min(1.0, max(0.8, m2 / (2.0 * m1)))
         m8 = m1 * 8.0 * eff
         return m1, m2, m8
     except Exception:
