@@ -1093,6 +1093,47 @@ def decode_thumbnail(data: bytes):
         th, tw, *full.shape[2:]), info
 
 
+def _decode_downsampled(data: bytes, factor: int):
+    """1/factor-resolution decode of an eligible VarDCT still through
+    the device downsample post stage; returns (pixels, BasicInfo) or
+    None when ineligible (animation, modular, extra channels, ICC, no
+    device) — callers fall back to the full decode."""
+    import numpy as np
+    from .bitstream.reader import BitReader
+    from .bitstream.headers import read_image_header
+    from .bitstream.frame_header import (read_frame_header, read_toc,
+                                         Encoding)
+    from .vardct import tpu_full as TF
+    from .vardct.dec_real import decode_vardct_frame
+    if not TF.device_enabled():
+        return None
+    try:
+        c = _container.extract_codestream(data)
+        cs = c.codestream
+        br = BitReader(cs)
+        hdr = read_image_header(br)
+        _check_decode_size(hdr)
+        m = hdr.metadata
+        if (m.animation is not None or m.extra_channels
+                or m.icc_profile is not None
+                or m.orientation != 1):
+            return None
+        fh = read_frame_header(br, hdr)
+        if fh.frame_type != 0 or fh.encoding == Encoding.MODULAR \
+                or not fh.is_last:
+            return None
+        ng, ndc = fh.counts(hdr)
+        n = 1 if (ng == 1 and fh.passes.num_passes == 1) else (
+            2 + ndc + ng * fh.passes.num_passes)
+        toc = read_toc(br, n)
+        out = decode_vardct_frame(cs, hdr, fh, toc, downsample=factor)
+        return out, basic_info(data)
+    except BitstreamError:
+        return None
+    except Exception:
+        return None
+
+
 def decode_sampled(data: bytes, width: int, height: int,
                    preferred_color_config: int = PreferredColorConfig.DEFAULT,
                    scale_mode: int = ScaleMode.FIT,
@@ -1116,7 +1157,18 @@ def decode_sampled(data: bytes, width: int, height: int,
         # (no AC entropy decode) and rescale from there
         pixels, info = decode_thumbnail(data)
     else:
-        pixels, info = decode(data)
+        pixels = None
+        if (0 < width <= -(-info0.xsize // 4)
+                and 0 < height <= -(-info0.ysize // 4)):
+            # target fits in 1/4: synthesize on device and box-average
+            # there BEFORE the pixel download (16x fewer d2h bytes;
+            # the reference full-decodes then rescales,
+            # JniDecoding.cpp:124-136)
+            pixels_info = _decode_downsampled(data, 4)
+            if pixels_info is not None:
+                pixels, info = pixels_info
+        if pixels is None:
+            pixels, info = decode(data)
     maxv = 255.0 if pixels.dtype == np.uint8 else 65535.0
     if width > 0 and height > 0 and \
             (width, height) != (pixels.shape[1], pixels.shape[0]):

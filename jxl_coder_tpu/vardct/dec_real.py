@@ -1540,7 +1540,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                         dc_only: bool = False,
                         state_out: dict = None,
                         parse_only: bool = False,
-                        max_passes: int = None) -> np.ndarray:
+                        max_passes: int = None,
+                        downsample: int = 1) -> np.ndarray:
     """Real-format VarDCT still decode -> (H, W, 3) uint8 sRGB.
 
     Handles multi-pass (progressive AC) streams: per-group coefficient
@@ -1804,7 +1805,8 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
                   and getattr(lf, "noise_lut", None) is None
                   and fh.upsampling == 1 and not fh.do_ycbcr
                   and _is_srgb_output(_ce)
-                  and not (_ce is not None and _ce.have_gamma))
+                  and not (_ce is not None and _ce.have_gamma)
+                  and downsample <= 1)
     if state_out is not None or parse_only:
         if (parse_only and use_device and _post_free
                 and blocks_glob is not None
@@ -1817,6 +1819,11 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
             if not _post_free:
                 post, extras = _device_post_config(
                     lf, fh, hdr, h, w, ref_frames)
+                if downsample > 1:
+                    out_i = [i for i, (k, _v) in enumerate(post)
+                             if k == "out"]
+                    ins = out_i[0] if out_i else len(post)
+                    post.insert(ins, ("down", int(downsample)))
             device_rgb = TF.reconstruct_frame_device(
                 lf, fh, blocks_glob, qf_map, sharp_map,
                 ytox_glob, ytob_glob, dc_glob, bits_,
@@ -1907,10 +1914,16 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         # stream declares a pure power TRC (e.g. alpha_png_freepik's
         # 1/2.2): encode the linear output with it instead of sRGB
         gamma = ce.gamma / 1e7
+    if downsample > 1 and device_rgb is None:
+        raise BitstreamError("downsampled decode needs the device path")
     if device_rgb is not None:
         # the device pipeline already applied patches/splines/noise/
         # upsampling and the output encoding (tpu_full post stages)
-        rgb = device_rgb[:full_h, :full_w]
+        if downsample > 1:
+            rgb = device_rgb[:-(-full_h // downsample),
+                             :-(-full_w // downsample)]
+        else:
+            rgb = device_rgb[:full_h, :full_w]
     elif fh.do_ycbcr:
         rgb = ycbcr_planes_to_rgb(X, Y, B, bits)[:full_h, :full_w]
     elif gamma is not None:
@@ -1924,7 +1937,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
         rgb = xyb_planes_to_srgb16(X, Y, B)[:full_h, :full_w]
     else:
         rgb = xyb_planes_to_srgb8(X, Y, B)[:full_h, :full_w]
-    if m.extra_channels:
+    if m.extra_channels and downsample <= 1:
         planes = []
         ecs = None
         if lf.mfd is not None and not lf.ec_failed:

@@ -817,6 +817,21 @@ def _build_fn(desc, H8, W8, bits, gab, epf_iters, gabw_t, pass0_scale,
             X = _upsample_plane_device(X, ker)
             Y = _upsample_plane_device(Y, ker)
             B = _upsample_plane_device(B, ker)
+        down = post_d.get("down", 1)
+        if down > 1:
+            # sampled-decode fast path: box-average on device BEFORE
+            # the output encoding, so the d2h transfer shrinks by
+            # down^2 (the Glide decodeSampled workload; the reference
+            # full-decodes then rescales, JniDecoding.cpp:124-136)
+            def _pool(p):
+                ph_ = (-p.shape[0]) % down
+                pw_ = (-p.shape[1]) % down
+                if ph_ or pw_:
+                    p = jnp.pad(p, ((0, ph_), (0, pw_)), mode="edge")
+                return p.reshape(p.shape[0] // down, down,
+                                 p.shape[1] // down, down).mean(
+                                     axis=(1, 3))
+            X, Y, B = _pool(X), _pool(Y), _pool(B)
         out_spec = post_d.get("out", ("srgb",))
         return _encode_output_device(X, Y, B, out_spec, int(bits))
 

@@ -212,3 +212,26 @@ def test_truncated_header_still_raises():
     data = api.encode(img, lossless=False, quality=85)
     with pytest.raises(api.InvalidJXLError):
         api.decode(data[:20])
+
+
+def test_decode_sampled_quarter_fast_path(monkeypatch):
+    """Targets between 1/8 and 1/4 take the device downsample path
+    (box-average before the pixel download); output must track the
+    full-decode-then-resize reference closely."""
+    from jxl_coder_tpu.ops.resize import rescale_image
+    img = _smooth(256)
+    data = api.encode(img, lossless=False, quality=90)
+    monkeypatch.setenv("JXL_TPU_DEVICE", "1")
+    monkeypatch.setenv("JXL_TPU_DEVICE_STRICT", "1")
+    q = api._decode_downsampled(data, 4)
+    assert q is not None
+    quarter, info = q
+    assert quarter.shape[:2] == (64, 64)
+    full, _ = api.decode(data)
+    ref = rescale_image(full, 64, 64, scale_mode=3, filter_id=6)
+    d = np.abs(quarter[..., :3].astype(np.int64)
+               - ref[..., :3].astype(np.int64))
+    assert d.mean() < 4.0, d.mean()
+    # the sampled API routes a 64x64 target through it transparently
+    out, _ = api.decode_sampled(data, 64, 64)
+    assert out.shape[:2] == (64, 64)
