@@ -45,6 +45,34 @@ def _accelerator_present() -> bool:
         return False
 
 
+_cache_enabled = False
+
+
+def _enable_persistent_cache() -> None:
+    """Turn on XLA's persistent compilation cache (once, respecting an
+    existing user setting).  Without it every fresh process pays the
+    full jit compile per frame geometry — 10-40 s per shape over the
+    axon tunnel, which dominated cold corpus decodes (round-5 probe:
+    first_jxl.jxl 10.8 s cold vs 0.16 s warm)."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            d = os.environ.get(
+                "JXL_TPU_XLA_CACHE",
+                os.path.join(os.path.expanduser("~"), ".cache",
+                             "jxl_coder_tpu", "xla"))
+            os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def device_enabled() -> bool:
     """Device reconstruction runs automatically when an accelerator is
     attached — matching the reference, where the threaded codec path is
@@ -53,8 +81,12 @@ def device_enabled() -> bool:
     the bit-exactness reference)."""
     env = os.environ.get("JXL_TPU_DEVICE")
     if env is not None and env != "":
-        return env != "0"
-    return _accelerator_present()
+        on = env != "0"
+    else:
+        on = _accelerator_present()
+    if on:
+        _enable_persistent_cache()
+    return on
 
 
 def _bucket(n: int) -> int:
