@@ -275,6 +275,41 @@ class _TmpNode:
         self.predictor = predictor
 
 
+def _best_split_native(data, toks_sub, props_sub, props_allowed,
+                       n_buckets):
+    """Whole-node split search in C++ (hostcodec.cpp
+    ma_best_split_native): per allowed property, quantile thresholds +
+    bucketize + split-cost scan + argmin in ONE call.  Returns
+    (cost (K,), splitval (K,)) or None; the numpy loop in _learn_node
+    stays the oracle (tests cross-check trees end to end)."""
+    try:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+    except ImportError:
+        lib = None
+    if lib is None or not hasattr(lib, "ma_best_split_native"):
+        return None
+    import ctypes
+    pa = np.asarray(list(props_allowed), np.int32)
+    props_arr = props_sub[pa]
+    if props_arr.size and (props_arr.max() > 2**31 - 1
+                           or props_arr.min() < -2**31):
+        return None
+    props32 = np.ascontiguousarray(props_arr, np.int32)
+    K = len(pa)
+    P, n = toks_sub.shape
+    out_cost = np.empty(K, np.float64)
+    out_split = np.empty(K, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.ma_best_split_native(
+        toks_sub.ctypes.data_as(i32p), P, n,
+        props32.ctypes.data_as(i32p), pa.ctypes.data_as(i32p),
+        K, n_buckets, data.T, data.rb.ctypes.data_as(dp),
+        out_cost.ctypes.data_as(dp), out_split.ctypes.data_as(i32p))
+    return out_cost, out_split
+
+
 def _best_leaf(data: _LearnData, idx: np.ndarray) -> Tuple[int, float]:
     best_p, best_c = 0, np.inf
     for pi, p in enumerate(data.pred_ids):
@@ -307,6 +342,26 @@ def _learn_node(data: _LearnData, idx: np.ndarray, leaves_left: List[int],
     best = (None, leaf_cost - split_penalty)
     toks_sub = np.ascontiguousarray(data.tokens[:, idx], np.int32)
     props_sub = data.props[:, idx]
+    nat = _best_split_native(data, toks_sub, props_sub, props_allowed,
+                             n_buckets)
+    if nat is not None:
+        cost_k, split_k = nat
+        for ki, k in enumerate(props_allowed):
+            if cost_k[ki] < best[1]:
+                best = ((k, int(split_k[ki])), float(cost_k[ki]))
+        if best[0] is None:
+            return node
+        k, splitval = best[0]
+        node.prop, node.splitval = k, splitval
+        node.predictor = -1
+        leaves_left[0] -= 1
+        lmask = data.props[k, idx] > splitval
+        node.left = _learn_node(data, idx[lmask], leaves_left,
+                                split_penalty, props_allowed, n_buckets)
+        node.right = _learn_node(data, idx[~lmask], leaves_left,
+                                 split_penalty, props_allowed,
+                                 n_buckets)
+        return node
     # one sort for ALL properties; sorted[round(q*(n-1))] is exactly
     # np.quantile(method="nearest") and avoids 16 partition calls/node
     sorted_props = np.sort(props_sub, axis=1)

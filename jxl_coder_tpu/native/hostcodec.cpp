@@ -1846,3 +1846,66 @@ int32_t ans_quantize_best(const int64_t* counts, int32_t alpha,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// MA-tree split search, whole node in one call (encoder learning):
+// for each allowed property, build the quantile thresholds
+// (np.quantile 'nearest' == sorted[nearbyint(q*(n-1))], half-even),
+// bucketize, run the split-cost scan, and return the per-property
+// best (cost, splitval).  Mirrors modular/learn._learn_node's
+// property loop; ma_split_costs above stays the per-property oracle.
+
+extern "C" {
+
+void ma_best_split_native(
+    const int32_t* tokens /* (P, n) */, int32_t P, int64_t n,
+    const int32_t* props /* (K, n) */, const int32_t* prop_ids,
+    int32_t K, int32_t n_buckets, int32_t T,
+    const double* rb /* (T,) */,
+    double* out_cost /* (K,) */, int32_t* out_split /* (K,) */)
+{
+    std::vector<int32_t> sorted(n);
+    std::vector<int64_t> sv;
+    std::vector<int32_t> bucket(n);
+    std::vector<double> costs;
+    for (int32_t k = 0; k < K; k++) {
+        const int32_t* pv = props + (size_t)k * n;
+        out_cost[k] = 1e300;
+        out_split[k] = 0;
+        memcpy(sorted.data(), pv, (size_t)n * 4);
+        std::sort(sorted.begin(), sorted.end());
+        if (sorted[0] == sorted[n - 1]) continue;
+        sv.clear();
+        for (int32_t j = 0; j < n_buckets; j++) {
+            double q = 0.02 + (0.98 - 0.02) * j / (n_buckets - 1);
+            long idx = (long)nearbyint(q * (double)(n - 1));
+            int64_t v = sorted[idx];
+            if (sv.empty() || v != sv.back()) {
+                // keep sorted unique (quantiles are monotone)
+                if (!sv.empty() && v < sv.back()) continue;
+                sv.push_back(v);
+            }
+        }
+        int32_t B = (int32_t)sv.size() + 1;
+        if (B < 2) continue;
+        for (int64_t i = 0; i < n; i++) {
+            // searchsorted left: #{j: sv[j] < v} ... == lower_bound
+            bucket[i] = (int32_t)(std::lower_bound(sv.begin(), sv.end(),
+                                                   (int64_t)pv[i])
+                                  - sv.begin());
+        }
+        costs.assign((size_t)P * (B - 1), 0.0);
+        ma_split_costs(tokens, P, n, bucket.data(), B, T, rb,
+                       costs.data());
+        // argmin with pred-major, split-ascending tie order
+        double best = 1e300;
+        int64_t bi = 0;
+        for (int64_t i2 = 0; i2 < (int64_t)P * (B - 1); i2++) {
+            if (costs[i2] < best) { best = costs[i2]; bi = i2; }
+        }
+        out_cost[k] = best;
+        out_split[k] = (int32_t)sv[bi % (B - 1)];
+    }
+}
+
+}  // extern "C"
