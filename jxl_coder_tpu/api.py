@@ -198,7 +198,8 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
            effort: int = 7, quality: int = None,
            decoding_speed: int = 0, colour=None,
            intensity_target: float = None,
-           icc: bytes = None, progressive: bool = False) -> bytes:
+           icc: bytes = None, progressive: bool = False,
+           photon_noise_iso: float = 0.0, noise=None) -> bytes:
     """Encode an image array to a bare JXL codestream.
 
     pixels: uint8/uint16/float array (H, W), (H, W, 1), (H, W, 3) or
@@ -260,6 +261,18 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
         from .vardct.quant import quality_to_distance
         q = quality if quality is not None else 90
         distance = quality_to_distance(int(q))
+        noise_lut = noise
+        if noise_lut is None and photon_noise_iso > 0:
+            # approximate photon-noise grain curve: strength grows
+            # with ISO and falls with intensity (shot noise is
+            # relatively strongest in the shadows).  The exact lut is
+            # an encoder-side choice — the DECODER's synthesis is
+            # pinned bit-exact vs libjxl (vardct/noise.py); `noise=`
+            # takes a raw 8-knot lut for full control.
+            import math
+            a = 0.12 * math.sqrt(photon_noise_iso / 3200.0)
+            noise_lut = [min(1.0, a * (1.0 - 0.8 * (k / 7.0)))
+                         for k in range(8)]
         from .vardct.enc_real import encode_vardct_real
         blob = encode_vardct_real(pixels, distance=distance,
                                   decoding_speed=decoding_speed,
@@ -267,14 +280,15 @@ def encode(pixels, lossless: bool = True, bits_per_sample: int = None,
                                   colour=colour,
                                   bit_depth=bits_per_sample,
                                   intensity_target=intensity_target,
-                                  progressive=progressive)
+                                  progressive=progressive,
+                                  noise_lut=noise_lut)
         # screen-content mode decision (libjxl behaviour: cjxl encodes
         # few-colour images losslessly in modular mode even at lossy
         # settings, often an order of magnitude smaller than VarDCT):
         # when a sample shows few distinct colours, also run the
         # lossless encoder and keep the smaller stream.
         if (effort >= 3 and alpha_plane is None and colour is None
-                and pixels.dtype == np.uint8):
+                and noise_lut is None and pixels.dtype == np.uint8):
             samp = pixels[::max(1, pixels.shape[0] // 64),
                           ::max(1, pixels.shape[1] // 64)]
             flat = samp.reshape(-1, samp.shape[2])

@@ -806,7 +806,8 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
                        intensity_target: float = None,
                        patch_dict_bw=None,
                        try_patches: bool = True,
-                       progressive: bool = False) -> bytes:
+                       progressive: bool = False,
+                       noise_lut=None) -> bytes:
     """(H, W, 3) colour -> real-format VarDCT codestream.
 
     pixels: uint8, uint16 or float [0, 1] in the colour encoding given
@@ -1038,6 +1039,15 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
     # supported num_passes>1 since round 3)
     npasses = 2 if (progressive and alpha is None) else 1
     pflags = 0x2 if patch_dict_bw is not None else 0
+    if noise_lut is not None:
+        # kNoise: the decoder synthesizes film-grain style noise from
+        # the 8-knot intensity lut (decode side pinned exact vs libjxl
+        # in vardct/noise.py); values quantize to 10-bit fixed point
+        noise_lut = [min(1023, max(0, int(round(float(v) * 1024.0))))
+                     for v in noise_lut]
+        if len(noise_lut) != 8:
+            raise ValueError("noise lut needs 8 knots")
+        pflags |= 0x1
     if fh is None:
         fh = FrameHeader(encoding=Encoding.VARDCT, flags=pflags,
                          x_qm_scale=xqm, b_qm_scale=2)
@@ -1118,6 +1128,11 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
             # patch dictionary precedes DcQuant when flags & kPatches
             # (read_lf_global ordering)
             w_.append_writer(patch_dict_bw)
+        if noise_lut is not None:
+            # NoiseParameters precede DcQuant (read_lf_global ordering:
+            # patches -> splines -> noise -> dc_quant)
+            for v_ in noise_lut:
+                w_.u(v_, 10)
         w_.bool(True)
         w_.u32(gs, (11, 1), (11, 2049), (12, 4097), (16, 8193))
         w_.u32(qdc, 16, (5, 1), (8, 1), (16, 1))

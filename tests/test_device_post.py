@@ -235,3 +235,29 @@ def test_decode_sampled_quarter_fast_path(monkeypatch):
     # the sampled API routes a 64x64 target through it transparently
     out, _ = api.decode_sampled(data, 64, 64)
     assert out.shape[:2] == (64, 64)
+
+
+@needs_jxl
+def test_encoder_noise_emission(monkeypatch):
+    """api.encode(photon_noise_iso=...) writes kNoise + an 8-knot lut;
+    libjxl and our decoder synthesize the SAME grain from it (decode
+    side pinned exact), and the stream visibly carries noise."""
+    img = _smooth(128)
+    data = api.encode(img, lossless=False, quality=90,
+                      photon_noise_iso=3200)
+    flat = api.encode(img, lossless=False, quality=90)
+    ours, _ = api.decode(data)
+    theirs = np.asarray(refjxl.decode(data)[0])[:, :, :3]
+    d = np.abs(ours[..., :3].astype(int) - theirs.astype(int))
+    assert d.max() <= 3, d.max()
+    base, _ = api.decode(flat)
+    # the grain is real: noisy decode differs from the flat decode
+    assert np.abs(ours[..., :3].astype(int)
+                  - base[..., :3].astype(int)).mean() > 0.5
+    # raw lut control
+    data2 = api.encode(img, lossless=False, quality=90,
+                       noise=[0.25] * 8)
+    ours2, _ = api.decode(data2)
+    theirs2 = np.asarray(refjxl.decode(data2)[0])[:, :, :3]
+    d2 = np.abs(ours2[..., :3].astype(int) - theirs2.astype(int))
+    assert d2.max() <= 3, d2.max()
