@@ -991,16 +991,27 @@ def encode_vardct_real(pixels: np.ndarray, distance: float = 1.0,
         lfb_ = 256
         gxl_ = -(-xs_b // lfb_)
         gyl_ = -(-ys_b // lfb_)
-        dc_subs = {}
-        for gi_ in range(gxl_ * gyl_):
+
+        def _one_dc_sub(gi_):
             lx_ = (gi_ % gxl_) * lfb_
             ly_ = (gi_ // gxl_) * lfb_
             gw_ = min(lfb_, xs_b - lx_)
             gh_ = min(lfb_, ys_b - ly_)
-            dc_subs[gi_] = _modular_substream([
+            return gi_, _modular_substream([
                 Channel(gw_, gh_, data=np.ascontiguousarray(
                     dc_int[i, ly_:ly_ + gh_, lx_:lx_ + gw_], np.int32))
                 for i in range(3)], learn=True, max_leaves=24)
+
+        ngl_ = gxl_ * gyl_
+        if ngl_ > 1:
+            # the learn/encode work is numpy + native (GIL-released):
+            # threads use both cores while the device computes costs
+            import concurrent.futures as _fut
+            with _fut.ThreadPoolExecutor(
+                    max_workers=min(ngl_, os.cpu_count() or 2)) as ex_:
+                dc_subs = dict(ex_.map(_one_dc_sub, range(ngl_)))
+        else:
+            dc_subs = dict([_one_dc_sub(0)])
         cost8, cost_data, vals_list, meta = ENCDEV.run_costs_fetch(
             pending)
         full_cands = list(cands) + [(s, 1, 1) for s in specials]
