@@ -126,6 +126,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_int32), c.c_int64, c.c_int32,
         c.POINTER(c.c_int32), c.POINTER(c.c_int8), c.c_int64,
         c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
+    lib.lf_walk_native.restype = c.c_int64
+    lib.lf_walk_native.argtypes = [
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int64,
+        c.c_int32, c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.POINTER(c.c_uint8), c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32)]
     lib.ma_best_split_native.restype = None
     lib.ma_best_split_native.argtypes = [
         c.POINTER(c.c_int32), c.c_int32, c.c_int64,

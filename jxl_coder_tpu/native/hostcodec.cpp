@@ -1909,3 +1909,44 @@ void ma_best_split_native(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LF-group varblock walk (decode): raster over the group, consuming one
+// AC-metadata entry per uncovered anchor.  Mirrors
+// vardct/dec_real.read_lf_group's Python loop exactly.
+
+extern "C" {
+
+// returns consumed entry count, or -1 invalid strategy, -2 overflow,
+// -3 too few entries
+int64_t lf_walk_native(const int32_t* acs_row, const int32_t* qf_row,
+                       int64_t count, int32_t xs_b, int32_t ys_b,
+                       const int32_t* cx_l, const int32_t* cy_l,
+                       const uint8_t* valid_l, int32_t n_sids,
+                       int32_t* acs_map, int32_t* qf_map)
+{
+    const int64_t W = xs_b;
+    for (int64_t i = 0; i < (int64_t)ys_b * W; i++) acs_map[i] = -1;
+    int64_t vi = 0;
+    for (int32_t by = 0; by < ys_b; by++) {
+        for (int32_t bx = 0; bx < xs_b; bx++) {
+            if (acs_map[by * W + bx] != -1) continue;
+            if (vi >= count) return -3;
+            int32_t s = acs_row[vi];
+            if (s < 0 || s >= n_sids || !valid_l[s]) return -1;
+            int32_t cx = cx_l[s], cy = cy_l[s];
+            if (bx + cx > xs_b || by + cy > ys_b) return -2;
+            int32_t q = qf_row[vi] + 1;
+            for (int32_t yy = by; yy < by + cy; yy++)
+                for (int32_t xx = bx; xx < bx + cx; xx++) {
+                    acs_map[yy * W + xx] = -2;
+                    qf_map[yy * W + xx] = q;
+                }
+            acs_map[by * W + bx] = s;
+            vi++;
+        }
+    }
+    return vi;
+}
+
+}  // extern "C"

@@ -247,6 +247,44 @@ def _chan_dims(xs_b, ys_b, shifts, c):
     return xs_b >> hs, ys_b >> vs
 
 
+def _lf_walk_native(acs_row, qf_row, count, xs_b, ys_b, cx_l, cy_l,
+                    valid_l, acs_map, qf_map):
+    """C++ varblock walk (hostcodec.cpp lf_walk_native): fills
+    acs_map/qf_map in place; returns consumed entries or None to fall
+    back (the Python loop below stays the oracle and the error-message
+    path)."""
+    try:
+        from .. import native as native_mod
+        lib = native_mod.get_lib()
+    except ImportError:
+        lib = None
+    if lib is None or not hasattr(lib, "lf_walk_native"):
+        return None
+    import ctypes
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    acs_a = np.ascontiguousarray(np.asarray(acs_row[:count]), np.int32)
+    qf_a = np.ascontiguousarray(np.asarray(qf_row[:count]), np.int32)
+    valid_u8 = np.ascontiguousarray(valid_l, np.uint8)
+    cx32 = np.ascontiguousarray(cx_l, np.int32)
+    cy32 = np.ascontiguousarray(cy_l, np.int32)
+    rc = lib.lf_walk_native(
+        acs_a.ctypes.data_as(i32p), qf_a.ctypes.data_as(i32p),
+        int(count), xs_b, ys_b,
+        cx32.ctypes.data_as(i32p), cy32.ctypes.data_as(i32p),
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(valid_u8),
+        acs_map.ctypes.data_as(i32p), qf_map.ctypes.data_as(i32p))
+    if rc == -1:
+        raise BitstreamError("invalid AC strategy")
+    if rc == -2:
+        raise BitstreamError("AC strategy overflows group")
+    if rc == -3:
+        raise BitstreamError("too few AC metadata entries")
+    if rc < 0:
+        return None
+    return int(rc)
+
+
 def read_lf_group(br: BitReader, lf: LfGlobal, xs_b: int, ys_b: int,
                   group_index: int, num_dc_groups: int,
                   use_dc_frame: bool = False, shifts=None) -> LfGroup:
@@ -303,24 +341,30 @@ def read_lf_group(br: BitReader, lf: LfGlobal, xs_b: int, ys_b: int,
         qf_map[:] = np.asarray(qf_row[:count]).reshape(ys_b, xs_b) + 1
         vi = count
     else:
-        vi = 0
-        for by in range(ys_b):
-            for bx in range(xs_b):
-                if acs_map[by, bx] != -1:
-                    continue
-                if vi >= count:
-                    raise BitstreamError("too few AC metadata entries")
-                strategy = int(acs_row[vi])
-                st = _S_.get(strategy)
-                if st is None:
-                    raise BitstreamError(
-                        "invalid AC strategy %d" % strategy)
-                if bx + st.cx > xs_b or by + st.cy > ys_b:
-                    raise BitstreamError("AC strategy overflows group")
-                acs_map[by:by + st.cy, bx:bx + st.cx] = -2
-                acs_map[by, bx] = strategy
-                qf_map[by:by + st.cy, bx:bx + st.cx] = int(qf_row[vi]) + 1
-                vi += 1
+        vi = _lf_walk_native(acs_row, qf_row, count, xs_b, ys_b,
+                             cx_l, cy_l, valid_l, acs_map, qf_map)
+        if vi is None:
+            vi = 0
+            for by in range(ys_b):
+                for bx in range(xs_b):
+                    if acs_map[by, bx] != -1:
+                        continue
+                    if vi >= count:
+                        raise BitstreamError(
+                            "too few AC metadata entries")
+                    strategy = int(acs_row[vi])
+                    st = _S_.get(strategy)
+                    if st is None:
+                        raise BitstreamError(
+                            "invalid AC strategy %d" % strategy)
+                    if bx + st.cx > xs_b or by + st.cy > ys_b:
+                        raise BitstreamError(
+                            "AC strategy overflows group")
+                    acs_map[by:by + st.cy, bx:bx + st.cx] = -2
+                    acs_map[by, bx] = strategy
+                    qf_map[by:by + st.cy,
+                           bx:bx + st.cx] = int(qf_row[vi]) + 1
+                    vi += 1
     if vi != count:
         raise BitstreamError("unused AC metadata entries")
     lg.acs_map = acs_map
