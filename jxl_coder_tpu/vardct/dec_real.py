@@ -559,7 +559,13 @@ class BlockArrays:
             coeffs[int(base[i]):int(base[i + 1])] = \
                 p.coeffs[:int(p.offs[-1])]
 
-        if len(parts) > 4 and int(base[-1]) > (1 << 22):
+        import threading as _threading
+        on_main = (_threading.current_thread()
+                   is _threading.main_thread())
+        if on_main and len(parts) > 4 and int(base[-1]) > (1 << 22):
+            # threads only from the main thread: decode_batch already
+            # runs whole parses on a worker pool, and nested pools
+            # thrash the 2-core box (batched e2e 4.3 -> 2.6 MP/s)
             import concurrent.futures as _fut
             with _fut.ThreadPoolExecutor(
                     max_workers=min(4, os.cpu_count() or 2)) as ex:
