@@ -1756,6 +1756,7 @@ def decode_vardct_frame(cs: bytes, hdr, fh, toc, dc_frame=None,
     # every stream (interop/JxlDecoding.cpp:74-175).  Only chroma-
     # subsampled ycbcr stays host-side (unequal plane sizes).
     use_device = (TF.device_enabled() and not return_xyb
+                  and (TF.device_forced() or ys_b * xs_b >= 1024)
                   and not (fh.do_ycbcr
                            and any(u != 0 for u in fh.jpeg_upsampling))
                   and fh.upsampling in (1, 2, 4, 8)

@@ -73,6 +73,16 @@ def _enable_persistent_cache() -> None:
         pass
 
 
+def device_forced() -> bool:
+    """True when JXL_TPU_DEVICE explicitly forces the device path on
+    (tests / benches); auto mode applies a frame-size floor instead —
+    tiny frames pay more in per-geometry jit tracing and dispatch
+    round trips than the whole host decode costs (48-frame 128x128
+    animation: 80 s device-auto vs ~0.5 s host)."""
+    env = os.environ.get("JXL_TPU_DEVICE")
+    return env is not None and env not in ("", "0")
+
+
 def device_enabled() -> bool:
     """Device reconstruction runs automatically when an accelerator is
     attached — matching the reference, where the threaded codec path is
