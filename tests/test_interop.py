@@ -645,3 +645,19 @@ def test_lossy_pq_rgba16_roundtrip():
     rerr = np.abs(refjxl.decode(ref, as_float=True)[0][:, :, :3]
                   - pq[:, :, :3] / 65535.0)
     assert err.mean() <= rerr.mean() * 1.5
+
+
+def test_ec_resampling_stream():
+    """EXTRA_CHANNEL_RESAMPLING streams: the alpha EC is coded at 1/2
+    resolution and upsampled on decode; parity with libjxl."""
+    img = np.zeros((96, 96, 4), np.uint8)
+    img[..., :3] = (np.mgrid[0:96, 0:96][0] * 2).astype(
+        np.uint8)[..., None]
+    img[..., 3] = 255
+    img[20:60, 30:70, 3] = 128
+    data = _set_option_encode(img, {3: 2}, lossless=False, distance=1.0)
+    ours, _ = api.decode(data)
+    theirs, _ = refjxl.decode(data)
+    d = np.abs(ours.astype(int) - np.asarray(theirs).astype(int))
+    assert d[..., :3].max() <= 2
+    assert d[..., 3].max() <= 1
